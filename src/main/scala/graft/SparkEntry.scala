@@ -1,13 +1,232 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every declared query (SURVEY.md §5.2):
+  *  - deterministic output: explicit `orderBy` on a non-null key;
+  *  - floats produced by arithmetic are `round`ed identically on both the
+  *    Spark side and the DuckDB oracle side;
+  *  - column names and types are aligned pairwise (DuckDB `count(*)`/window
+  *    fns → BIGINT ⇔ Spark long; `CASE`→INTEGER ⇔ Spark int; integer `sum`s
+  *    are CAST to BIGINT in the oracle because DuckDB widens them to
+  *    HUGEINT).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- V-series: validation aggregates (SURVEY.md §2.2) ----
+    "v1_null_count" -> ((s, d) => Validation.nullCounts(li(s, d))),
+    "v2_dup_count" -> ((s, d) => Validation.duplicateRowCount(li(s, d))),
+    "v3_schema_columns" -> ((s, d) => Validation.schemaColumns(li(s, d))),
+    "v4_range_profile" -> ((s, d) => Validation.rangeProfile(li(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "v5_domain_orderstatus" -> ((s, d) => Validation.domain(ord(s, d), "o_orderstatus")),
+    "v6_class_balance" -> ((s, d) => Validation.classBalance(ord(s, d), "o_orderstatus", "F")),
+    "v7_table_counts" -> ((s, d) =>
+      Tables.names.map { t =>
+        val df = if (t == "events") Tables.eventsRaw(s, d) else Tables.load(s, d, t)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows"))
+      }.reduce(_.unionAll(_)).orderBy(col("table_name"))),
+    "v8_drift_profile" -> ((s, d) => Validation.driftProfile(li(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ---- F-series: scalar feature transforms (SURVEY.md §2.3) ----
+    "f1_conditional_ratio" -> ((s, d) => li(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      Features.pround(Features.conditionalRatio(
+        col("l_extendedprice"), when(col("l_quantity") > 25, col("l_quantity")).otherwise(lit(0.0)),
+        col("l_extendedprice")), 4).as("charge_ratio"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "f2_bucket_counts" -> ((s, d) => li(s, d)
+      .select(Features.rightClosedBucket(col("l_quantity"),
+        Seq(0, 10, 20, 30, 40, 50), Seq("0-10", "10-20", "20-30", "30-40", "40-50")).as("bucket"),
+        col("l_quantity"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("bucket"))),
+    "f3_quantile_flag" -> ((s, d) =>
+      Features.quantileFlag(ord(s, d), "o_totalprice", 0.75)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("flag"))),
+    "f5_zscore_clip" -> ((s, d) =>
+      Features.zScoreClip(ord(s, d), "o_totalprice")
+        .agg(round(sum(col("o_totalprice_clipped")), 2).as("sum_clipped"),
+             sum(when(col("o_totalprice_clipped") =!= col("o_totalprice"), 1L)
+               .otherwise(0L)).as("n_clipped"))),
+    "f6_conditional_clip" -> ((s, d) => ord(s, d).select(
+      col("o_orderkey"),
+      Features.pround(least(greatest(col("o_totalprice") / 100.0, lit(18.0)), lit(120.0)), 2).as("synth_charge"))
+      .orderBy(col("o_orderkey"))),
+    "f7_cast_flag" -> ((s, d) => li(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_discount") > 0.05).cast("int").as("high_disc"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "f8_sigmoid" -> ((s, d) => cust(s, d).select(
+      col("c_custkey"),
+      Features.pround(Features.sigmoid(col("c_acctbal") / 1000.0), 6).as("sig"))
+      .orderBy(col("c_custkey"))),
+
+    // ---- X-series: relational capability pack (SURVEY.md §2.6) ----
+    "x1_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
+    "x2_top_customers" -> ((s, d) => Relational.topCustomers(s, d, 10)),
+    "x3_top_orders_per_customer" -> ((s, d) => Relational.topOrdersPerCustomer(s, d, 3)),
+    "x4_days_since_prev" -> ((s, d) => Relational.daysSincePrevOrder(s, d)),
+    "x5_rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
+    "x6_cube_orders" -> ((s, d) => Relational.cubeOrders(s, d)),
+    "x7_customers_without_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "x8_intersect_statuses" -> ((s, d) => Relational.intersectStatuses(s, d)),
+    "x9_except_customers" -> ((s, d) => Relational.exceptCustomers(s, d)),
+    "x10_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "x11_monthly_orders" -> ((s, d) => Relational.monthlyOrders(s, d)),
+    "x12_customer_name_features" -> ((s, d) => Relational.customerNameFeatures(s, d)),
+    "x13_rich_segments" -> ((s, d) => Relational.richSegments(s, d, 4000.0)),
+    "x14_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)),
+  )
+
+  private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "v1_null_count" ->
+      ("SELECT " + lineitemCols.map(c => s"count(*) - count($c) AS nulls_$c").mkString(", ") +
+        " FROM lineitem"),
+    "v2_dup_count" ->
+      ("SELECT (SELECT count(*) FROM lineitem) - " +
+        "(SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem) t) AS dup_rows"),
+    "v3_schema_columns" ->
+      ("SELECT column_name FROM (VALUES " +
+        lineitemCols.map(c => s"('$c')").mkString(", ") +
+        ") AS t(column_name) ORDER BY column_name"),
+    "v4_range_profile" ->
+      ("SELECT " + Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .flatMap(c => Seq(s"round(min($c), 4) AS min_$c", s"round(max($c), 4) AS max_$c"))
+        .mkString(", ") + " FROM lineitem"),
+    "v5_domain_orderstatus" ->
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+    "v6_class_balance" ->
+      ("SELECT round(avg(CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END), 6) AS positive_rate FROM orders"),
+    "v7_table_counts" ->
+      (Tables.names.map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+        .mkString(" UNION ALL ") + " ORDER BY table_name"),
+    "v8_drift_profile" ->
+      ("SELECT " + Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .flatMap(c => Seq(
+          s"round(avg($c), 4) AS mean_$c",
+          s"round(stddev_samp($c), 4) AS std_$c",
+          s"round(avg(CAST($c IS NULL AS DOUBLE)), 6) AS nullfrac_$c"))
+        .mkString(", ") + " FROM lineitem"),
+
+    "f1_conditional_ratio" ->
+      ("SELECT l_orderkey, l_linenumber, floor((CASE WHEN l_quantity > 25 " +
+        "THEN l_extendedprice / l_quantity ELSE l_extendedprice END) * 10000.0 + 0.5) / 10000.0 " +
+        "AS charge_ratio FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "f2_bucket_counts" ->
+      ("SELECT CASE WHEN l_quantity <= 0 THEN 'nan' WHEN l_quantity <= 10 THEN '0-10' " +
+        "WHEN l_quantity <= 20 THEN '10-20' WHEN l_quantity <= 30 THEN '20-30' " +
+        "WHEN l_quantity <= 40 THEN '30-40' WHEN l_quantity <= 50 THEN '40-50' " +
+        "ELSE 'nan' END AS bucket, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY bucket"),
+    "f3_quantile_flag" ->
+      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.75) AS q FROM orders) " +
+        "SELECT CASE WHEN o_totalprice > q THEN 1 ELSE 0 END AS flag, count(*) AS n, " +
+        "round(avg(o_totalprice), 2) AS avg_price FROM orders, p GROUP BY 1 ORDER BY flag"),
+    "f5_zscore_clip" ->
+      ("WITH s AS (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd FROM orders) " +
+        "SELECT round(sum(LEAST(GREATEST(o_totalprice, m - 3*sd), m + 3*sd)), 2) AS sum_clipped, " +
+        "CAST(sum(CASE WHEN o_totalprice > m + 3*sd OR o_totalprice < m - 3*sd THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_clipped FROM orders, s"),
+    "f6_conditional_clip" ->
+      ("SELECT o_orderkey, floor(LEAST(GREATEST(o_totalprice / 100.0, 18.0), 120.0) * 100.0 + 0.5) / 100.0 " +
+        "AS synth_charge FROM orders ORDER BY o_orderkey"),
+    "f7_cast_flag" ->
+      ("SELECT l_orderkey, l_linenumber, CAST(l_discount > 0.05 AS INTEGER) AS high_disc " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "f8_sigmoid" ->
+      ("SELECT c_custkey, floor((1.0 / (1.0 + exp(-(c_acctbal / 1000.0)))) * 1000000.0 + 0.5) / 1000000.0 " +
+        "AS sig FROM customer ORDER BY c_custkey"),
+
+    "x1_revenue_by_nation" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "x2_top_customers" ->
+      ("SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS spend, count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY spend DESC, c_custkey LIMIT 10"),
+    "x3_top_orders_per_customer" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "x4_days_since_prev" ->
+      ("SELECT o_custkey, o_orderkey, date_diff('day', " +
+        "lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "CAST(o_orderdate AS DATE)) AS days_since_prev " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "x5_rollup_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "x6_cube_orders" ->
+      ("SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS sum_price, " +
+        "count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "x7_customers_without_orders" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "x8_intersect_statuses" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' ORDER BY o_custkey"),
+    "x9_except_customers" ->
+      ("SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey"),
+    "x10_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
+        "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order " +
+        "FROM lineitem WHERE l_quantity < 50 GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "x11_monthly_orders" ->
+      ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1 ORDER BY month"),
+    "x12_customer_name_features" ->
+      ("SELECT c_custkey, upper(c_name) AS name_upper, substr(c_name, 1, 5) AS name_prefix, " +
+        "length(c_name) AS name_len, c_name || '#' || CAST(c_custkey AS VARCHAR) AS name_tag " +
+        "FROM customer ORDER BY c_custkey"),
+    "x13_rich_segments" ->
+      ("SELECT * FROM (SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal, " +
+        "count(*) AS n_cust FROM customer GROUP BY 1) t WHERE avg_bal > 4000.0 " +
+        "ORDER BY c_mktsegment"),
+    "x14_status_pivot" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+  )
 }

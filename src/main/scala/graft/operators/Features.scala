@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar feature transforms — the reference's feature-engineering surface
+  * (`feature_engineering.py:57-93,161-176`, `data_ingestion.py:52-88`);
+  * SURVEY.md §2.3 F1–F8.
+  *
+  * All are per-row projections over built-in `Column` functions (zero UDFs →
+  * whole-stage codegen keeps them in one fused stage). Embedded scalar
+  * statistics (quantiles, mean/std) are computed once as a 1-row aggregate
+  * and broadcast-cross-joined back — a map-side-only plan, no shuffle of the
+  * fact table. That is the 100 TB-safe shape: the stats pass is scan-bound
+  * and the transform pass is embarrassingly parallel.
+  */
+object Features {
+
+  /** F1/F4 — conditional ratio (ref `feature_engineering.py:69-73,86-90`:
+    * `total/tenure if tenure > 0 else monthly`). */
+  def conditionalRatio(num: Column, den: Column, fallback: Column): Column =
+    when(den > 0, num / den).otherwise(fallback)
+
+  /** F2 — right-closed binning reproducing `pd.cut(...).astype(str)`
+    * (ref `feature_engineering.py:76-80`): intervals (lo, hi] with
+    * out-of-range mapped to the string "nan". Spark's `Bucketizer` is
+    * left-closed and so does NOT match — a `when` chain does, and stays
+    * inside codegen. */
+  def rightClosedBucket(c: Column, bounds: Seq[Double], labels: Seq[String]): Column = {
+    require(bounds.size == labels.size + 1)
+    val chain = labels.zipWithIndex.foldLeft(when(c <= bounds.head, "nan")) {
+      case (acc, (lab, i)) => acc.when(c <= bounds(i + 1), lab)
+    }
+    chain.otherwise("nan")
+  }
+
+  /** F3 — exact quantile threshold flag (ref `feature_engineering.py:83`,
+    * `monthly_charges > quantile(0.75)`). Spark `percentile` is the exact
+    * interpolated quantile, matching NumPy/pandas default (and DuckDB
+    * `quantile_cont`). The 1-row stats DF is broadcast. */
+  def quantileFlag(df: DataFrame, c: String, q: Double): DataFrame = {
+    val stats = df.agg(expr(s"percentile($c, $q)").as("q_thresh"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("flag", (col(c) > col("q_thresh")).cast("int"))
+  }
+
+  /** F5 — z-score clip to mean ± 3·sample-std (ref
+    * `feature_engineering.py:161-176`; pandas `std` is ddof=1 ==
+    * stddev_samp). Two passes: 1-row agg, then codegen'd clamp. */
+  def zScoreClip(df: DataFrame, c: String, z: Double = 3.0): DataFrame = {
+    val stats = df.agg(avg(col(c)).as("m"), stddev_samp(col(c)).as("sd"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(s"${c}_clipped",
+        when(col("sd").isNull || col("sd") === 0.0, col(c))
+          .otherwise(greatest(least(col(c), col("m") + col("sd") * z),
+                              col("m") - col("sd") * z)))
+      .drop("m", "sd")
+  }
+
+  /** F8 — sigmoid (ref `data_ingestion.py:87`, label model
+    * `1/(1+exp(-logit))`). */
+  def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** Portable rounding: `floor(x·10^d + 0.5)/10^d`. Unlike `round()`, whose
+    * decimal-boundary behavior differs between engines (Spark rounds the
+    * exact BigDecimal expansion of the double; DuckDB rounds in binary
+    * double arithmetic), this is pure IEEE-754 multiply/add/floor/divide —
+    * bit-identical in any engine. Used for every per-row float emitted by a
+    * declared query; the oracle SQL uses the literal same formula. */
+  def pround(c: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+}

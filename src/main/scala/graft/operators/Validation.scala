@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Validation aggregates — the reference's data-quality surface
+  * (`data_ingestion.py:112-166` validate_data, `data_quality_dag.py:27-65`
+  * drift check). Each check is a whole-table aggregate; SURVEY.md §2.2
+  * V1–V8.
+  *
+  * Scale notes: every operator here is a single hash-aggregate over a scan —
+  * map-side partial aggregation means the shuffle carries one row per
+  * partition, so these are scan-bound at any scale. No collects, no windows.
+  */
+object Validation {
+
+  /** V1 — per-column null counts (ref `data_ingestion.py:127-130`,
+    * `df.isnull().sum()`). One pass, one row out. */
+  def nullCounts(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      count(when(col(c).isNull, lit(1))).as(s"nulls_$c")): _*)
+
+  /** V2 — duplicate-row count beyond first occurrence (ref
+    * `data_ingestion.py:133-136`, `df.duplicated().sum()` ==
+    * count(*) - count(distinct *)).
+    * Scale: `distinct` over all columns is a full shuffle on the row hash —
+    * unavoidable for exact dup detection; at 100 TB prefer the
+    * hash-projection variant in [[graft.operators.Dedup]]. */
+  def duplicateRowCount(df: DataFrame): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total_rows"))
+    val dist  = df.distinct().agg(count(lit(1)).as("distinct_rows"))
+    total.crossJoin(dist)
+      .select((col("total_rows") - col("distinct_rows")).as("dup_rows"))
+  }
+
+  /** V3 — schema check (ref `data_ingestion.py:139-145`): expose the actual
+    * column set as a sorted one-column relation for comparison. */
+  def schemaColumns(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.columns.toSeq.sorted.toDF("column_name")
+  }
+
+  /** V4 — range predicate as min/max aggregate (ref
+    * `data_ingestion.py:149-150`: tenure in [0,100], charges >= 0). */
+  def rangeProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      round(min(col(cols.head)), 4).as(s"min_${cols.head}"),
+      cols.tail.flatMap(c => Seq(
+        round(min(col(c)), 4).as(s"min_$c"),
+        round(max(col(c)), 4).as(s"max_$c"))) :+
+        round(max(col(cols.head)), 4).as(s"max_${cols.head}"): _*)
+
+  /** V5 — domain predicate (ref `data_ingestion.py:151`,
+    * `set(churn.unique()) <= {0,1}`): distinct values of a column, sorted. */
+  def domain(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).distinct().orderBy(col(c))
+
+  /** V6 — class-balance aggregate (ref `data_ingestion.py:152-153`,
+    * `0.05 < mean(churn) < 0.95`), generalized to rate of a predicate. */
+  def classBalance(df: DataFrame, c: String, positive: String): DataFrame =
+    df.agg(round(avg(when(col(c) === positive, 1.0d).otherwise(0.0d)), 6)
+      .as("positive_rate"))
+
+  /** V8 — drift profile (ref `data_quality_dag.py:48-62`): per numeric
+    * column mean / sample-std (pandas ddof=1 == stddev_samp) / null
+    * fraction, one wide row. Single-pass multi-aggregate. */
+  def driftProfile(df: DataFrame, numericCols: Seq[String]): DataFrame =
+    df.agg(
+      round(avg(col(numericCols.head)), 4).as(s"mean_${numericCols.head}"),
+      numericCols.flatMap { c =>
+        val tail = Seq(
+          round(stddev_samp(col(c)), 4).as(s"std_$c"),
+          round(avg(col(c).isNull.cast("double")), 6).as(s"nullfrac_$c"))
+        if (c == numericCols.head) tail
+        else round(avg(col(c)), 4).as(s"mean_$c") +: tail
+      }: _*)
+}

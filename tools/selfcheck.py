@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-only self-check: mimic the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <out>/<query>/ parquet written by graft.Verify, runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB (views over the same parquet
+tables), sorts columns by name, and compares values exactly.
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+        try:
+            duck_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        sc = sorted(spark_tbl.column_names)
+        dc = sorted(duck_tbl.column_names)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}"); n_fail += 1; continue
+        if spark_tbl.num_rows != duck_tbl.num_rows:
+            print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}")
+            n_fail += 1; continue
+        srows = list(zip(*[spark_tbl.column(c).to_pylist() for c in sc]))
+        drows = list(zip(*[duck_tbl.column(c).to_pylist() for c in sc]))
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows))
+               if tuple(map(norm, a)) != tuple(map(norm, b))]
+        # dtype check (driver checks schema match)
+        stypes = {c: str(spark_tbl.schema.field(c).type) for c in sc}
+        dtypes = {c: str(duck_tbl.schema.field(c).type) for c in sc}
+        tdiff = {c: (stypes[c], dtypes[c]) for c in sc if stypes[c] != dtypes[c]}
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} mismatched rows; first: "
+                  f"row {bad[0][0]} spark={bad[0][1]} duck={bad[0][2]}  cols={sc}")
+            n_fail += 1
+        elif tdiff:
+            print(f"WARN {name}: values match but dtypes differ: {tdiff}")
+            n_pass += 1
+        else:
+            print(f"PASS {name} ({spark_tbl.num_rows} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
