@@ -97,7 +97,66 @@ object SparkEntry {
     "x12_customer_name_features" -> ((s, d) => Relational.customerNameFeatures(s, d)),
     "x13_rich_segments" -> ((s, d) => Relational.richSegments(s, d, 4000.0)),
     "x14_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)),
+
+    // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
+    "m1_standard_scale" -> ((s, d) =>
+      Preprocess.standardScale(cust(s, d), "c_acctbal", "z")
+        .select(col("c_custkey"), Features.pround(col("z"), 6).as("acctbal_z"))
+        .orderBy(col("c_custkey"))),
+    "m2_minmax_scale" -> ((s, d) =>
+      Preprocess.minMaxScale(ord(s, d), "o_totalprice", "mm")
+        .select(col("o_orderkey"), Features.pround(col("mm"), 6).as("price_mm"))
+        .orderBy(col("o_orderkey"))),
+    "m3_robust_scale" -> ((s, d) =>
+      Preprocess.robustScale(cust(s, d), "c_acctbal", "rs")
+        .select(col("c_custkey"), Features.pround(col("rs"), 6).as("acctbal_rs"))
+        .orderBy(col("c_custkey"))),
+    "m4_onehot" -> ((s, d) =>
+      Preprocess.oneHotDropFirst(cust(s, d), "c_mktsegment")
+        .select(col("c_custkey") +: cust(s, d).select("c_mktsegment").distinct()
+          .collect().map(_.getString(0)).sorted.drop(1).toSeq
+          .map(cat => col(s"c_mktsegment_$cat")): _*)
+        .orderBy(col("c_custkey"))),
+    "m6_stratified_split" -> ((s, d) =>
+      Preprocess.stratifiedSplitByKey(cust(s, d), "c_custkey", "c_mktsegment")
+        .groupBy(col("c_mktsegment"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"), col("split"))),
+    "m7_fold_assign" -> ((s, d) =>
+      Preprocess.foldAssignByKey(cust(s, d), "c_custkey", 5)
+        .groupBy(col("c_mktsegment"), col("fold"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"), col("fold"))),
+    "m15_binary_metrics" -> ((s, d) =>
+      Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
+    "m16_confusion_matrix" -> ((s, d) =>
+      Metrics.confusionMatrix(Metrics.labeledOrders(ord(s, d)))),
+    "m17_champion_select" -> ((s, d) =>
+      Metrics.championBySegment(ord(s, d), cust(s, d), 0.05)),
+    "m18_auc_rank" -> ((s, d) =>
+      Metrics.aucRank(Metrics.labeledOrders(ord(s, d)))),
+
+    // ---- D-series: text analysis + dedup + events (§2.7) ----
+    "d1_dedup_groups" -> ((s, d) => TextOps.dedupGroups(Tables.documents(s, d))),
+    "d2_dedup_stats" -> ((s, d) => TextOps.dedupStats(Tables.documents(s, d))),
+    "d3_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "d4_stopword_ratio" -> ((s, d) => TextOps.stopwordRatio(Tables.documents(s, d))),
+    "d5_quality_features" -> ((s, d) => TextOps.qualityFeatures(Tables.documents(s, d))),
+    "d6_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+    "d7_token_frequency" -> ((s, d) => TextOps.tokenFrequency(Tables.documents(s, d), 20)),
+    "d8_lang_source_matrix" -> ((s, d) => TextOps.langSourceMatrix(Tables.documents(s, d))),
+    "d9_props_summary" -> ((s, d) => EventOps.propsSummary(Tables.eventsRaw(s, d))),
+    "d10_hourly_events" -> ((s, d) => EventOps.hourlyCounts(Tables.eventsTs(s, d))),
+    "d11_session_counts" -> ((s, d) => EventOps.sessionCounts(Tables.eventsTs(s, d))),
+    "d12_value_profile" -> ((s, d) => EventOps.valueProfile(Tables.eventsRaw(s, d))),
   )
+
+  /** Portable rounding in oracle SQL — the exact IEEE-754 formula
+    * `Features.pround` uses on the Spark side. */
+  private def pr(e: String, digits: Int): String = {
+    val p = "1" + ("0" * digits) + ".0"
+    s"floor(($e) * $p + 0.5) / $p"
+  }
 
   private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -228,5 +287,114 @@ object SparkEntry {
         "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
         "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "m1_standard_scale" ->
+      ("WITH s AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd FROM customer) " +
+        "SELECT c_custkey, " + pr("(c_acctbal - m) / sd", 6) + " AS acctbal_z " +
+        "FROM customer, s ORDER BY c_custkey"),
+    "m2_minmax_scale" ->
+      ("WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
+        "SELECT o_orderkey, " + pr("(o_totalprice - mn) / (mx - mn)", 6) + " AS price_mm " +
+        "FROM orders, s ORDER BY o_orderkey"),
+    "m3_robust_scale" ->
+      ("WITH s AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.5) AS med, " +
+        "quantile_cont(c_acctbal, 0.75) AS q3 FROM customer) " +
+        "SELECT c_custkey, " + pr("(c_acctbal - med) / (q3 - q1)", 6) + " AS acctbal_rs " +
+        "FROM customer, s ORDER BY c_custkey"),
+    "m4_onehot" ->
+      ("SELECT c_custkey, " +
+        Seq("BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").map(c =>
+          s"CAST(c_mktsegment = '$c' AS INTEGER) AS c_mktsegment_$c").mkString(", ") +
+        " FROM customer ORDER BY c_custkey"),
+    "m6_stratified_split" ->
+      ("SELECT c_mktsegment, CASE WHEN c_custkey % 5 = 0 THEN 'test' ELSE 'train' END AS split, " +
+        "count(*) AS n FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, split"),
+    "m7_fold_assign" ->
+      ("SELECT c_mktsegment, CAST(c_custkey % 5 AS INTEGER) AS fold, count(*) AS n " +
+        "FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, fold"),
+    "m15_binary_metrics" ->
+      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders), " +
+        "t AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
+        "CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat FROM orders, p), " +
+        "c AS (SELECT CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn, " +
+        "CAST(sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn FROM t) " +
+        "SELECT tp, fp, tn, fn, " +
+        pr("CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE)", 6) + " AS accuracy, " +
+        "CASE WHEN tp + fp = 0 THEN 0.0 ELSE " + pr("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 6) + " END AS precision, " +
+        "CASE WHEN tp + fn = 0 THEN 0.0 ELSE " + pr("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)", 6) + " END AS recall, " +
+        "CASE WHEN 2*tp + fp + fn = 0 THEN 0.0 ELSE " + pr("CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)", 6) + " END AS f1 " +
+        "FROM c"),
+    "m16_confusion_matrix" ->
+      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders) " +
+        "SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
+        "CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat, count(*) AS n " +
+        "FROM orders, p GROUP BY 1, 2 ORDER BY y, yhat"),
+    "m17_champion_select" ->
+      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders), " +
+        "t AS (SELECT c_mktsegment AS model, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
+        "CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat " +
+        "FROM orders, p JOIN customer ON o_custkey = c_custkey), " +
+        "m AS (SELECT model, CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn FROM t GROUP BY model), " +
+        "f AS (SELECT model, CASE WHEN 2*tp + fp + fn = 0 THEN 0.0 ELSE " +
+        pr("CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)", 6) + " END AS f1 FROM m) " +
+        "SELECT model, f1 FROM f WHERE f1 >= 0.05 ORDER BY f1 DESC, model LIMIT 1"),
+    "m18_auc_rank" ->
+      ("WITH r AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
+        "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn FROM orders), " +
+        "s AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CASE WHEN y = 1 THEN rn ELSE 0 END) AS DOUBLE) AS sr FROM r) " +
+        "SELECT " + pr("(sr - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))", 6) + " AS auc FROM s"),
+
+    "d1_dedup_groups" ->
+      ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY text_hash"),
+    "d2_dedup_stats" ->
+      ("SELECT lang, count(DISTINCT text) AS n_unique, count(*) AS n_total " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "d3_token_stats" ->
+      ("SELECT lang, count(*) AS n_docs, round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars, " +
+        "round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "d4_stopword_ratio" ->
+      ("SELECT lang, " +
+        pr("CAST(sum(len(list_filter(string_split(text, ' '), t -> t IN " +
+          "('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'on', 'for')))) AS DOUBLE) / " +
+          "CAST(sum(len(string_split(text, ' '))) AS DOUBLE)", 6) + " AS stopword_ratio, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "d5_quality_features" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct, " +
+        pr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)", 4) +
+        " AS avg_token_len FROM documents ORDER BY doc_id"),
+    "d6_fingerprints" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "d7_token_frequency" ->
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) t GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+    "d8_lang_source_matrix" ->
+      ("SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "d9_props_summary" ->
+      ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
+    "d10_hourly_events" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+    "d11_session_counts" ->
+      ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
+        "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
+        "FROM events) " +
+        "SELECT user_id, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
+    "d12_value_profile" ->
+      ("SELECT event_type, count(*) AS n, round(avg(value), 4) AS mean_value, " +
+        "round(stddev_samp(value), 4) AS std_value, round(min(value), 2) AS min_value, " +
+        "round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

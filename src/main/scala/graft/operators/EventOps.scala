@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: JSON property extraction (D6 multimodal/metadata
+  * columns), time bucketing, and batch sessionization — the batch analogs of
+  * the D7 streaming monitor in [[graft.streaming]].
+  *
+  * Scale notes: hourly buckets and per-user sessions partition naturally by
+  * (hour, type) / user_id — high-cardinality keys, no global windows. JSON
+  * parsing is Spark's codegen'd `get_json_object`, no UDF.
+  */
+object EventOps {
+
+  /** D6 — extract a typed property from the JSON `props` column and
+    * aggregate per event type. */
+  def propsSummary(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** D7 (batch analog) — tumbling hourly aggregate per event type. */
+  def hourlyCounts(eventsTs: DataFrame): DataFrame =
+    eventsTs.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** D7 (batch analog) — sessionization: a >30-min silence starts a new
+    * session; count sessions/events per user. Window partitioned by
+    * user_id (high-cardinality — scales out). */
+  def sessionCounts(eventsTs: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    eventsTs
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .select(col("user_id"),
+        when(col("gap_us").isNull || col("gap_us") > gapUs, 1L).otherwise(0L).as("new_session"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-type value drift profile over event values (streaming-monitor
+    * batch analog of V8). */
+  def valueProfile(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean_value"),
+        round(stddev_samp(col("value")), 4).as("std_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"))
+}

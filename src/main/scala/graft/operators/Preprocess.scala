@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational forms of the reference's sklearn preprocessing operators
+  * (SURVEY.md §2.4 M1–M7). These are the DuckDB-checkable counterparts; the
+  * MLlib `Pipeline` path for model training lives in [[graft.ml]].
+  *
+  * Scale notes: every scaler is a 1-row statistics aggregate broadcast back
+  * over the table (map-side only, no fact-table shuffle). One-hot collects
+  * the category vocabulary — bounded-domain by definition (it becomes the
+  * encoding width), same as sklearn's fit step.
+  */
+object Preprocess {
+
+  /** M1 — StandardScaler, sklearn semantics: ddof=0 population std
+    * (`feature_engineering.py:15-19,36-40`; sklearn uses biased std, so
+    * `stddev_pop`, NOT Spark/pandas default `stddev_samp`). */
+  def standardScale(df: DataFrame, c: String, out: String): DataFrame = {
+    val stats = df.agg(avg(col(c)).as("m"), stddev_pop(col(c)).as("sd"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, when(col("sd") === 0.0, lit(0.0))
+        .otherwise((col(c) - col("m")) / col("sd")))
+      .drop("m", "sd")
+  }
+
+  /** M2 — MinMaxScaler: (x − min)/(max − min). */
+  def minMaxScale(df: DataFrame, c: String, out: String): DataFrame = {
+    val stats = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, when(col("mx") === col("mn"), lit(0.0))
+        .otherwise((col(c) - col("mn")) / (col("mx") - col("mn"))))
+      .drop("mn", "mx")
+  }
+
+  /** M3 — RobustScaler: (x − median)/IQR, exact interpolated quantiles
+    * (matches sklearn/NumPy linear interpolation and DuckDB
+    * `quantile_cont`). */
+  def robustScale(df: DataFrame, c: String, out: String): DataFrame = {
+    val stats = df.agg(
+      expr(s"percentile($c, 0.25)").as("q1"),
+      expr(s"percentile($c, 0.5)").as("med"),
+      expr(s"percentile($c, 0.75)").as("q3"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, when(col("q3") === col("q1"), lit(0.0))
+        .otherwise((col(c) - col("med")) / (col("q3") - col("q1"))))
+      .drop("q1", "med", "q3")
+  }
+
+  /** M4 — OneHotEncoder, sklearn semantics (`feature_engineering.py:42-44`):
+    * categories sorted lexicographically, `drop="first"`, unknown → all
+    * zeros. The vocabulary is collected at fit time (bounded domain — it is
+    * the encoding width), mirroring sklearn's `fit`. */
+  def oneHotDropFirst(df: DataFrame, c: String): DataFrame = {
+    val cats = df.select(col(c)).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val kept = cats.drop(1)
+    val indicators = kept.map(cat =>
+      (col(c) === lit(cat)).cast("int").as(s"${c}_$cat"))
+    df.select(df.columns.map(col).toSeq ++ indicators: _*)
+  }
+
+  /** M5 — ColumnTransformer compose (`feature_engineering.py:46-53`):
+    * scaled numerics ++ one-hot categoricals, remainder dropped. */
+  def columnTransform(df: DataFrame, key: String, numCols: Seq[String],
+                      catCols: Seq[String]): DataFrame = {
+    val scaled = numCols.foldLeft(df)((d, c) => standardScale(d, c, s"${c}_z"))
+    val encoded = catCols.foldLeft(scaled)((d, c) => oneHotDropFirst(d, c))
+    val outCols = Seq(col(key)) ++ numCols.map(c => col(s"${c}_z")) ++
+      catCols.flatMap(c => encoded.columns.filter(_.startsWith(s"${c}_"))
+        .filterNot(_ == c).sorted.map(col))
+    encoded.select(outCols: _*)
+  }
+
+  /** M6 — deterministic stratified split by key-modulus. The reference uses
+    * seeded shuffling (`train_test_split(random_state=42)`); cross-engine
+    * RNG equality is impossible, so the declared query splits each stratum
+    * by `key % 5 == 0` (exactly 20% of a dense key range). A seeded random
+    * variant for the ML path is in [[graft.ml.Split]]. */
+  def stratifiedSplitByKey(df: DataFrame, key: String, labelCol: String): DataFrame =
+    df.withColumn("split",
+      when(col(key) % 5 === 0, lit("test")).otherwise(lit("train")))
+
+  /** M7 — fold assignment by key-modulus (declared-query analog of
+    * `StratifiedKFold(n_splits=5)`; seeded variant in [[graft.ml.Split]]). */
+  def foldAssignByKey(df: DataFrame, key: String, k: Int): DataFrame =
+    df.withColumn("fold", (col(key) % k).cast("int"))
+}

@@ -140,7 +140,7 @@ object Relational {
   /** Monthly order volume — date_trunc grouping. */
   def monthlyOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
       .agg(count(lit(1)).as("n_orders"),
            round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("month"))

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for the LLM-data-pipeline
+  * extension (SURVEY.md §2.7 D1/D5) over the `documents` table.
+  *
+  * Everything here is built-in `Column` functions (split / filter lambda /
+  * regexp / md5) — fully codegen'd, no UDFs, shuffles only at the grouped
+  * aggregates (map-side combined). At 100 TB these are scan-bound passes;
+  * exact dedup shuffles one 16-byte hash + id per row, not the text.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is",
+    "it", "on", "for")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Whitespace token count (keeps empty tokens — parity with DuckDB
+    * `string_split`). */
+  def tokenCount(c: String): org.apache.spark.sql.Column =
+    size(split(col(c), " ", -1)).cast("long")
+
+  /** D1 — exact dedup groups: hash text, keep min doc_id per group.
+    * Scale: groupBy on md5(text) shuffles 16-byte keys; the canonical
+    * "keep first" winner is min(id) — deterministic under any parallelism. */
+  def dedupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  /** D1 — dedup summary per language: unique vs total texts. */
+  def dedupStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(countDistinct(col("text")).as("n_unique"), count(lit(1)).as("n_total"))
+      .orderBy(col("lang"))
+
+  /** D5 — per-language token/char statistics. Integer sums are exact in
+    * double up to 2^53, so the averages match any engine bit-for-bit. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+        round(avg(tokenCount("text").cast("double")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** D5 — corpus-level stopword ratio per language, as a ratio of integer
+    * sums (exact): Σ stopword-tokens / Σ tokens. */
+  def stopwordRatio(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
+          .cast("long").as("n_stop"),
+        tokenCount("text").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(Features.pround(
+        sum(col("n_stop")).cast("double") / sum(col("n_tok")).cast("double"), 6)
+        .as("stopword_ratio"),
+        sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  /** D5 — per-document quality features: token count, punctuation count,
+    * mean token length (quality scoring à la pipeline heuristics). */
+  def qualityFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount("text").as("n_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("long").as("n_punct"),
+      Features.pround(
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          tokenCount("text").cast("double"), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** D5 — document fingerprint (content hash identity). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** D5 — global token frequency top-k (explode → count → TakeOrdered). */
+  def tokenFrequency(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ", -1)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** D5 — language × source contingency with char mass. */
+  def langSourceMatrix(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Language-ID heuristic: score each candidate language by stopword-list
+    * hits and argmax. No SQL oracle (the stopword tables are engine-local
+    * config) — covered by ScalaTest on documents with known `lang`. */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), t -> t IN ($list)))").as(s"score_$l")
+    }
+    val scored = docs.select(col("doc_id") +: col("lang").as("true_lang") +: scores: _*)
+    // argmax via greatest + chained when (deterministic tie-break by lang order)
+    val maxScore = greatest(langMarkers.keys.toSeq.sorted.map(l => col(s"score_$l")): _*)
+    val pred = langMarkers.keys.toSeq.sorted.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      (l, acc) => when(col(s"score_$l") === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+}
