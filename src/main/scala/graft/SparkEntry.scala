@@ -149,6 +149,17 @@ object SparkEntry {
     "d10_hourly_events" -> ((s, d) => EventOps.hourlyCounts(Tables.eventsTs(s, d))),
     "d11_session_counts" -> ((s, d) => EventOps.sessionCounts(Tables.eventsTs(s, d))),
     "d12_value_profile" -> ((s, d) => EventOps.valueProfile(Tables.eventsRaw(s, d))),
+    "d13_jaccard_pairs" -> ((s, d) =>
+      Similarity.jaccardPairs(Tables.documents(s, d), 60, 0.5)),
+    "d14_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), 20, 5)),
+    // no SQL oracle (engine-specific hash families) — rows-only checks:
+    "d15_minhash_neardups" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), 0.5)),
+    "d16_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), 64, 20, 5)),
+    "d17_simhash_neardups" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), 8)),
   )
 
   /** Portable rounding in oracle SQL — the exact IEEE-754 formula
@@ -396,5 +407,26 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, round(avg(value), 4) AS mean_value, " +
         "round(stddev_samp(value), 4) AS std_value, round(min(value), 2) AS min_value, " +
         "round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type"),
+    "d13_jaccard_pairs" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents WHERE doc_id < 60) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        pr("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)", 6) + " AS jaccard " +
+        "FROM t a, t b WHERE a.doc_id < b.doc_id " +
+        "AND " + pr("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)", 6) + " >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+    "d14_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "c AS (SELECT query_id, vec_id AS nbr_id, " +
+        pr("list_dot_product(qe, CAST(embedding AS DOUBLE[])) / " +
+          "(sqrt(list_dot_product(qe, qe)) * " +
+          "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))", 6) +
+        " AS cos_sim FROM embeddings, q WHERE vec_id <> query_id) " +
+        "SELECT query_id, nbr_id, cos_sim, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rank FROM c) t " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
   )
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at scale (SURVEY.md §2.7 D2): MinHash + LSH
+  * banding over word shingles, and SimHash with chunk-banded Hamming
+  * candidates. Exact dedup lives in [[TextOps.dedupGroups]].
+  *
+  * Pipeline shape (100 TB-safe): shingle → per-doc signature (one scan,
+  * codegen'd higher-order functions, no UDF) → explode to (band,
+  * band-hash) rows → self-equijoin on the band key (shuffle O(rows·bands),
+  * never O(rows²)) → exact Jaccard verification only on candidates.
+  * Deterministic: hash family is seeded xxhash64, no RNG at execution time.
+  */
+object Dedup {
+
+  /** Word w-shingles as a distinct array column. */
+  def shingles(textCol: String, w: Int): org.apache.spark.sql.Column =
+    expr(s"array_distinct(transform(sequence(0, greatest(size(split($textCol, ' ', -1)) - $w, 0)), " +
+      s"i -> concat_ws(' ', slice(split($textCol, ' ', -1), i + 1, $w))))")
+
+  /** MinHash signature: element i = min over shingles of xxhash64(shingle,
+    * seed=i). Returns array<long> of length n. */
+  def minhashSignature(shinglesCol: String, n: Int): org.apache.spark.sql.Column = {
+    val hashes = (0 until n).map(i =>
+      s"array_min(transform($shinglesCol, s -> xxhash64(s, $i)))")
+    expr(hashes.mkString("array(", ", ", ")"))
+  }
+
+  /** Candidate pairs via LSH banding: signature split into `bands` bands of
+    * `rowsPerBand`, banded docs equijoined on (band index, band hash).
+    * Returns distinct (id_a < id_b) candidate pairs. */
+  def minhashCandidates(docs: DataFrame, w: Int = 3, bands: Int = 16,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val n = bands * rowsPerBand
+    val sigDf = docs.select(col("doc_id"), shingles("text", w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature("sh", n).as("sig"))
+    val bandArr = (0 until bands).map { b =>
+      val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
+      s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
+    }
+    val banded = sigDf.select(col("doc_id"),
+        explode(expr(bandArr.mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Full MinHash near-dup: candidates verified with exact shingle Jaccard
+    * ≥ minSim. Verification joins shingle sets back only for candidates. */
+  def minhashNearDups(docs: DataFrame, minSim: Double, w: Int = 3,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidates(docs, w, bands, rowsPerBand)
+    val sh = docs.select(col("doc_id"), shingles("text", w).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Features.pround(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minSim)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash (64-bit): explode tokens, per-doc per-bit majority vote of
+    * xxhash64(token) bits, recombined into one long. Grouped aggregation —
+    * one shuffle on doc_id. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(expr("array_distinct(split(text, ' ', -1))")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val recombine = (0 until 64).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${if (j == 63) Long.MinValue.toString + "L" else s"${1L << j}L"} ELSE 0L END)")
+      .mkString(" + ")
+    agg.select(col("doc_id"), expr(recombine).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four
+    * 16-bit chunks; docs sharing any chunk are candidates (Hamming-LSH);
+    * verify with exact bit_count(xor) ≤ maxHamming. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhash(docs)
+    val chunks = (0 until 4).map(c =>
+      s"named_struct('chunk', $c, 'v', shiftright(simhash, ${c * 16}) & 65535)")
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(expr(chunks.mkString("array(", ", ", ")"))).as("cc"))
+      .select(col("doc_id"), col("simhash"),
+        col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    val a = banded.select(col("chunk"), col("v"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("chunk"), col("v"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.7 D4) and
+  * n-gram Jaccard similarity over `documents`.
+  *
+  * Architecture (100 TB): the exact path broadcasts the (small) query set
+  * against the corpus — one scan, no corpus shuffle, per-query top-k via a
+  * window partitioned by query id. The scale path buckets vectors with
+  * random-hyperplane LSH so candidate generation is a bucket-equijoin
+  * (shuffle on bucket signature, not a cross join); exact cosine re-ranks
+  * only within buckets.
+  *
+  * All dot products run as `aggregate(zip_with(...))` — sequential
+  * left-to-right double summation, bit-identical to any engine that sums
+  * sequentially (verified vs DuckDB `list_dot_product`).
+  */
+object Similarity {
+
+  /** Cosine similarity between two ArrayType(Float) columns, computed in
+    * double precision via codegen'd higher-order functions (no UDF). */
+  def cosineExpr(a: String, b: String): org.apache.spark.sql.Column = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  /** D4 exact — brute-force top-k cosine neighbors for a bounded query set
+    * (`vec_id < nQueries`). Query side is broadcast; corpus is scanned
+    * once; top-k per query via ranked window on (rounded sim, neighbor id)
+    * so selection is deterministic. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val joined = embeddings
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        Features.pround(cosineExpr("q_emb", "n_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    joined.select(col("query_id"), col("nbr_id"), col("cos_sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** D4 scale path — random-hyperplane LSH bucketing: signature = sign
+    * pattern of `nPlanes` fixed pseudo-random hyperplanes (deterministic,
+    * generated from a seeded LCG at plan time). Vectors sharing a signature
+    * are candidate neighbors; exact cosine re-ranks within buckets.
+    * Candidate generation is a signature-equijoin (shuffle O(rows), never
+    * O(rows²)). Recall is tested in ScalaTest against the brute-force path. */
+  def lshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int, seed: Long = 42L): DataFrame = {
+    // deterministic hyperplanes from a tiny LCG — engine-independent
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] = Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN ${1L << i}L ELSE 0L END)"
+    }
+    embeddings.withColumn("bucket", expr(bits.mkString(" + ")))
+  }
+
+  /** LSH-bucketed approximate top-k with OR-amplification: `nTables`
+    * independent hash tables of `nPlanes` bits each; a pair is a candidate
+    * if it collides in ANY table (recall ≈ 1−(1−p^b)^L). Candidates are
+    * deduped before the exact cosine re-rank, so each pair's similarity is
+    * computed once. Shuffle is O(rows · nTables), never O(rows²). */
+  def lshTopK(embeddings: DataFrame, dim: Int, nQueries: Int, k: Int,
+              nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
+    // one scan: all tables' bucket ids computed per row, then exploded
+    val bucketCols = (0 until nTables).map { t =>
+      val rng = new scala.util.Random(42L + t)
+      val bits = (0 until nPlanes).map { i =>
+        val arr = Seq.fill(dim)(rng.nextGaussian())
+          .map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
+        s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN ${1L << i}L ELSE 0L END)"
+      }
+      s"concat('$t:', CAST(${bits.mkString(" + ")} AS STRING))"
+    }
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+        explode(expr(bucketCols.mkString("array(", ", ", ")"))).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val candIds = bucketed
+      .select(col("vec_id").as("nbr_id"), col("bucket"))
+      .join(broadcast(q), "bucket")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id")).distinct()
+    val qEmb = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = candIds
+      .join(embeddings.select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb")), "nbr_id")
+      .join(broadcast(qEmb), "query_id")
+      .select(col("query_id"), col("nbr_id"),
+        Features.pround(cosineExpr("q_emb", "n_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    cands.select(col("query_id"), col("nbr_id"), col("cos_sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** N-gram (word-set) Jaccard similarity for a bounded id range — the
+    * SQL-checkable near-dup primitive: |tokensₐ ∩ tokens_b| / |tokensₐ ∪
+    * tokens_b| over distinct tokens. */
+  def jaccardPairs(docs: DataFrame, maxId: Int, minSim: Double): DataFrame = {
+    val toks = docs.filter(col("doc_id") < maxId)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ", -1)).as("toks"))
+    val a = toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val b = toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Features.pround(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minSim)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}
