@@ -1,0 +1,77 @@
+package graft.ml
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.{GBTClassificationModel, LogisticRegressionModel, RandomForestClassificationModel}
+import org.apache.spark.ml.Model
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Champion promotion / loading / scoring (M18–M19, S5,
+  * `deployment.py:16-110`): archive-then-write filesystem transaction with
+  * UTC-stamped archival, metadata JSON, batch scoring entry. */
+object Deployment {
+
+  final case class ChampionMeta(modelName: String, f1: Double, rocAuc: Double,
+                                promotedAt: String)
+
+  private def metaJson(m: ChampionMeta): String =
+    s"""{"model_name": "${m.modelName}", "f1": ${m.f1}, "roc_auc": ${m.rocAuc}, "promoted_at": "${m.promotedAt}"}"""
+
+  /** M18 — promote: archive any current champion dir to
+    * `archive_<UTC timestamp>` (ref `deployment.py:42-46`), then persist
+    * model + preprocessor + metadata.json. */
+  def promote(dir: String, model: Model[_], preprocessor: PipelineModel,
+              meta: ChampionMeta): Unit = {
+    val root = Paths.get(dir)
+    val current = root.resolve("current")
+    if (Files.exists(current)) {
+      val stamp = ZonedDateTime.now(ZoneOffset.UTC)
+        .format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmssSSS"))
+      Files.move(current, root.resolve(s"archive_$stamp"))
+    }
+    Files.createDirectories(current)
+    model match {
+      case m: LogisticRegressionModel => m.write.overwrite().save(current.resolve("model_lr").toString)
+      case m: RandomForestClassificationModel => m.write.overwrite().save(current.resolve("model_rf").toString)
+      case m: GBTClassificationModel => m.write.overwrite().save(current.resolve("model_gbt").toString)
+      case other => throw new IllegalArgumentException(s"unsupported model ${other.getClass}")
+    }
+    preprocessor.write.overwrite().save(current.resolve("preprocessor").toString)
+    Files.writeString(current.resolve("metadata.json"), metaJson(meta))
+  }
+
+  /** M19 — load champion or fail if absent (`deployment.py:74-92`). */
+  def load(spark: SparkSession, dir: String): (Model[_], PipelineModel, String) = {
+    val current = Paths.get(dir).resolve("current")
+    require(Files.exists(current), s"no champion at $current")
+    val pre = PipelineModel.load(current.resolve("preprocessor").toString)
+    val model: Model[_] =
+      if (Files.exists(current.resolve("model_lr"))) LogisticRegressionModel.load(current.resolve("model_lr").toString)
+      else if (Files.exists(current.resolve("model_rf"))) RandomForestClassificationModel.load(current.resolve("model_rf").toString)
+      else GBTClassificationModel.load(current.resolve("model_gbt").toString)
+    (model, pre, Files.readString(current.resolve("metadata.json")))
+  }
+
+  /** Batch scoring entry (the Spark shape of the Flask `/predict` surface,
+    * SURVEY.md §3.3): raw request rows → engineered features → fitted
+    * preprocessor → predictions + P(class 1). */
+  def score(df: DataFrame, model: Model[_], preprocessor: PipelineModel): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.functions._
+    val prepped = preprocessor.transform(FeaturePipeline.addEngineeredFeatures(df))
+    model.asInstanceOf[Model[_ <: Model[_]]].transform(prepped)
+      .withColumn("p1", vector_to_array(col("probability")).getItem(1))
+  }
+
+  /** Count archived champions (for re-promotion tests,
+    * `test_deployment.py:40-61` analog). */
+  def archiveCount(dir: String): Int = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) 0
+    else Files.list(root).filter((p: Path) => p.getFileName.toString.startsWith("archive_"))
+      .count().toInt
+  }
+}

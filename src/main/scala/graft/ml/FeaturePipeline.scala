@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Features
+
+/** Feature engineering + MLlib preprocessing pipeline, porting
+  * `feature_engineering.py:57-146` (M1, M4, M5 + F1–F4 engineered
+  * features).
+  *
+  * sklearn↔MLlib gaps, documented per SURVEY.md §7.4.3:
+  *  - scaler: sklearn ddof=0 vs MLlib StandardScaler ddof=1 — irrelevant to
+  *    model quality; the oracle-exact ddof=0 form is
+  *    [[graft.operators.Preprocess.standardScale]];
+  *  - one-hot: sklearn drops the FIRST (lexicographic) category, MLlib's
+  *    `dropLast` drops the last index; with `stringOrderType=alphabetAsc`
+  *    both leave k−1 linearly-independent indicators.
+  */
+object FeaturePipeline {
+
+  val numericCols: Seq[String] = Seq("tenure", "monthly_charges", "total_charges",
+    "num_support_tickets", "avg_monthly_usage_gb",
+    "charge_per_tenure", "high_value", "support_intensity")
+  val categoricalCols: Seq[String] = Seq("contract_type", "payment_method",
+    "internet_service", "tenure_bucket")
+
+  /** `add_engineered_features` (`feature_engineering.py:57-93`): the exact
+    * four derived columns, recomputed at inference like the reference does
+    * (`deployment.py:99` — including its train/serve quantile skew, which
+    * we replicate deliberately). */
+  def addEngineeredFeatures(df: DataFrame): DataFrame = {
+    val withRatio = df
+      .withColumn("charge_per_tenure",
+        Features.conditionalRatio(col("total_charges"), col("tenure"), col("monthly_charges")))
+      .withColumn("tenure_bucket",
+        Features.rightClosedBucket(col("tenure").cast("double"),
+          Seq(0, 6, 12, 24, 48, 72), Seq("0-6m", "6-12m", "1-2y", "2-4y", "4-6y")))
+      .withColumn("support_intensity",
+        Features.conditionalRatio(col("num_support_tickets").cast("double"),
+          col("tenure"), col("num_support_tickets").cast("double")))
+    val p75 = withRatio.agg(expr("percentile(monthly_charges, 0.75)").as("p75"))
+    withRatio.crossJoin(broadcast(p75))
+      .withColumn("high_value", (col("monthly_charges") > col("p75")).cast("int"))
+      .drop("p75")
+  }
+
+  /** Outlier clip (`feature_engineering.py:161-176`): mean±kσ clamp on the
+    * raw numeric columns. */
+  def clipOutliers(df: DataFrame, k: Double): DataFrame =
+    Seq("tenure", "monthly_charges", "total_charges").foldLeft(df) { (d, c) =>
+      val clipped = Features.zScoreClip(d.withColumn(c, col(c).cast("double")), c, k)
+      clipped.withColumn(c, col(s"${c}_clipped")).drop(s"${c}_clipped")
+    }
+
+  /** The unfitted MLlib pipeline: StringIndexer(alphabetAsc, keep-invalid)
+    * + OneHotEncoder per categorical, numeric VectorAssembler +
+    * StandardScaler, final assembly [numeric..., categorical...] mirroring
+    * the reference's ColumnTransformer order (`feature_engineering.py:46-53`). */
+  def buildPipeline(): Pipeline = {
+    val indexers = categoricalCols.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setStringOrderType("alphabetAsc").setHandleInvalid("keep"))
+    val encoder = new OneHotEncoder()
+      .setInputCols(categoricalCols.map(c => s"${c}_idx").toArray)
+      .setOutputCols(categoricalCols.map(c => s"${c}_vec").toArray)
+      .setHandleInvalid("keep")
+    val numAssembler = new VectorAssembler()
+      .setInputCols(numericCols.toArray).setOutputCol("num_raw")
+    val scaler = new StandardScaler().setInputCol("num_raw")
+      .setOutputCol("num_scaled").setWithMean(true).setWithStd(true)
+    val finalAssembler = new VectorAssembler()
+      .setInputCols((Seq("num_scaled") ++ categoricalCols.map(c => s"${c}_vec")).toArray)
+      .setOutputCol("features")
+    new Pipeline().setStages(
+      (indexers :+ encoder :+ numAssembler :+ scaler :+ finalAssembler).toArray)
+  }
+
+  /** Full fit path (`build_features(fit=True)`,
+    * `feature_engineering.py:96-146`): clip → engineer → fit pipeline.
+    * Returns (transformed df with `features` + `label`, fitted model). */
+  def fit(df: DataFrame, clipSigma: Double = 3.0): (DataFrame, PipelineModel) = {
+    val engineered = addEngineeredFeatures(clipOutliers(df, clipSigma))
+      .withColumn("label", col("churn").cast("double"))
+    val model = buildPipeline().fit(engineered)
+    (model.transform(engineered), model)
+  }
+
+  /** Transform path for inference (engineered features recomputed, fitted
+    * statistics reused — `deployment.py:95-110`). */
+  def transform(df: DataFrame, model: PipelineModel): DataFrame =
+    model.transform(addEngineeredFeatures(df))
+}

@@ -1,0 +1,78 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end pipeline driver reproducing the reference's 8-stage
+  * standalone runner (`run_pipeline.py:24-121`, SURVEY.md §3.1):
+  * config → generate+validate → features → split → grid-train → evaluate →
+  * select champion → explain → promote. One Spark application; the
+  * reference's per-task Airflow processes and XCom/file hand-offs collapse
+  * into lazy lineage within this driver (SURVEY.md §3.2).
+  */
+object RunPipeline {
+
+  final case class PipelineResult(champion: Option[Evaluation.ModelScore],
+                                  scores: Seq[Evaluation.ModelScore],
+                                  nTrain: Long, nTest: Long)
+
+  def run(spark: SparkSession, config: PipelineConfig): PipelineResult = {
+    // 1-2. ingest + validate (raises on gate failure, data_ingestion.py:161-163)
+    val raw = DataGen.generate(spark, config.nSamples, config.randomState)
+    DataGen.validate(raw)
+    // 3. features (fit)
+    val (feat, preprocessor) = FeaturePipeline.fit(raw, config.outlierClipSigma)
+    // 4. stratified split
+    val (train, test) = Split.stratified(feat.select("features", "label"),
+      "label", config.testSize, config.randomState)
+    val trainC = train.cache(); val testC = test.cache()
+    val (nTrain, nTest) = (trainC.count(), testC.count())
+    // 5. grid-search training per enabled model
+    val trained = Training.trainAll(config, trainC)
+    // 6. evaluate + select champion
+    val scores = trained.map(t => Evaluation.evaluate(t.model, testC, t.name))
+    val champion = Evaluation.selectChampion(scores,
+      config.championF1Threshold, config.championAucThreshold)
+    // 7. explain (linear SHAP when champion is linear; ablation otherwise)
+    champion.foreach { c =>
+      val model = trained.find(_.name == c.name).get.model
+      model match {
+        case lr: LogisticRegressionModel =>
+          val shap = Shap.linearShap(lr, testC, config.shapSampleSize, config.randomState)
+          Shap.globalImportance(shap, config.maxDisplayFeatures).collect()
+        case m =>
+          Shap.ablationAttribution(m, testC,
+            trained.find(_.name == c.name).get.model match {
+              case rf: org.apache.spark.ml.classification.RandomForestClassificationModel => rf.numFeatures
+              case gbt: org.apache.spark.ml.classification.GBTClassificationModel => gbt.numFeatures
+              case _ => 0
+            }, config.shapSampleSize, config.randomState).collect()
+      }
+    }
+    // 8. promote
+    champion.foreach { c =>
+      Deployment.promote(config.modelDir, trained.find(_.name == c.name).get.model,
+        preprocessor, Deployment.ChampionMeta(c.name, c.f1, c.rocAuc,
+          java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).toString))
+    }
+    trainC.unpersist(); testC.unpersist()
+    PipelineResult(champion, scores, nTrain, nTest)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val config = if (args.nonEmpty) PipelineConfig.load(args(0)) else PipelineConfig()
+    val result = run(spark, config)
+    val scoresJson = result.scores.map(s =>
+      s"""{"name": "${s.name}", "f1": ${s.f1}, "roc_auc": ${s.rocAuc}, "accuracy": ${s.accuracy}}""")
+      .mkString("[", ", ", "]")
+    println(s"""{"champion": ${result.champion.map(c => s""""${c.name}"""").getOrElse("null")}, """ +
+      s""""n_train": ${result.nTrain}, "n_test": ${result.nTest}, "scores": $scoresJson}""")
+    spark.stop()
+  }
+}

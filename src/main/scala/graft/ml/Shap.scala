@@ -1,0 +1,92 @@
+package graft.ml
+
+import org.apache.spark.ml.Model
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explainability operators (E1–E4, `explainability.py:15-214`).
+  *
+  *  - E1 dispatch: LinearExplainer semantics for linear models (closed
+  *    form — exact); ablation attribution for tree ensembles (the
+  *    KernelExplainer-style fallback; interventional TreeSHAP over MLlib
+  *    node structs is the §7.4.1 hard item, planned).
+  *  - E2 Linear SHAP on the margin: φᵢ = wᵢ·(xᵢ − E[xᵢ]) over a seeded
+  *    background sample (`sample_size`, ref `explainability.py:64-72`).
+  *    Pure DataFrame math: the coefficient vector and background means are
+  *    broadcast literals; per-row work is one fused projection.
+  *  - E3 global importance: mean(|φ|) per feature, top-N.
+  */
+object Shap {
+
+  /** E2 — per-row, per-feature attributions for a linear model. Output:
+    * long form (row_id, feature_idx, shap). */
+  def linearShap(model: LogisticRegressionModel, df: DataFrame,
+                 sampleSize: Int, seed: Long = 42L): DataFrame = {
+    val sample = df.orderBy(rand(seed)).limit(sampleSize).cache()
+    val nFeat = model.coefficients.size
+    val arr = sample.select(vector_to_array(col("features")).as("x"))
+    val bgMeans = arr.select((0 until nFeat).map(i =>
+      avg(col("x").getItem(i)).as(s"m$i")): _*).collect()(0)
+    val coefs = model.coefficients.toArray
+    val shapCols = (0 until nFeat).map { i =>
+      ((col("x").getItem(i) - lit(bgMeans.getDouble(i))) * lit(coefs(i))).as(s"shap_$i")
+    }
+    val wide = sample
+      .select(monotonically_increasing_id().as("row_id"), vector_to_array(col("features")).as("x"))
+      .select(col("row_id") +: shapCols: _*)
+    // long form for grouped aggregation
+    val stacked = explode(array((0 until nFeat).map(i =>
+      struct(lit(i).as("feature_idx"), col(s"shap_$i").as("shap"))): _*))
+    wide.select(col("row_id"), stacked.as("s"))
+      .select(col("row_id"), col("s.feature_idx").as("feature_idx"), col("s.shap").as("shap"))
+  }
+
+  /** E2 fallback for non-linear models — ablation attribution: replace one
+    * feature with its background mean and measure the probability delta.
+    * Model-agnostic, embarrassingly parallel (nFeat scoring passes over the
+    * sample). */
+  def ablationAttribution(model: Model[_], df: DataFrame, nFeat: Int,
+                          sampleSize: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.orderBy(rand(seed)).limit(sampleSize)
+      .select(vector_to_array(col("features")).as("x")).cache()
+    val bg = sample.select((0 until nFeat).map(i => avg(col("x").getItem(i)).as(s"m$i")): _*)
+      .collect()(0)
+    def meanP1(d: DataFrame): Double = {
+      val withVec = d.map(r => Tuple1(Vectors.dense(r.getSeq[Double](0).toArray)))
+        .toDF("features")
+      model.asInstanceOf[Model[_ <: Model[_]]].transform(withVec)
+        .agg(avg(vector_to_array(col("probability")).getItem(1))).collect()(0).getDouble(0)
+    }
+    val baseMean = meanP1(sample)
+    val rows = (0 until nFeat).map { i =>
+      val ablated = sample.select(expr(
+        s"transform(x, (v, j) -> CASE WHEN j = $i THEN CAST(${bg.getDouble(i)} AS DOUBLE) ELSE v END)").as("x"))
+      (i, math.abs(baseMean - meanP1(ablated)))
+    }
+    sample.unpersist()
+    spark.createDataFrame(rows).toDF("feature_idx", "importance")
+  }
+
+  /** E3 — global importance: mean |shap| per feature, descending top-N
+    * (`explainability.py:98-131`). */
+  def globalImportance(shapLong: DataFrame, topN: Int): DataFrame =
+    shapLong.groupBy(col("feature_idx"))
+      .agg(avg(abs(col("shap"))).as("mean_abs_shap"))
+      .orderBy(col("mean_abs_shap").desc, col("feature_idx"))
+      .limit(topN)
+
+  /** E4 — single-batch explanation: contributions sorted by |value| desc
+    * (`explainability.py:159-214`). */
+  def explainBatch(model: LogisticRegressionModel, batch: DataFrame): DataFrame = {
+    val nFeat = model.coefficients.size
+    val shap = linearShap(model, batch, sampleSize = Int.MaxValue)
+    shap.withColumn("abs_shap", abs(col("shap")))
+      .orderBy(col("row_id"), col("abs_shap").desc, col("feature_idx"))
+      .drop("abs_shap")
+  }
+}

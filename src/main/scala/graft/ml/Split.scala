@@ -1,0 +1,37 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seeded stratified splitting (M6) and stratified K-fold assignment (M7),
+  * the Spark forms of `train_test_split(stratify=y, random_state=42)`
+  * (`run_pipeline.py:51-56`) and `StratifiedKFold(n_splits, shuffle=True)`
+  * (`training.py:63`).
+  *
+  * Mechanism: rank rows within each label stratum by `rand(seed)` and cut
+  * by fraction / modulus. The window partitions by label (2 strata) and the
+  * per-stratum ordering is a shuffle-sort — at 100 TB prefer
+  * `sampleBy` + anti-join for the split; fold assignment with exact
+  * per-stratum balance fundamentally needs the rank (documented trade-off). */
+object Split {
+
+  /** Stratified train/test split: exact per-stratum test fraction. */
+  def stratified(df: DataFrame, labelCol: String, testSize: Double, seed: Long)
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+    val cnt = Window.partitionBy(col(labelCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+    val test = ranked.filter(col("__rn") <= col("__n") * testSize).drop("__rn", "__n")
+    val train = ranked.filter(col("__rn") > col("__n") * testSize).drop("__rn", "__n")
+    (train, test)
+  }
+
+  /** Stratified fold ids 0..k-1, balanced within each stratum. */
+  def foldAssign(df: DataFrame, labelCol: String, k: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+    df.withColumn("fold", (row_number().over(w) % k).cast("int"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{Classifier, GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.Model
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Features, Metrics}
+
+/** Grid-search training over the reference's model registry (M8–M13,
+  * `training.py:15-19,45-84`): exhaustive Cartesian grid × stratified
+  * K-fold CV scored by f1, refit best on full train.
+  *
+  * Model mapping (offline jar set, SURVEY.md §2.4):
+  *  - logistic_regression → MLlib LogisticRegression; sklearn C ↔
+  *    regParam = 1/(C·n) (L2, elasticNetParam=0)
+  *  - random_forest → RandomForestClassifier (no min_samples_split analog —
+  *    documented gap)
+  *  - xgboost → GBTClassifier surrogate (xgboost4j not shippable offline)
+  *
+  * Parallelism: each fold-fit is cluster-data-parallel; the grid loop is
+  * sequential on the driver like sklearn's outer loop (its `n_jobs=-1`
+  * process pool maps to Spark executor parallelism within each fit).
+  */
+object Training {
+
+  final case class TrainedModel(name: String, params: Map[String, Double],
+                                cvScore: Double, model: Model[_])
+  final case class CvResult(params: Map[String, Double], meanScore: Double)
+
+  /** M12 — registry dispatch; unknown name throws (ref `training.py:45-46`). */
+  def build(name: String, params: Map[String, Double], nTrain: Long): Classifier[_, _, _] =
+    name match {
+      case "logistic_regression" =>
+        new LogisticRegression().setMaxIter(1000).setElasticNetParam(0.0)
+          .setRegParam(1.0 / (params.getOrElse("C", 1.0) * nTrain))
+      case "random_forest" =>
+        new RandomForestClassifier().setSeed(42L)
+          .setNumTrees(params.getOrElse("n_estimators", 100.0).toInt)
+          .setMaxDepth(params.getOrElse("max_depth", 5.0).toInt)
+      case "xgboost" =>
+        new GBTClassifier().setSeed(42L)
+          .setMaxIter(params.getOrElse("n_estimators", 100.0).toInt.min(50))
+          .setMaxDepth(params.getOrElse("max_depth", 3.0).toInt)
+          .setStepSize(params.getOrElse("learning_rate", 0.1))
+      case other => throw new IllegalArgumentException(s"Unknown model type: $other")
+    }
+
+  /** Cartesian product of the param grid (ref `training.py:153-158`). */
+  def gridCombos(grid: Map[String, Seq[Double]]): Seq[Map[String, Double]] =
+    grid.foldLeft(Seq(Map.empty[String, Double])) { case (acc, (k, vs)) =>
+      for (m <- acc; v <- vs) yield m + (k -> v)
+    }
+
+  /** f1 of a fitted model on a labeled `features` DataFrame. */
+  def f1Score(model: Model[_], df: DataFrame): Double = {
+    val pred = model.asInstanceOf[Model[_ <: Model[_]]].transform(df)
+      .select(col("label").cast("int").as("y"),
+        col("prediction").cast("int").as("yhat"),
+        lit(0.0).as("o_totalprice"), monotonically_increasing_id().as("o_orderkey"))
+    Metrics.binaryMetrics(pred).collect()(0).getAs[Double]("f1")
+  }
+
+  /** M8 — grid search with hand-rolled stratified CV (MLlib CrossValidator
+    * folds are not stratified). Caches the fold-tagged training set once;
+    * every grid×fold fit reuses it. */
+  def gridSearch(name: String, grid: Map[String, Seq[Double]], train: DataFrame,
+                 cvFolds: Int, seed: Long): (TrainedModel, Seq[CvResult]) = {
+    val folded = Split.foldAssign(train.select("features", "label"), "label", cvFolds, seed)
+      .cache()
+    val nTrain = folded.count()
+    val results = gridCombos(grid).map { params =>
+      val scores = (0 until cvFolds).map { f =>
+        val fit = build(name, params, nTrain)
+          .fit(folded.filter(col("fold") =!= f))
+          .asInstanceOf[Model[_]]
+        f1Score(fit, folded.filter(col("fold") === f))
+      }
+      CvResult(params, scores.sum / scores.size)
+    }
+    val best = results.maxBy(r => (r.meanScore, -r.params.hashCode))
+    val refit = build(name, best.params, nTrain).fit(folded).asInstanceOf[Model[_]]
+    folded.unpersist()
+    (TrainedModel(name, best.params, best.meanScore, refit), results)
+  }
+
+  /** M13 — enabled-model loop (`training.py:98-150`); MLflow tracking is
+    * replaced by the JSON run log in [[RunLog]]. */
+  def trainAll(config: PipelineConfig, train: DataFrame): Seq[TrainedModel] =
+    config.models.toSeq.sortBy(_._1).collect {
+      case (name, mc) if mc.enabled => gridSearch(name, mc.grid, train,
+        config.cvFolds, config.randomState)._1
+    }
+}

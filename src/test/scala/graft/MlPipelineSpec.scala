@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+
+/** End-to-end ML pipeline invariants, porting the reference's test patterns
+  * (SURVEY.md §5.1: determinism under seed, value domains, artifact
+  * round-trip, champion argmax, SHAP ordering). */
+class MlPipelineSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  private lazy val tmpDir = Files.createTempDirectory("graft_ml_test").toString
+  private lazy val config = PipelineConfig.forTests(tmpDir)
+  // one shared end-to-end run (grid-search is the expensive part)
+  private lazy val result = RunPipeline.run(spark, config)
+
+  test("S8 generator: passes all validation gates and is seed-deterministic") {
+    val df = DataGen.generate(spark, 2000, 42L)
+    DataGen.validate(df)
+    val a = df.agg(sum("tenure"), avg("churn"), sum("num_support_tickets")).collect()(0)
+    val b = DataGen.generate(spark, 2000, 42L)
+      .agg(sum("tenure"), avg("churn"), sum("num_support_tickets")).collect()(0)
+    assert(a.toSeq == b.toSeq)
+    // distributional sanity vs reference parameters
+    val stats = df.agg(avg("tenure"), avg("monthly_charges"), avg("num_support_tickets")).collect()(0)
+    assert(stats.getDouble(0) > 15 && stats.getDouble(0) < 30)    // exp(24) clipped
+    assert(stats.getDouble(1) > 45 && stats.getDouble(1) < 75)    // mixture of 80/55/25
+    assert(stats.getDouble(2) > 1.2 && stats.getDouble(2) < 1.8)  // Poisson(1.5)
+  }
+
+  test("generator: domains match the reference schema") {
+    val df = DataGen.generate(spark, 1000, 7L)
+    val contracts = df.select("contract_type").distinct().collect().map(_.getString(0)).toSet
+    assert(contracts == Set("month-to-month", "one-year", "two-year"))
+    assert(df.filter(col("avg_monthly_usage_gb") === 0.0)
+      .filter(col("internet_service") =!= "none").count() == 0)
+    assert(df.filter(col("monthly_charges") < 18.0 || col("monthly_charges") > 120.0).count() == 0)
+  }
+
+  test("validate: raises with the failing check name") {
+    import spark.implicits._
+    val bad = DataGen.generate(spark, 200, 42L).withColumn("churn", lit(1))
+    val e = intercept[IllegalStateException](DataGen.validate(bad))
+    assert(e.getMessage.contains("class_balance"))
+  }
+
+  test("feature pipeline: engineered columns + assembled vector present") {
+    val (feat, model) = FeaturePipeline.fit(DataGen.generate(spark, 1000, 42L))
+    assert(Seq("charge_per_tenure", "tenure_bucket", "high_value",
+      "support_intensity", "features", "label").forall(feat.columns.contains))
+    // transform mode reproduces fit-mode width (test_feature_engineering.py:70-77)
+    val t = FeaturePipeline.transform(DataGen.generate(spark, 100, 7L), model)
+    val w1 = feat.select("features").head.getAs[org.apache.spark.ml.linalg.Vector](0).size
+    val w2 = t.select("features").head.getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(w1 == w2)
+  }
+
+  test("stratified split: per-stratum fraction preserved") {
+    val (feat, _) = FeaturePipeline.fit(DataGen.generate(spark, 2000, 42L))
+    val (train, test) = Split.stratified(feat.select("features", "label"), "label", 0.2, 42L)
+    val total = feat.count()
+    assert(math.abs(test.count().toDouble / total - 0.2) < 0.01)
+    val testRate = test.agg(avg("label")).collect()(0).getDouble(0)
+    val trainRate = train.agg(avg("label")).collect()(0).getDouble(0)
+    assert(math.abs(testRate - trainRate) < 0.05)
+  }
+
+  test("end-to-end: pipeline trains, selects a champion, scores bounded") {
+    assert(result.nTrain + result.nTest == config.nSamples)
+    assert(result.scores.nonEmpty)
+    result.scores.foreach { s =>
+      Seq(s.accuracy, s.precision, s.recall, s.f1, s.rocAuc).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0, s"${s.name} metric out of bounds"))
+    }
+    assert(result.champion.isDefined)
+    // champion is argmax f1 among qualifying models
+    val qualifying = result.scores.filter(s =>
+      s.f1 >= config.championF1Threshold && s.rocAuc >= config.championAucThreshold)
+    assert(result.champion.get.f1 == qualifying.map(_.f1).max)
+  }
+
+  test("M12: unknown model name raises") {
+    intercept[IllegalArgumentException](Training.build("quantum_forest", Map.empty, 100L))
+  }
+
+  test("deployment: promote → load round-trip scores identically; re-promotion archives") {
+    assert(result.champion.isDefined) // forces the shared run (and its promote)
+    val (model, pre, metaJson) = Deployment.load(spark, config.modelDir)
+    assert(metaJson.contains(result.champion.get.name))
+    val probe = DataGen.generate(spark, 50, 9L)
+    val s1 = Deployment.score(probe, model, pre).select("prediction", "p1").collect()
+    assert(s1.forall(r => Set(0.0, 1.0).contains(r.getDouble(0))))
+    assert(s1.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // re-promotion archives exactly one prior champion (test_deployment.py:40-61)
+    val before = Deployment.archiveCount(config.modelDir)
+    Deployment.promote(config.modelDir, model, pre,
+      Deployment.ChampionMeta("repromoted", 0.5, 0.5, "2026-01-01T00:00:00Z"))
+    assert(Deployment.archiveCount(config.modelDir) == before + 1)
+  }
+
+  test("E2/E3: linear SHAP shapes and importance ordering") {
+    val (feat, _) = FeaturePipeline.fit(DataGen.generate(spark, 1000, 42L))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(50).fit(feat.select("features", "label"))
+    val shap = Shap.linearShap(lr, feat.select("features", "label"), 100, 42L)
+    val nFeat = lr.coefficients.size
+    assert(shap.select("feature_idx").distinct().count() == nFeat)
+    assert(shap.count() == 100L * nFeat)
+    val imp = Shap.globalImportance(shap, 10).collect().map(_.getAs[Double]("mean_abs_shap"))
+    assert(imp.length == 10)
+    assert(imp.sameElements(imp.sortBy(-_)))       // sorted desc (test_explainability.py:60-77)
+    assert(imp.forall(_ >= 0.0))
+  }
+}
