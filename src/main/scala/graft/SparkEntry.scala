@@ -160,6 +160,8 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d), 64, 20, 5)),
     "d17_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), 8)),
+    "d18_multimodal_meta" -> ((s, d) =>
+      Multimodal.metaSummary(Multimodal.assetsFromDocuments(Tables.documents(s, d)))),
   )
 
   /** Portable rounding in oracle SQL — the exact IEEE-754 formula
@@ -428,5 +430,11 @@ object SparkEntry {
         "SELECT query_id, nbr_id, cos_sim, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rank FROM c) t " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "d18_multimodal_meta" ->
+      ("SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+        "ELSE 'video' END AS modality, count(*) AS n, " +
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY 1 ORDER BY modality"),
   )
 }

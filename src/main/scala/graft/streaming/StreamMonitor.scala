@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D7 — streaming quality monitor: Structured Streaming analog of the
+  * reference's batch drift check (`data_quality_dag.py:27-65`), extended
+  * with watermarked windows, in-watermark dedup, and sessionization.
+  *
+  * Each transform takes a (possibly streaming) events DataFrame with
+  * columns (event_id long, ts timestamp, user_id long, event_type string,
+  * value double) and returns a plan valid under
+  * `writeStream.outputMode("append"|"update")`.
+  *
+  * Scale notes: all state is keyed by (window × type) or session — state
+  * store size is O(active windows · types), bounded by the watermark which
+  * lets Spark evict closed windows; dedup state is bounded the same way
+  * (`dropDuplicatesWithinWatermark`), never unbounded like plain
+  * `dropDuplicates` on a stream.
+  */
+object StreamMonitor {
+
+  /** Tumbling-window per-type counts + value stats, 2h late-data bound. */
+  def hourlyProfile(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("value")).as("mean_value"),
+        stddev_samp(col("value")).as("std_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("mean_value"), col("std_value"))
+
+  /** Sliding-window rates (1h window, 15m slide) — early-warning variant. */
+  def slidingRates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Exactly-once event ingestion: duplicate event_ids arriving within the
+    * watermark are dropped with bounded state. */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows: a session closes after `gap` of user silence. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Anomaly stream: windows whose mean value drifts more than `sigmas`
+    * from a fixed baseline (the streaming analog of the V8 drift warn). */
+  def driftAlerts(events: DataFrame, baselineMean: Double, baselineStd: Double,
+                  sigmas: Double = 3.0): DataFrame =
+    hourlyProfile(events)
+      .filter(abs(col("mean_value") - baselineMean) > sigmas * baselineStd)
+}

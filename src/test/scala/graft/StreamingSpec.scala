@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamMonitor
+
+/** D7 streaming semantics via MemoryStream micro-batches (SURVEY.md §7.4.5:
+  * no SQL oracle exists for watermark/session state — deterministic input →
+  * expected state transitions instead). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def eventsDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("hourlyProfile (complete mode) matches the batch aggregation") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = StreamMonitor.hourlyProfile(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = stream.writeStream.format("memory").queryName("hp")
+      .outputMode("complete").start()
+    val rows = Seq(
+      (1L, ts(5), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 3.0),
+      (3L, ts(65), 2L, "view", 5.0), (4L, ts(70), 2L, "click", 7.0))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("hp").select("hour", "event_type", "n", "mean_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 2.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 5.0),
+      ("2024-01-01 01:00:00.0", "click", 1L, 7.0)))
+    q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-watermark duplicate ids") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamMonitor.dedupedEvents(
+        input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    input.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(1), 1L, "click", 1.0))
+    q.processAllAvailable()
+    input.addData((1L, ts(2), 1L, "click", 1.0), (3L, ts(3), 1L, "click", 1.0)) // 1 is dup
+    q.processAllAvailable()
+    val ids = spark.table("dd").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("userSessions: 30-min silence splits sessions (append after watermark)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamMonitor.userSessions(
+        input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("us").outputMode("append").start()
+    // user 1: events at 0,10 (one session), then 60 (new session — 50min gap)
+    input.addData((1L, ts(0), 1L, "a", 1.0), (2L, ts(10), 1L, "a", 1.0),
+      (3L, ts(60), 1L, "a", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past everything so sessions close and emit
+    input.addData((9L, ts(600), 9L, "z", 0.0))
+    q.processAllAvailable()
+    val sessions = spark.table("us").filter(col("user_id") === 1L)
+      .select("n_events").collect().map(_.getLong(0)).sorted
+    assert(sessions.toSeq == Seq(1L, 2L))
+    q.stop()
+  }
+}
