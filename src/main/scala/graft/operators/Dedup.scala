@@ -15,17 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word w-shingles as a distinct array column. */
-  def shingles(textCol: String, w: Int): org.apache.spark.sql.Column =
-    expr(s"array_distinct(transform(sequence(0, greatest(size(split($textCol, ' ', -1)) - $w, 0)), " +
-      s"i -> concat_ws(' ', slice(split($textCol, ' ', -1), i + 1, $w))))")
+  /** Word w-shingles over a pre-tokenized array column. The token array
+    * MUST be a materialized column, not an inline `split(...)` — an
+    * expression inside the transform lambda is re-evaluated per element,
+    * turning shingling O(tokens²) per row. */
+  def shinglesFromTokens(toksCol: String, w: Int): org.apache.spark.sql.Column =
+    expr(s"array_distinct(transform(sequence(0, greatest(size($toksCol) - $w, 0)), " +
+      s"i -> concat_ws(' ', slice($toksCol, i + 1, $w))))")
 
-  /** MinHash signature: element i = min over shingles of xxhash64(shingle,
-    * seed=i). Returns array<long> of length n. */
-  def minhashSignature(shinglesCol: String, n: Int): org.apache.spark.sql.Column = {
-    val hashes = (0 until n).map(i =>
-      s"array_min(transform($shinglesCol, s -> xxhash64(s, $i)))")
-    expr(hashes.mkString("array(", ", ", ")"))
+  /** Tokenize-then-shingle in two projections. */
+  private def withShingles(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens("__toks", w).as("sh"))
+
+  /** MinHash signature over a column of PRE-HASHED shingles (array<long>):
+    * family member i re-hashes the 8-byte long with xxhash64(·, seed=i) —
+    * cheap fixed-width hashing, vs n string-hashes per shingle which would
+    * dominate the scan cost (and wrap-around multiply trips ANSI overflow
+    * checks in Spark 4). Returns array<long> of length n. */
+  def minhashSignature(hashedShinglesCol: String, n: Int): org.apache.spark.sql.Column = {
+    val mins = (0 until n).map(i =>
+      s"array_min(transform($hashedShinglesCol, h -> xxhash64(h, $i)))")
+    expr(mins.mkString("array(", ", ", ")"))
   }
 
   /** Candidate pairs via LSH banding: signature split into `bands` bands of
@@ -34,9 +45,10 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, w: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 4): DataFrame = {
     val n = bands * rowsPerBand
-    val sigDf = docs.select(col("doc_id"), shingles("text", w).as("sh"))
+    val sigDf = withShingles(docs, w)
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature("sh", n).as("sig"))
+      .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .select(col("doc_id"), minhashSignature("hs", n).as("sig"))
     val bandArr = (0 until bands).map { b =>
       val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
       s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
@@ -56,7 +68,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, minSim: Double, w: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val cands = minhashCandidates(docs, w, bands, rowsPerBand)
-    val sh = docs.select(col("doc_id"), shingles("text", w).as("sh"))
+    val sh = withShingles(docs, w)
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
