@@ -98,6 +98,17 @@ object SparkEntry {
     "x13_rich_segments" -> ((s, d) => Relational.richSegments(s, d, 4000.0)),
     "x14_status_pivot" -> ((s, d) => Relational.statusPivot(s, d)),
 
+    "x15_running_total" -> ((s, d) => RelationalExt.runningTotal(s, d)),
+    "x16_moving_avg" -> ((s, d) => RelationalExt.movingAvg(s, d)),
+    "x17_price_quartiles" -> ((s, d) => RelationalExt.priceQuartiles(s, d)),
+    "x18_segment_ranks" -> ((s, d) => RelationalExt.segmentRanks(s, d)),
+    "x19_first_last_order" -> ((s, d) => RelationalExt.firstLastOrder(s, d)),
+    "x20_nation_coverage" -> ((s, d) => RelationalExt.nationCoverage(s, d)),
+    "x21_above_avg_orders" -> ((s, d) => RelationalExt.aboveAvgOrders(s, d)),
+    "x22_urgent_customers" -> ((s, d) => RelationalExt.urgentCustomers(s, d)),
+    "x23_revenue_by_brand" -> ((s, d) => RelationalExt.revenueByBrand(s, d)),
+    "x24_union_semantics" -> ((s, d) => RelationalExt.unionSemantics(s, d)),
+
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
       Preprocess.standardScale(cust(s, d), "c_acctbal", "z")
@@ -300,6 +311,60 @@ object SparkEntry {
         "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
         "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "x15_running_total" ->
+      ("SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "x16_moving_avg" ->
+      ("WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, " +
+        "sum(o_totalprice) AS rev FROM orders GROUP BY 1) " +
+        "SELECT month, round(rev, 2) AS rev, round(avg(rev) OVER (" +
+        "ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_ma3 " +
+        "FROM m ORDER BY month"),
+    "x17_price_quartiles" ->
+      ("WITH t AS (SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile, " +
+        "o_totalprice FROM orders) " +
+        "SELECT quartile, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price " +
+        "FROM t GROUP BY quartile ORDER BY quartile"),
+    "x18_segment_ranks" ->
+      ("SELECT c_mktsegment, c_custkey, rnk, drnk, prnk FROM (" +
+        "SELECT c_mktsegment, c_custkey, " +
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, " +
+        pr("percent_rank() OVER w", 6) + " AS prnk " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t " +
+        "WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey"),
+    "x19_first_last_order" ->
+      ("SELECT DISTINCT o_custkey, " +
+        "first_value(o_totalprice) OVER w AS first_price, " +
+        "last_value(o_totalprice) OVER w AS last_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey"),
+    "x20_nation_coverage" ->
+      ("SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.n_cust, s.n_supp FROM " +
+        "(SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c " +
+        "FULL OUTER JOIN " +
+        "(SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s " +
+        "ON c.nationkey = s.nationkey ORDER BY nationkey NULLS FIRST"),
+    "x21_above_avg_orders" ->
+      ("SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "x22_urgent_customers" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+    "x23_revenue_by_brand" ->
+      ("SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, " +
+        "count(DISTINCT s_suppkey) AS n_suppliers FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "x24_union_semantics" ->
+      ("SELECT (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t) AS n_union_all, " +
+        "(SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t) AS n_union_distinct"),
 
     "m1_standard_scale" ->
       ("WITH s AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd FROM customer) " +
