@@ -33,21 +33,25 @@ object RunPipeline {
     val scores = trained.map(t => Evaluation.evaluate(t.model, testC, t.name))
     val champion = Evaluation.selectChampion(scores,
       config.championF1Threshold, config.championAucThreshold)
-    // 7. explain (linear SHAP when champion is linear; ablation otherwise)
+    // 7. explain — E1 dispatch (`explainability.py:15-39`): exact linear
+    // SHAP for linear champions, exact TreeSHAP for tree ensembles
     champion.foreach { c =>
       val model = trained.find(_.name == c.name).get.model
-      model match {
+      val sample = testC.orderBy(org.apache.spark.sql.functions.rand(config.randomState))
+        .limit(config.shapSampleSize)
+      val shapLong = model match {
         case lr: LogisticRegressionModel =>
-          val shap = Shap.linearShap(lr, testC, config.shapSampleSize, config.randomState)
-          Shap.globalImportance(shap, config.maxDisplayFeatures).collect()
+          Shap.linearShap(lr, testC, config.shapSampleSize, config.randomState)
         case m =>
-          Shap.ablationAttribution(m, testC,
-            trained.find(_.name == c.name).get.model match {
-              case rf: org.apache.spark.ml.classification.RandomForestClassificationModel => rf.numFeatures
-              case gbt: org.apache.spark.ml.classification.GBTClassificationModel => gbt.numFeatures
-              case _ => 0
-            }, config.shapSampleSize, config.randomState).collect()
+          val nFeat = m match {
+            case rf: org.apache.spark.ml.classification.RandomForestClassificationModel => rf.numFeatures
+            case gbt: org.apache.spark.ml.classification.GBTClassificationModel => gbt.numFeatures
+            case dt: org.apache.spark.ml.classification.DecisionTreeClassificationModel => dt.numFeatures
+            case _ => 0
+          }
+          TreeShap.shapValues(m, sample, nFeat)
       }
+      Shap.globalImportance(shapLong, config.maxDisplayFeatures).collect()
     }
     // 8. promote
     champion.foreach { c =>
