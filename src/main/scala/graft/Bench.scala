@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     // untimed warmup: spin up executor threads, codegen, parquet footers
     try {
       SparkEntry.queries.get("x1_revenue_by_nation").foreach(_(spark, sfDir).count())

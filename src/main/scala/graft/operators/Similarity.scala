@@ -21,11 +21,22 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two ArrayType(Float) columns, computed in
-    * double precision via codegen'd higher-order functions (no UDF). */
-  def cosineExpr(a: String, b: String): org.apache.spark.sql.Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+    * double precision. Uses the native [[graft.functions.CosineSimilarity]]
+    * codegen expression when the session has graft extensions registered
+    * (one fused loop, no allocation); otherwise the composed higher-order
+    * form. Both produce bit-identical doubles (same accumulation order). */
+  def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
+    cosineExprIn(None, a, b)
+
+  private def cosineExprIn(spark: Option[org.apache.spark.sql.SparkSession],
+                           a: String, b: String): org.apache.spark.sql.Column = {
+    val native = spark.exists(_.catalog.functionExists("cosine_sim"))
+    if (native) expr(s"cosine_sim($a, $b)")
+    else {
+      def dot(x: String, y: String) =
+        s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+    }
   }
 
   /** D4 exact — brute-force top-k cosine neighbors for a bounded query set
@@ -40,7 +51,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"),
-        Features.pround(cosineExpr("q_emb", "n_emb"), 6).as("cos_sim"))
+        Features.pround(cosineExprIn(Some(embeddings.sparkSession), "q_emb", "n_emb"), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("nbr_id"))
     joined.select(col("query_id"), col("nbr_id"), col("cos_sim"),
@@ -98,7 +109,7 @@ object Similarity {
       .join(embeddings.select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb")), "nbr_id")
       .join(broadcast(qEmb), "query_id")
       .select(col("query_id"), col("nbr_id"),
-        Features.pround(cosineExpr("q_emb", "n_emb"), 6).as("cos_sim"))
+        Features.pround(cosineExprIn(Some(embeddings.sparkSession), "q_emb", "n_emb"), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("nbr_id"))
     cands.select(col("query_id"), col("nbr_id"), col("cos_sim"),

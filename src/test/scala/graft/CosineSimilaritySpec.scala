@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Native cosine_sim expression: bit-equality with the composed
+  * higher-order form, null handling, and codegen execution. */
+class CosineSimilaritySpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("native expression matches the composed HOF form bit-for-bit") {
+    val pairs = emb.limit(40).select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(emb.limit(40).select(col("vec_id").as("idb"), col("embedding").as("b")))
+    def hof(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val both = pairs.select(
+      expr("cosine_sim(a, b)").as("native"),
+      expr(s"${hof("a", "b")} / (sqrt(${hof("a", "a")}) * sqrt(${hof("b", "b")}))").as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("null inputs yield null") {
+    val r = emb.limit(1)
+      .select(expr("cosine_sim(embedding, CAST(NULL AS ARRAY<FLOAT>))").as("c"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("self-similarity is 1.0; plan stays in whole-stage codegen") {
+    val self = emb.limit(100).select(expr("cosine_sim(embedding, embedding)").as("c"))
+    assert(self.filter(abs(col("c") - 1.0) > 1e-12).count() == 0)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan form
+    val plan = self.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_sim"), s"expected codegen'd project in plan:\n$plan")
+  }
+
+  test("the similarity operators pick up the native function when registered") {
+    assert(spark.catalog.functionExists("cosine_sim"))
+    val res = Similarity.bruteForceTopK(emb, 3, 2)
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cosine_sim"), "bruteForceTopK should use the native expression")
+  }
+}

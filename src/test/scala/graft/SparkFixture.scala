@@ -13,6 +13,7 @@ object SparkFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(s)
     s
   }
   val sfDir = "/root/testdata/sf0.001"
