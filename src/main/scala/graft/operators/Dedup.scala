@@ -45,17 +45,24 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, w: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 4): DataFrame = {
     val n = bands * rowsPerBand
+    // note: no emptiness filter — the shingle array is never empty by
+    // construction, and a filter on it would be pushed into the scan and
+    // recompute the whole shingle pipeline per row
     val sigDf = withShingles(docs, w)
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
       .select(col("doc_id"), minhashSignature("hs", n).as("sig"))
     val bandArr = (0 until bands).map { b =>
       val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
       s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
     }
+    // persist: the banded signature relation feeds both sides of the
+    // self-equijoin — without it Spark recomputes the full signature
+    // pipeline per side (no CSE across self-joins). At cluster scale this
+    // is the same call (or a checkpoint of the signature table).
     val banded = sigDf.select(col("doc_id"),
         explode(expr(bandArr.mkString("array(", ", ", ")"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist()
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bh"))
@@ -68,7 +75,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, minSim: Double, w: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val cands = minhashCandidates(docs, w, bands, rowsPerBand)
-    val sh = withShingles(docs, w)
+    val sh = withShingles(docs, w).persist()
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
