@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-engineering utilities for the 100 TB deployment shape: skew-salted
+  * joins, bucketed co-located joins, and partitioned-layout writers. These
+  * are the knobs SURVEY.md §4.2's "Spark replacement" column promises —
+  * exercised in tests on local data, designed for cluster layouts.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * random salt in [0, salts); the small side is exploded `salts`× so
+    * every (key, salt) pair finds its match. Turns one hot partition into
+    * `salts` even ones at the cost of replicating the small side.
+    *
+    * AQE's skew-join handling (on by default) covers moderate skew
+    * automatically; explicit salting is for the pathological long-tail key
+    * whose single partition exceeds executor memory. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int, seed: Long = 42L): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      (rand(seed) * salts).cast("int"))
+    val explodedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedLarge.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a DataFrame as a bucketed, sorted table: joins between tables
+    * bucketed on the same key with the same bucket count need NO shuffle
+    * (co-located) — the 100 TB answer to repeated fact-fact joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — shuffle-free when
+    * layouts match (verify via the physical plan: no Exchange above the
+    * scans). */
+  def bucketedJoin(spark: SparkSession, tableA: String, tableB: String,
+                   key: String): DataFrame =
+    spark.table(tableA).join(spark.table(tableB), key)
+
+  /** Write with hive-style partition pruning layout (dt=.../country=...):
+    * the scan of a filtered read touches only matching directories. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+}

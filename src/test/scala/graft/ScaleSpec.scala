@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+/** Scale utilities: salted joins preserve equi-join semantics; bucketed
+  * joins execute without a shuffle; partitioned layouts prune. */
+class ScaleSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  test("salted join returns exactly the plain join result") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("key"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment"))
+    val plain = orders.join(cust, "key").count()
+    val salted = Scale.saltedJoin(orders, cust, "key", salts = 8).count()
+    assert(salted == plain)
+  }
+
+  test("bucketed join plan has no shuffle exchange") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_acctbal"))
+    Scale.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    Scale.writeBucketed(cust, "b_cust", "o_custkey", 4)
+    val joined = Scale.bucketedJoin(spark, "b_orders", "b_cust", "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should be shuffle-free:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+  }
+
+  test("partitioned write prunes at scan time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Scale.writePartitioned(
+      Tables.orders(spark, sfDir).withColumn("status", col("o_orderstatus")),
+      tmp, Seq("status"))
+    val pruned = spark.read.parquet(tmp).filter(col("status") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"),
+      s"expected partition filter in:\n$plan")
+    assert(pruned.count() > 0)
+  }
+}
