@@ -108,6 +108,9 @@ object SparkEntry {
     "x22_urgent_customers" -> ((s, d) => RelationalExt.urgentCustomers(s, d)),
     "x23_revenue_by_brand" -> ((s, d) => RelationalExt.revenueByBrand(s, d)),
     "x24_union_semantics" -> ((s, d) => RelationalExt.unionSemantics(s, d)),
+    "x25_shipping_priority" -> ((s, d) => RelationalExt.shippingPriority(s, d, 10)),
+    "x26_local_supplier_volume" -> ((s, d) => RelationalExt.localSupplierVolume(s, d)),
+    "d19_approx_distinct" -> ((s, d) => RelationalExt.approxDistinctTexts(s, d)),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -365,6 +368,24 @@ object SparkEntry {
         "UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t) AS n_union_all, " +
         "(SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
         "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t) AS n_union_distinct"),
+
+    "x25_shipping_priority" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "x26_local_supplier_volume" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
 
     "m1_standard_scale" ->
       ("WITH s AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd FROM customer) " +

@@ -132,6 +132,52 @@ object RelationalExt {
       .orderBy(col("p_brand"))
   }
 
+  /** TPC-H Q3-shaped: shipping priority — top unshipped-revenue orders for
+    * one market segment (3-way join, filter both sides, grouped top-k). */
+  def shippingPriority(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q5-shaped: revenue by nation within one region where the
+    * supplying and ordering nations match (5-way join through region). */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Approximate distinct counts (HLL++) per language — values are
+    * engine-specific (rows-only check); the exact form is d2_dedup_stats. */
+  def approxDistinctTexts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("text"), 0.01).as("approx_unique"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("lang"))
+
   /** UNION vs UNION ALL semantics in one relation. */
   def unionSemantics(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
