@@ -53,6 +53,8 @@ object RunPipeline {
       }
       Shap.globalImportance(shapLong, config.maxDisplayFeatures).collect()
     }
+    // 7b. S5 report sinks (`evaluation.py:178-204`, `explainability.py:134-156`)
+    writeEvaluationReport(config, scores, champion)
     // 8. promote
     champion.foreach { c =>
       Deployment.promote(config.modelDir, trained.find(_.name == c.name).get.model,
@@ -61,6 +63,28 @@ object RunPipeline {
     }
     trainC.unpersist(); testC.unpersist()
     PipelineResult(champion, scores, nTrain, nTest)
+  }
+
+  /** S5 — evaluation report JSON (`evaluation.py:178-204` shape: per-model
+    * metrics + champion + thresholds). */
+  private def writeEvaluationReport(config: PipelineConfig,
+                                    scores: Seq[Evaluation.ModelScore],
+                                    champion: Option[Evaluation.ModelScore]): Unit = {
+    val dir = java.nio.file.Paths.get(config.modelDir)
+    java.nio.file.Files.createDirectories(dir)
+    val perModel = scores.map(s =>
+      s"""    "${s.name}": {"accuracy": ${s.accuracy}, "precision": ${s.precision}, """ +
+        s""""recall": ${s.recall}, "f1": ${s.f1}, "roc_auc": ${s.rocAuc}}""")
+      .mkString(",\n")
+    val json =
+      s"""{
+         |  "models": {
+         |$perModel
+         |  },
+         |  "champion": ${champion.map(c => s""""${c.name}"""").getOrElse("null")},
+         |  "thresholds": {"f1": ${config.championF1Threshold}, "roc_auc": ${config.championAucThreshold}}
+         |}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("evaluation_report.json"), json)
   }
 
   def main(args: Array[String]): Unit = {
