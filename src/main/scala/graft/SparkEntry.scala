@@ -111,6 +111,7 @@ object SparkEntry {
     "x25_shipping_priority" -> ((s, d) => RelationalExt.shippingPriority(s, d, 10)),
     "x26_local_supplier_volume" -> ((s, d) => RelationalExt.localSupplierVolume(s, d)),
     "d19_approx_distinct" -> ((s, d) => RelationalExt.approxDistinctTexts(s, d)),
+    "d20_dedup_docs" -> ((s, d) => TextOps.dedupDocuments(Tables.documents(s, d))),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -449,6 +450,11 @@ object SparkEntry {
         "CAST(sum(CASE WHEN y = 1 THEN rn ELSE 0 END) AS DOUBLE) AS sr FROM r) " +
         "SELECT " + pr("(sr - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))", 6) + " AS auc FROM s"),
 
+    "d20_dedup_docs" ->
+      ("SELECT doc_id, lang, source, n_chars FROM (" +
+        "SELECT doc_id, lang, source, n_chars, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) t " +
+        "WHERE rn = 1 ORDER BY doc_id"),
     "d1_dedup_groups" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),

@@ -30,7 +30,9 @@ object Evaluation {
         monotonically_increasing_id().as("o_orderkey"))
       .cache()
     val m = Metrics.binaryMetrics(pred).collect()(0)
-    val auc = Metrics.aucRank(pred).collect()(0).getDouble(0)
+    // distributed exact AUC — no single-partition window (Metrics.aucRank
+    // stays as the oracle-checkable declared-query form)
+    val auc = Metrics.aucDistributed(pred)
     pred.unpersist()
     ModelScore(name, m.getAs[Double]("accuracy"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), m.getAs[Double]("f1"), auc)

@@ -77,6 +77,35 @@ object Metrics {
           / (col("n1").cast("double") * (col("n").cast("double") - col("n1").cast("double"))), 6).as("auc"))
   }
 
+  /** Exact AUC without a global window — the 100 TB path. Range-repartition
+    * by (score, key), sort within partitions, compute each partition's
+    * local positive-rank sum plus its row count, then combine on the driver
+    * with cumulative offsets: a positive at local rank r in partition p has
+    * global rank r + Σ_{q<p} n_q. Two passes, no single-partition stage;
+    * bit-identical to the windowed [[aucRank]] (asserted in tests). */
+  def aucDistributed(labeled: DataFrame, partitions: Int = 32): Double = {
+    import org.apache.spark.sql.Row
+    val sorted = labeled.select(col("y"), col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(partitions, col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+    val perPart: Array[(Int, Long, Long, Long)] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; var nPos = 0L; var localRankSum = 0L
+        it.foreach { r: Row =>
+          n += 1
+          if (r.getInt(0) == 1) { nPos += 1; localRankSum += n }
+        }
+        Iterator.single((pid, n, nPos, localRankSum))
+      }.collect().sortBy(_._1)
+    var offset = 0L; var rankSum = 0.0; var n1 = 0.0; var n = 0.0
+    perPart.foreach { case (_, cnt, nPos, localSum) =>
+      rankSum += localSum + offset.toDouble * nPos
+      n1 += nPos; n += cnt; offset += cnt
+    }
+    if (n1 == 0.0 || n1 == n) 0.0
+    else (rankSum - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))
+  }
+
   /** M17 — champion selection (`evaluation.py:139-166`): per-"model" (here:
     * market segment of the ordering customer) f1, filter by threshold,
     * argmax with deterministic tie-break. */

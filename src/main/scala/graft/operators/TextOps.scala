@@ -30,6 +30,19 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
+  /** D1 — the dedup transformation itself: keep the lowest-id copy of each
+    * text (deterministic winner under any parallelism). This is what a
+    * training-data pipeline actually materializes; `dedupGroups` is its
+    * audit view. */
+  def dedupDocuments(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D1 — dedup summary per language: unique vs total texts. */
   def dedupStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))

@@ -116,6 +116,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Metrics.aucRank(anti).collect()(0).getDouble(0) == 0.0)
   }
 
+  test("M15: distributed AUC equals the windowed rank AUC exactly") {
+    val labeled = Metrics.labeledOrders(ord)
+    val windowed = Metrics.aucRank(labeled).collect()(0).getDouble(0)
+    val distributed = Metrics.aucDistributed(labeled, partitions = 7)
+    // windowed output is pround(6); compare at that precision
+    assert(math.abs(windowed - math.floor(distributed * 1e6 + 0.5) / 1e6) == 0.0)
+  }
+
   test("M17: champion is the argmax-f1 segment") {
     val champ = Metrics.championBySegment(ord, cust, 0.0).collect()
     assert(champ.length == 1)
