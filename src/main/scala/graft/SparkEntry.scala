@@ -112,6 +112,9 @@ object SparkEntry {
     "x26_local_supplier_volume" -> ((s, d) => RelationalExt.localSupplierVolume(s, d)),
     "d19_approx_distinct" -> ((s, d) => RelationalExt.approxDistinctTexts(s, d)),
     "d20_dedup_docs" -> ((s, d) => TextOps.dedupDocuments(Tables.documents(s, d))),
+    "d21_embedding_neardups" -> ((s, d) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, d), 300, 0.2)),
+    "x27_grouping_sets" -> ((s, d) => RelationalExt.groupingSets(s, d)),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -455,6 +458,21 @@ object SparkEntry {
         "SELECT doc_id, lang, source, n_chars, " +
         "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) t " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    "d21_embedding_neardups" ->
+      ("WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings " +
+        "WHERE vec_id < 300) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        pr("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * " +
+          "sqrt(list_dot_product(b.e, b.e)))", 6) + " AS cos_sim " +
+        "FROM s a, s b WHERE a.vec_id < b.vec_id AND " +
+        pr("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * " +
+          "sqrt(list_dot_product(b.e, b.e)))", 6) + " >= 0.2 " +
+        "ORDER BY id_a, id_b"),
+    "x27_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "d1_dedup_groups" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),

@@ -178,6 +178,18 @@ object RelationalExt {
         count(lit(1)).as("n_total"))
       .orderBy(col("lang"))
 
+  /** Explicit GROUPING SETS via the SQL interface (completes the grouped
+    * aggregation family next to rollup/cube). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    viewsFor(s, dir, "orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   /** UNION vs UNION ALL semantics in one relation. */
   def unionSemantics(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)

@@ -118,6 +118,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs for a bounded id range: all
+    * pairs with cosine ≥ minSim (the embedding-space analog of MinHash
+    * dedup; at corpus scale the candidate set comes from [[lshTopK]]'s
+    * bucketing instead of the bounded cross join). */
+  def embeddingNearDups(embeddings: DataFrame, maxId: Int, minSim: Double): DataFrame = {
+    val sub = embeddings.filter(col("vec_id") < maxId)
+    val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+    val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("n_emb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Features.pround(cosineExprIn(Some(embeddings.sparkSession), "q_emb", "n_emb"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** N-gram (word-set) Jaccard similarity for a bounded id range — the
     * SQL-checkable near-dup primitive: |tokensₐ ∩ tokens_b| / |tokensₐ ∪
     * tokens_b| over distinct tokens. */

@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object StreamMonitor {
 
+  /** Keyed state carried by [[runningUserTotals]]. */
+  final case class UserState(n: Long, total: Double)
+
   /** Tumbling-window per-type counts + value stats, 2h late-data bound. */
   def hourlyProfile(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
@@ -53,6 +56,37 @@ object StreamMonitor {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * (count, value-sum) emitted on every update (Update output mode — the
+    * natural mode for evolving totals) — the arbitrary-state primitive the
+    * built-in windows can't express (e.g. lifetime counters).
+    *
+    * State lifetime: NoTimeout keeps per-user state for the query's life —
+    * appropriate for a bounded user population (state is O(users), not
+    * O(events)). For unbounded key spaces switch to
+    * `GroupStateTimeout.EventTimeTimeout` + a watermark; a processing-time
+    * timeout makes the engine self-trigger timer batches, which also makes
+    * `processAllAvailable` unsuitable in tests. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
+      col("value").as[Double](org.apache.spark.sql.Encoders.scalaDouble))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n; var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(UserState(n, total))
+          Iterator.single((user, n, total))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
 
   /** Anomaly stream: windows whose mean value drifts more than `sigmas`
     * from a fixed baseline (the streaming analog of the V8 drift warn). */

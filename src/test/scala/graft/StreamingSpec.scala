@@ -57,6 +57,24 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("flatMapGroupsWithState: running totals accumulate across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamMonitor.runningUserTotals(
+        input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("rt").outputMode("update").start()
+    input.addData((1L, ts(0), 7L, "a", 2.0), (2L, ts(1), 7L, "a", 3.0))
+    q.processAllAvailable()
+    input.addData((3L, ts(2), 7L, "a", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("rt").filter(col("user_id") === 7L)
+      .select("n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // batch 1 emits (2, 5.0); batch 2 emits the accumulated (3, 10.0)
+    assert(rows == Set((2L, 5.0), (3L, 10.0)))
+    q.stop()
+  }
+
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
