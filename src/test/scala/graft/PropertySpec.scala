@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Features
+
+/** Property-style invariants (SURVEY.md §5.2.2) over the scalar operators:
+  * ScalaCheck generators sampled deterministically (no scalatest-plus
+  * bridge in the offline dependency set) and evaluated through Spark. */
+class PropertySpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(42L))(_.next).take(n)
+      .map(s => gen.pureApply(params, s)).toSeq
+  }
+
+  private val bounds = Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0)
+  private val labels = Seq("a", "b", "c", "d", "e")
+
+  test("F2 bucket totality: every generated double maps to the right label or nan") {
+    val xs = samples(Gen.chooseNum(-100.0, 150.0), 300) ++ bounds ++ Seq(50.000001)
+    val out = xs.toDF("v")
+      .select(col("v"), Features.rightClosedBucket(col("v"), bounds, labels).as("b"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    out.foreach { case (x, b) =>
+      if (x > 0 && x <= 50) {
+        val idx = bounds.indexWhere(x <= _) - 1
+        assert(b == labels(idx), s"x=$x")
+      } else assert(b == "nan", s"x=$x")
+    }
+  }
+
+  test("pround: idempotent with bounded error across magnitudes and digits") {
+    val cases = for {
+      x <- samples(Gen.chooseNum(-1e6, 1e6), 100)
+      d <- Seq(0, 2, 4, 6)
+    } yield (x, d)
+    cases.groupBy(_._2).foreach { case (d, xs) =>
+      val df = xs.map(_._1).toDF("v")
+      val once = df.select(Features.pround(col("v"), d).as("r"), col("v")).collect()
+      once.foreach { r =>
+        val rounded = r.getDouble(0); val x = r.getDouble(1)
+        assert(math.abs(rounded - x) <= math.pow(10.0, -d) * 0.500001 + math.ulp(x) * 4,
+          s"x=$x d=$d rounded=$rounded")
+      }
+      val twice = once.map(_.getDouble(0)).toSeq.toDF("v")
+        .select(Features.pround(col("v"), d).as("r")).collect().map(_.getDouble(0))
+      assert(twice.sameElements(once.map(_.getDouble(0))), s"not idempotent at d=$d")
+    }
+  }
+
+  test("sigmoid: bounded (0,1) and antisymmetric about 0.5") {
+    // |x| ≤ 30: beyond ~36, 1/(1+exp(-x)) saturates to exactly 1.0 in
+    // binary64 — the open-interval invariant only holds pre-saturation
+    val xs = samples(Gen.chooseNum(-30.0, 30.0), 200)
+    val rows = xs.toDF("v")
+      .select(Features.sigmoid(col("v")).as("s"), Features.sigmoid(-col("v")).as("sneg"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getDouble(0); val sn = r.getDouble(1)
+      assert(s > 0.0 && s < 1.0)
+      assert(math.abs(s + sn - 1.0) < 1e-12)
+    }
+  }
+}
