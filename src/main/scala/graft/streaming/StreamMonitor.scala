@@ -88,6 +88,21 @@ object StreamMonitor {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** File-source ingestion: stream the events table from a parquet
+    * directory (the production entry — new files appearing under `dir` are
+    * picked up incrementally). Handles the TIMESTAMP(NANOS) column the
+    * same way as the batch path (`Tables.eventsTs`). */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Anomaly stream: windows whose mean value drifts more than `sigmas`
     * from a fixed baseline (the streaming analog of the V8 drift warn). */
   def driftAlerts(events: DataFrame, baselineMean: Double, baselineStd: Double,

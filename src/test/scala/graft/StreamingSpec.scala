@@ -75,6 +75,25 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("file-source stream over real events parquet matches the batch hourly profile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkFixture.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = StreamMonitor.hourlyProfile(
+        StreamMonitor.readEventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("fp").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("fp")
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventOps.hourlyCounts(Tables.eventsTs(spark, SparkFixture.sfDir))
+      .select(col("hour").cast("timestamp").as("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    q.stop()
+  }
+
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
