@@ -84,17 +84,24 @@ object Similarity {
     * computed once. Shuffle is O(rows · nTables), never O(rows²). */
   def lshTopK(embeddings: DataFrame, dim: Int, nQueries: Int, k: Int,
               nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
-    // one scan: all tables' bucket ids computed per row, then exploded
-    val bucketCols = (0 until nTables).map { t =>
+    // one scan, one fused native expression: all nTables·nPlanes sign bits
+    // per row (graft.functions.HyperplaneBits), then cheap bit-slicing into
+    // per-table bucket ids and one explode
+    require(nTables * nPlanes <= 64, "hyperplane signature limited to 64 bits")
+    val allPlanes: Array[Array[Double]] = (0 until nTables).flatMap { t =>
       val rng = new scala.util.Random(42L + t)
-      val bits = (0 until nPlanes).map { i =>
-        val arr = Seq.fill(dim)(rng.nextGaussian())
-          .map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
-        s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN ${1L << i}L ELSE 0L END)"
-      }
-      s"concat('$t:', CAST(${bits.mkString(" + ")} AS STRING))"
-    }
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    }.toArray
+    val bitsCol = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HyperplaneBits(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        allPlanes))
+    val mask = (1L << nPlanes) - 1L
+    val bucketCols = (0 until nTables).map(t =>
+      s"concat('$t:', CAST(shiftrightunsigned(__bits, ${t * nPlanes}) & ${mask}L AS STRING))")
+    val bucketed = embeddings
+      .withColumn("__bits", bitsCol)
+      .select(col("vec_id"), col("embedding"),
         explode(expr(bucketCols.mkString("array(", ", ", ")"))).as("bucket"))
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))
