@@ -88,20 +88,18 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash (64-bit): explode tokens, per-doc per-bit majority vote of
-    * xxhash64(token) bits, recombined into one long. Grouped aggregation —
-    * one shuffle on doc_id. */
+  /** SimHash (64-bit): per-bit majority vote over xxhash64'd distinct
+    * tokens, computed by the native [[graft.functions.SimhashBits]]
+    * expression — a narrow, shuffle-free projection (the explode +
+    * 64-column groupBy formulation this replaces shuffled one row per
+    * (doc, token)). */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(expr("array_distinct(split(text, ' ', -1))")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val recombine = (0 until 64).map(j =>
-      s"(CASE WHEN b$j > 0 THEN ${if (j == 63) Long.MinValue.toString + "L" else s"${1L << j}L"} ELSE 0L END)")
-      .mkString(" + ")
-    agg.select(col("doc_id"), expr(recombine).as("simhash"))
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col("doc_id"),
+        expr("transform(array_distinct(split(text, ' ', -1)), t -> xxhash64(t))").as("__hs"))
+      .select(col("doc_id"),
+        GraftColumnBridge.column(graft.functions.SimhashBits(
+          GraftColumnBridge.expression(col("__hs")))).as("simhash"))
   }
 
   /** SimHash near-dup candidates: band the 64-bit signature into four
