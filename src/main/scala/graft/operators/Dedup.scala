@@ -29,14 +29,16 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens("__toks", w).as("sh"))
 
   /** MinHash signature over a column of PRE-HASHED shingles (array<long>):
-    * family member i re-hashes the 8-byte long with xxhash64(·, seed=i) —
-    * cheap fixed-width hashing, vs n string-hashes per shingle which would
-    * dominate the scan cost (and wrap-around multiply trips ANSI overflow
-    * checks in Spark 4). Returns array<long> of length n. */
+    * slot i re-hashes the 8-byte long with xxhash64(·, seed=i) — cheap
+    * fixed-width hashing, vs n string-hashes per shingle which would
+    * dominate the scan cost. Computed by the native
+    * [[graft.functions.MinhashSignature]] expression (one fused loop; the
+    * composed n×array_min(transform) form allocated n intermediate arrays
+    * per row). Returns array<long> of length n. */
   def minhashSignature(hashedShinglesCol: String, n: Int): org.apache.spark.sql.Column = {
-    val mins = (0 until n).map(i =>
-      s"array_min(transform($hashedShinglesCol, h -> xxhash64(h, $i)))")
-    expr(mins.mkString("array(", ", ", ")"))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.MinhashSignature(
+      GraftColumnBridge.expression(col(hashedShinglesCol)), n))
   }
 
   /** Candidate pairs via LSH banding: signature split into `bands` bands of
