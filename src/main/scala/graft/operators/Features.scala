@@ -61,6 +61,18 @@ object Features {
     * `1/(1+exp(-logit))`). */
   def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
 
+  /** F3 at scale — approx_percentile (GK sketch, bounded memory) instead of
+    * exact `percentile` (which buffers all values per group and cannot run
+    * at 100 TB). The declared oracle queries use the exact form at test SF;
+    * production pipelines should use this with `accuracy` tuned to the
+    * decision granularity. */
+  def quantileFlagApprox(df: DataFrame, c: String, q: Double,
+                         accuracy: Int = 10000): DataFrame = {
+    val stats = df.agg(expr(s"approx_percentile($c, $q, $accuracy)").as("q_thresh"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("flag", (col(c) > col("q_thresh")).cast("int"))
+  }
+
   /** Portable rounding: `floor(x·10^d + 0.5)/10^d`. Unlike `round()`, whose
     * decimal-boundary behavior differs between engines (Spark rounds the
     * exact BigDecimal expansion of the double; DuckDB rounds in binary

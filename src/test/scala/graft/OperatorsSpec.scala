@@ -61,6 +61,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(vals(2) - 0.5) < 1e-12)
   }
 
+  test("F3: approx quantile flag agrees with the exact form at test SF") {
+    val exact = Features.quantileFlag(ord, "o_totalprice", 0.75)
+      .filter(col("flag") === 1).count()
+    val approx = Features.quantileFlagApprox(ord, "o_totalprice", 0.75)
+      .filter(col("flag") === 1).count()
+    val n = ord.count()
+    assert(math.abs(exact - approx).toDouble / n < 0.01,
+      s"exact=$exact approx=$approx n=$n")
+  }
+
   test("M1: standard scale ddof=0 — scaled mean 0, population std 1") {
     val scaled = Preprocess.standardScale(cust, "c_acctbal", "z")
     val stats = scaled.agg(avg("z"), stddev_pop(col("z"))).collect()(0)
