@@ -66,6 +66,18 @@ object Deployment {
       .withColumn("p1", vector_to_array(col("probability")).getItem(1))
   }
 
+  /** S6 — the serving boundary (`deployment.py:128-144`): JSON request
+    * bodies → typed rows → engineered features → fitted preprocessor →
+    * predictions. One request batch = one small DataFrame; the same
+    * function scores a 10^11-row backfill unchanged. */
+  def scoreJson(spark: SparkSession, jsonRows: Seq[String], model: Model[_],
+                preprocessor: PipelineModel): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(jsonRows)(org.apache.spark.sql.Encoders.STRING)
+    val df = spark.read.schema(graft.sources.ChurnCsv.schema).json(ds)
+    score(df, model, preprocessor)
+  }
+
   /** Count archived champions (for re-promotion tests,
     * `test_deployment.py:40-61` analog). */
   def archiveCount(dir: String): Int = {

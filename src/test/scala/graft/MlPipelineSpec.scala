@@ -103,6 +103,38 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(Deployment.archiveCount(config.modelDir) == before + 1)
   }
 
+  test("S6: JSON request batch scores through the serving boundary") {
+    assert(result.champion.isDefined)
+    val (model, pre, _) = Deployment.load(spark, config.modelDir)
+    val rows = Seq(
+      """{"tenure": 12, "contract_type": "month-to-month", "payment_method": "electronic_check",
+         "internet_service": "fiber_optic", "monthly_charges": 85.5, "total_charges": 1026.0,
+         "num_support_tickets": 4, "avg_monthly_usage_gb": 22.3, "churn": 0}""",
+      """{"tenure": 60, "contract_type": "two-year", "payment_method": "credit_card",
+         "internet_service": "dsl", "monthly_charges": 50.0, "total_charges": 3000.0,
+         "num_support_tickets": 0, "avg_monthly_usage_gb": 10.0, "churn": 0}""")
+      .map(_.replaceAll("\n\\s*", " "))
+    val scored = Deployment.scoreJson(spark, rows, model, pre)
+      .select("prediction", "p1").collect()
+    assert(scored.length == 2)
+    scored.foreach { r =>
+      assert(Set(0.0, 1.0).contains(r.getDouble(0)))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("quality check: same-seed data does not drift; shifted data warns") {
+    val numeric = Seq("tenure", "monthly_charges", "num_support_tickets")
+    val base = DataGen.generate(spark, 2000, 42L)
+    val same = DataGen.generate(spark, 2000, 99L)
+    assert(QualityCheck.run(base, same, numeric).forall(!_.warned))
+    val shifted = DataGen.generate(spark, 2000, 99L)
+      .withColumn("monthly_charges", col("monthly_charges") + 200.0)
+    val drifts = QualityCheck.run(base, shifted, numeric)
+    assert(drifts.find(_.column == "monthly_charges").get.warned)
+    assert(drifts.filter(_.column != "monthly_charges").forall(!_.warned))
+  }
+
   test("E2/E3: linear SHAP shapes and importance ordering") {
     val (feat, _) = FeaturePipeline.fit(DataGen.generate(spark, 1000, 42L))
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
