@@ -176,6 +176,8 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, d), 0.5)),
     "d16_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), 64, 20, 5)),
+    "d22_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5)),
     "d17_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), 8)),
     "d18_multimodal_meta" -> ((s, d) =>

@@ -125,6 +125,63 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** D4 scale path #2 — IVF (inverted-file) approximate nearest neighbors:
+    * a k-means coarse quantizer partitions the corpus into `nLists`
+    * cells; a query probes its `nProbe` nearest centroids and re-ranks
+    * exactly only within those cells.
+    *
+    * Scale shape: centroid training samples the corpus (KMeans over a
+    * capped sample), assignment is one broadcast-centroid scan, and the
+    * probe join shuffles candidates by cell id — O(rows·nProbe/nLists)
+    * exact distance work instead of O(rows·queries). Complements
+    * [[lshTopK]]: IVF adapts to the data distribution where LSH is
+    * data-oblivious. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = embeddings.sparkSession
+    val withVec = embeddings.select(col("vec_id"),
+      col("embedding"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(withVec.select("features"))
+    val centroids = km.clusterCenters.map(_.toArray)
+    // assignment: one pass, centroids broadcast inside the model transform
+    val assigned = km.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // queries probe their nProbe nearest centroids (tiny driver-side math
+    // over nQueries × nLists — the centroid table is the "index")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .collect()
+    import spark.implicits._
+    val probes = queries.flatMap { r =>
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val byDist = centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(q.length, c.length)) { val t = q(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+      byDist.map(cell => (r.getLong(0), cell))
+    }.toSeq.toDF("query_id", "cell")
+    val qEmb = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = assigned
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .join(broadcast(qEmb), "query_id")
+      .select(col("query_id"), col("nbr_id"),
+        Features.pround(cosineExprIn(Some(spark), "q_emb", "n_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    cands.select(col("query_id"), col("nbr_id"), col("cos_sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs for a bounded id range: all
     * pairs with cosine ≥ minSim (the embedding-space analog of MinHash
     * dedup; at corpus scale the candidate set comes from [[lshTopK]]'s

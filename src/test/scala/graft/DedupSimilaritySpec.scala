@@ -71,6 +71,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits >= bf1.size / 2, s"LSH recall too low: $hits/${bf1.size}")
   }
 
+  test("D4 IVF: sims match brute force; recall reasonable with 4/16 probes") {
+    val ivf = Similarity.ivfTopK(emb, 20, 5, nLists = 16, nProbe = 4).collect()
+    val bf = Similarity.bruteForceTopK(emb, 20, 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")) -> r.getAs[Double]("cos_sim")).toMap
+    // any pair IVF returns must carry the exact brute-force similarity
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))
+      bf.get(key).foreach(v => assert(v == r.getAs[Double]("cos_sim")))
+    }
+    // top-1 recall over the probed fraction of cells
+    val bf1 = Similarity.bruteForceTopK(emb, 20, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("nbr_id")).toMap
+    val ivfByQ = ivf.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    val hits = bf1.count { case (q, n) => ivfByQ.getOrElse(q, Set.empty).contains(n) }
+    assert(hits >= bf1.size / 3, s"IVF recall too low: $hits/${bf1.size}")
+  }
+
   test("D1 exact dedup groups: total copies equals row count") {
     val g = TextOps.dedupGroups(docs)
     assert(g.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
