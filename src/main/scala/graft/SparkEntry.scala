@@ -115,6 +115,7 @@ object SparkEntry {
     "d21_embedding_neardups" -> ((s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d), 300, 0.2)),
     "x27_grouping_sets" -> ((s, d) => RelationalExt.groupingSets(s, d)),
+    "d23_subword_tokens" -> ((s, d) => TextOps.subwordTokenStats(Tables.documents(s, d))),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -470,6 +471,11 @@ object SparkEntry {
         pr("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * " +
           "sqrt(list_dot_product(b.e, b.e)))", 6) + " >= 0.2 " +
         "ORDER BY id_a, id_b"),
+    "d23_subword_tokens" ->
+      ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) " +
+        "AS total_subword_tokens, " +
+        "round(avg(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS DOUBLE)), 4) " +
+        "AS avg_subword_tokens FROM documents GROUP BY lang ORDER BY lang"),
     "x27_grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "round(sum(o_totalprice), 2) AS sum_price FROM orders " +

@@ -22,6 +22,19 @@ object TextOps {
   def tokenCount(c: String): org.apache.spark.sql.Column =
     size(split(col(c), " ", -1)).cast("long")
 
+  /** Subword-style token count: alphabetic runs, digit runs, and single
+    * punctuation marks each count as a token (the BPE-pre-tokenizer
+    * shape, engine-expressible as one regex extraction). */
+  def tokenCountRegex(c: String): org.apache.spark.sql.Column =
+    size(expr(s"regexp_extract_all($c, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+
+  /** D5 — per-language subword token totals (regex tokenizer). */
+  def subwordTokenStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(sum(tokenCountRegex("text")).as("total_subword_tokens"),
+        round(avg(tokenCountRegex("text").cast("double")), 4).as("avg_subword_tokens"))
+      .orderBy(col("lang"))
+
   /** D1 — exact dedup groups: hash text, keep min doc_id per group.
     * Scale: groupBy on md5(text) shuffles 16-byte keys; the canonical
     * "keep first" winner is min(id) — deterministic under any parallelism. */
