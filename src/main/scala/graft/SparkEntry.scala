@@ -116,6 +116,7 @@ object SparkEntry {
       Similarity.embeddingNearDups(Tables.embeddings(s, d), 300, 0.2)),
     "x27_grouping_sets" -> ((s, d) => RelationalExt.groupingSets(s, d)),
     "d23_subword_tokens" -> ((s, d) => TextOps.subwordTokenStats(Tables.documents(s, d))),
+    "x28_nation_pair_volume" -> ((s, d) => RelationalExt.nationPairVolume(s, d)),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -471,6 +472,17 @@ object SparkEntry {
         pr("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * " +
           "sqrt(list_dot_product(b.e, b.e)))", 6) + " >= 0.2 " +
         "ORDER BY id_a, id_b"),
+    "x28_nation_pair_volume" ->
+      ("SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation, " +
+        "CAST(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS DOUBLE) / 100.0 AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name <> n2.n_name " +
+        "GROUP BY 1, 2 ORDER BY cust_nation, supp_nation"),
     "d23_subword_tokens" ->
       ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) " +
         "AS total_subword_tokens, " +

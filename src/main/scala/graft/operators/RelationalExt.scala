@@ -169,6 +169,35 @@ object RelationalExt {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q7-shaped: trade volume between (customer nation, supplier
+    * nation) pairs — the same dimension joined twice under different
+    * roles (both broadcast). */
+  def nationPairVolume(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      // sum in integer cents: per-row terms are IEEE-identical across
+      // engines, and integer summation is order-independent — so the group
+      // total is deterministic where a double sum differs in the last ulp
+      // (observed: 4/600 groups split by round(·,2) at sf0.01)
+      .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+          .cast("long")).cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
   /** Approximate distinct counts (HLL++) per language — values are
     * engine-specific (rows-only check); the exact form is d2_dedup_stats. */
   def approxDistinctTexts(s: SparkSession, dir: String): DataFrame =
