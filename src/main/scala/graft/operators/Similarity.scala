@@ -144,8 +144,10 @@ object Similarity {
     val withVec = embeddings.select(col("vec_id"),
       col("embedding"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(withVec.select("features"))
+    // quantizer trains on a capped sample — at corpus scale nobody k-means
+    // the full table; centroid quality converges long before full coverage
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .fit(withVec.select("features").limit(10000))
     val centroids = km.clusterCenters.map(_.toArray)
     // assignment: one pass, centroids broadcast inside the model transform
     val assigned = km.transform(withVec)
