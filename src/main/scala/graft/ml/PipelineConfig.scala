@@ -20,10 +20,11 @@ final case class PipelineConfig(
     "logistic_regression" -> ModelConfig(enabled = true,
       grid = Map("C" -> Seq(0.01, 0.1, 1.0, 10.0))),
     "random_forest" -> ModelConfig(enabled = true,
-      grid = Map("n_estimators" -> Seq(100.0, 200.0), "max_depth" -> Seq(5.0, 10.0, 20.0))),
+      grid = Map("n_estimators" -> Seq(100.0, 200.0), "max_depth" -> Seq(5.0, 10.0, 20.0),
+        "min_samples_split" -> Seq(2.0, 5.0), "min_samples_leaf" -> Seq(1.0, 2.0))),
     "xgboost" -> ModelConfig(enabled = true,
       grid = Map("n_estimators" -> Seq(100.0, 200.0), "max_depth" -> Seq(3.0, 5.0, 7.0),
-        "learning_rate" -> Seq(0.01, 0.1)))),
+        "learning_rate" -> Seq(0.01, 0.1), "subsample" -> Seq(0.8, 1.0)))),
   championF1Threshold: Double = 0.65,         // evaluation.py:139-150
   championAucThreshold: Double = 0.70,
   shapSampleSize: Int = 500,                  // pipeline_config.yaml:78

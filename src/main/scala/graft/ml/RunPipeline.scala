@@ -27,8 +27,11 @@ object RunPipeline {
       "label", config.testSize, config.randomState)
     val trainC = train.cache(); val testC = test.cache()
     val (nTrain, nTest) = (trainC.count(), testC.count())
-    // 5. grid-search training per enabled model
-    val trained = Training.trainAll(config, trainC)
+    // 5. grid-search training per enabled model (keep the per-combo CV
+    // evidence — the reference logs it to MLflow, training.py:98-150)
+    val detailed = Training.trainAllDetailed(config, trainC)
+    val trained = detailed.map(_._1)
+    writeTrainingRunLog(config, detailed)
     // 6. evaluate + select champion
     val scores = trained.map(t => Evaluation.evaluate(t.model, testC, t.name))
     val champion = Evaluation.selectChampion(scores,
@@ -37,11 +40,21 @@ object RunPipeline {
     // SHAP for linear champions, exact TreeSHAP for tree ensembles
     champion.foreach { c =>
       val model = trained.find(_.name == c.name).get.model
-      val sample = testC.orderBy(org.apache.spark.sql.functions.rand(config.randomState))
-        .limit(config.shapSampleSize)
-      val shapLong = model match {
+      val sample = Shap.sampleRows(testC, config.shapSampleSize, config.randomState)
+      val (shapLong, expectedValue) = model match {
         case lr: LogisticRegressionModel =>
-          Shap.linearShap(lr, testC, config.shapSampleSize, config.randomState)
+          // base value of the margin-space linear SHAP:
+          // E[f(x)] = intercept + w·E[x] over the background sample
+          val nFeat = lr.coefficients.size
+          val means = sample
+            .select(org.apache.spark.ml.functions.vector_to_array(
+              org.apache.spark.sql.functions.col("features")).as("x"))
+            .select((0 until nFeat).map(i => org.apache.spark.sql.functions
+              .avg(org.apache.spark.sql.functions.col("x").getItem(i))): _*)
+            .collect()(0)
+          val ev = lr.intercept + lr.coefficients.toArray.zipWithIndex
+            .map { case (w, i) => w * means.getDouble(i) }.sum
+          (Shap.linearShap(lr, testC, config.shapSampleSize, config.randomState), ev)
         case m =>
           val nFeat = m match {
             case rf: org.apache.spark.ml.classification.RandomForestClassificationModel => rf.numFeatures
@@ -49,9 +62,10 @@ object RunPipeline {
             case dt: org.apache.spark.ml.classification.DecisionTreeClassificationModel => dt.numFeatures
             case _ => 0
           }
-          TreeShap.shapValues(m, sample, nFeat)
+          (TreeShap.shapValues(m, sample, nFeat), TreeShap.expectedValue(m))
       }
-      Shap.globalImportance(shapLong, config.maxDisplayFeatures).collect()
+      val importance = Shap.globalImportance(shapLong, config.maxDisplayFeatures).collect()
+      writeExplainabilityReport(config, importance, expectedValue, config.shapSampleSize)
     }
     // 7b. S5 report sinks (`evaluation.py:178-204`, `explainability.py:134-156`)
     writeEvaluationReport(config, scores, champion)
@@ -85,6 +99,61 @@ object RunPipeline {
          |  "thresholds": {"f1": ${config.championF1Threshold}, "roc_auc": ${config.championAucThreshold}}
          |}""".stripMargin
     java.nio.file.Files.writeString(dir.resolve("evaluation_report.json"), json)
+  }
+
+  /** S5 — explainability report JSON (`explainability.py:134-156` shape:
+    * expected_value + sample_size + sorted feature_importance). */
+  private def writeExplainabilityReport(config: PipelineConfig,
+                                        importance: Array[org.apache.spark.sql.Row],
+                                        expectedValue: Double,
+                                        sampleSize: Int): Unit = {
+    val dir = java.nio.file.Paths.get(config.modelDir)
+    java.nio.file.Files.createDirectories(dir)
+    val items = importance.map(r =>
+      s"""    {"feature": "feature_${r.getAs[Int]("feature_idx")}", """ +
+        s""""importance": ${r.getAs[Double]("mean_abs_shap")}}""")
+      .mkString(",\n")
+    val json =
+      s"""{
+         |  "expected_value": $expectedValue,
+         |  "sample_size": $sampleSize,
+         |  "feature_importance": [
+         |$items
+         |  ]
+         |}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("explainability_report.json"), json)
+  }
+
+  /** M13 — per-model grid-search run log (the MLflow payload replacement,
+    * `training.py:98-150`): best params + every combo's mean CV score. */
+  private[ml] def writeTrainingRunLog(config: PipelineConfig,
+      detailed: Seq[(Training.TrainedModel, Seq[Training.CvResult])]): Unit = {
+    val dir = java.nio.file.Paths.get(config.modelDir)
+    java.nio.file.Files.createDirectories(dir)
+    def paramsJson(p: Map[String, Double]): String =
+      p.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+    val perModel = detailed.map { case (t, cvResults) =>
+      val combos = cvResults.map(r =>
+        s"""      {"params": ${paramsJson(r.params)}, "mean_f1": ${r.meanScore}}""")
+        .mkString(",\n")
+      s"""    "${t.name}": {
+         |      "best_params": ${paramsJson(t.params)},
+         |      "best_cv_f1": ${t.cvScore},
+         |      "cv_results": [
+         |$combos
+         |      ]
+         |    }""".stripMargin
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |  "scoring_metric": "${config.scoringMetric}",
+         |  "cv_folds": ${config.cvFolds},
+         |  "models": {
+         |$perModel
+         |  }
+         |}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("training_run_log.json"), json)
   }
 
   def main(args: Array[String]): Unit = {

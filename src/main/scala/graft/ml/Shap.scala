@@ -20,11 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Shap {
 
+  /** Seeded ~n-row sample in O(scan): Bernoulli `df.sample` oversampled
+    * 1.5× then trimmed to exactly n. Replaces `orderBy(rand).limit(n)`,
+    * whose global sort is the one step that cannot run at 100 TB — the
+    * reference's `df.sample(n, random_state)` is likewise O(scan)
+    * (`explainability.py:64-72`). Deterministic for a fixed seed and
+    * partition layout; SHAP consumers assert the local-accuracy axiom,
+    * not sample identity. */
+  private[ml] def sampleRows(df: DataFrame, n: Int, seed: Long): DataFrame = {
+    if (n == Int.MaxValue) df
+    else {
+      val cnt = df.count()
+      if (cnt <= n) df
+      else df.sample(withReplacement = false,
+        math.min(1.0, 1.5 * n / cnt), seed).limit(n)
+    }
+  }
+
   /** E2 — per-row, per-feature attributions for a linear model. Output:
     * long form (row_id, feature_idx, shap). */
   def linearShap(model: LogisticRegressionModel, df: DataFrame,
                  sampleSize: Int, seed: Long = 42L): DataFrame = {
-    val sample = df.orderBy(rand(seed)).limit(sampleSize).cache()
+    val sample = sampleRows(df, sampleSize, seed).cache()
     val nFeat = model.coefficients.size
     val arr = sample.select(vector_to_array(col("features")).as("x"))
     val bgMeans = arr.select((0 until nFeat).map(i =>
@@ -52,7 +69,7 @@ object Shap {
     import org.apache.spark.ml.linalg.Vectors
     val spark = df.sparkSession
     import spark.implicits._
-    val sample = df.orderBy(rand(seed)).limit(sampleSize)
+    val sample = sampleRows(df, sampleSize, seed)
       .select(vector_to_array(col("features")).as("x")).cache()
     val bg = sample.select((0 until nFeat).map(i => avg(col("x").getItem(i)).as(s"m$i")): _*)
       .collect()(0)

@@ -14,9 +14,13 @@ import graft.operators.{Features, Metrics}
   * Model mapping (offline jar set, SURVEY.md §2.4):
   *  - logistic_regression → MLlib LogisticRegression; sklearn C ↔
   *    regParam = 1/(C·n) (L2, elasticNetParam=0)
-  *  - random_forest → RandomForestClassifier (no min_samples_split analog —
-  *    documented gap)
-  *  - xgboost → GBTClassifier surrogate (xgboost4j not shippable offline)
+  *  - random_forest → RandomForestClassifier; min_samples_leaf ↔
+  *    minInstancesPerNode. min_samples_split has no MLlib analog (a
+  *    pre-split node-size gate vs MLlib's child-size gate); it stays a
+  *    swept grid dimension for combo-count parity with the reference
+  *    (`pipeline_config.yaml:37-43` — 24 RF combos) but binds to no knob.
+  *  - xgboost → GBTClassifier surrogate (xgboost4j not shippable offline);
+  *    subsample ↔ subsamplingRate, learning_rate ↔ stepSize.
   *
   * Parallelism: each fold-fit is cluster-data-parallel; the grid loop is
   * sequential on the driver like sklearn's outer loop (its `n_jobs=-1`
@@ -38,11 +42,13 @@ object Training {
         new RandomForestClassifier().setSeed(42L)
           .setNumTrees(params.getOrElse("n_estimators", 100.0).toInt)
           .setMaxDepth(params.getOrElse("max_depth", 5.0).toInt)
+          .setMinInstancesPerNode(params.getOrElse("min_samples_leaf", 1.0).toInt)
       case "xgboost" =>
         new GBTClassifier().setSeed(42L)
-          .setMaxIter(params.getOrElse("n_estimators", 100.0).toInt.min(50))
+          .setMaxIter(params.getOrElse("n_estimators", 100.0).toInt)
           .setMaxDepth(params.getOrElse("max_depth", 3.0).toInt)
           .setStepSize(params.getOrElse("learning_rate", 0.1))
+          .setSubsamplingRate(params.getOrElse("subsample", 1.0))
       case other => throw new IllegalArgumentException(s"Unknown model type: $other")
     }
 
@@ -84,11 +90,16 @@ object Training {
     (TrainedModel(name, best.params, best.meanScore, refit), results)
   }
 
-  /** M13 — enabled-model loop (`training.py:98-150`); MLflow tracking is
-    * replaced by the JSON run log in [[RunLog]]. */
-  def trainAll(config: PipelineConfig, train: DataFrame): Seq[TrainedModel] =
+  /** M13 — enabled-model loop (`training.py:98-150`) keeping the full
+    * per-combo CV evidence; MLflow tracking is replaced by the JSON run
+    * log written in [[RunPipeline.writeTrainingRunLog]]. */
+  def trainAllDetailed(config: PipelineConfig,
+                       train: DataFrame): Seq[(TrainedModel, Seq[CvResult])] =
     config.models.toSeq.sortBy(_._1).collect {
-      case (name, mc) if mc.enabled => gridSearch(name, mc.grid, train,
-        config.cvFolds, config.randomState)._1
+      case (name, mc) if mc.enabled =>
+        gridSearch(name, mc.grid, train, config.cvFolds, config.randomState)
     }
+
+  def trainAll(config: PipelineConfig, train: DataFrame): Seq[TrainedModel] =
+    trainAllDetailed(config, train).map(_._1)
 }

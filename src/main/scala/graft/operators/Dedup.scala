@@ -57,14 +57,18 @@ object Dedup {
       val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
       s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
     }
-    // persist: the banded signature relation feeds both sides of the
-    // self-equijoin — without it Spark recomputes the full signature
-    // pipeline per side (no CSE across self-joins). At cluster scale this
-    // is the same call (or a checkpoint of the signature table).
+    // localCheckpoint: the banded signature relation feeds both sides of
+    // the self-equijoin — without materialization Spark recomputes the full
+    // signature pipeline per side (no CSE across self-joins). Checkpoint
+    // beats .persist() here: lineage is truncated, and the backing blocks
+    // are reference-tracked by the ContextCleaner instead of pinned in the
+    // cache manager until an unpersist that a lazily-returned DataFrame can
+    // never safely issue. At cluster scale this is a signature-table
+    // checkpoint.
     val banded = sigDf.select(col("doc_id"),
         explode(expr(bandArr.mkString("array(", ", ", ")"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist()
+      .localCheckpoint(true)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bh"))
@@ -77,7 +81,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, minSim: Double, w: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val cands = minhashCandidates(docs, w, bands, rowsPerBand)
-    val sh = withShingles(docs, w).persist()
+    val sh = withShingles(docs, w).localCheckpoint(true)
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -111,19 +115,28 @@ object Dedup {
     val sigs = simhash(docs)
     val chunks = (0 until 4).map(c =>
       s"named_struct('chunk', $c, 'v', shiftright(simhash, ${c * 16}) & 65535)")
+    // materialized for the same self-join reason as minhashCandidates: the
+    // banded relation feeds both sides, and Spark does no CSE across
+    // self-joins — unmaterialized, the whole signature pipeline runs twice
     val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(expr(chunks.mkString("array(", ", ", ")"))).as("cc"))
       .select(col("doc_id"), col("simhash"),
         col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+      .localCheckpoint(true)
     val a = banded.select(col("chunk"), col("v"),
       col("doc_id").as("id_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("chunk"), col("v"),
       col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    // distinct BEFORE the hamming projection: a pair colliding in several
+    // chunks appears once per collision, and bit_count must not be
+    // re-evaluated per duplicate. (sig_a, sig_b) are functionally dependent
+    // on (id_a, id_b), so the distinct key set is unchanged.
     a.join(b, Seq("chunk", "v"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sig_a ^ sig_b)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
   }

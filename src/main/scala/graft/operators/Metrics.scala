@@ -111,8 +111,10 @@ object Metrics {
     * argmax with deterministic tie-break. */
   def championBySegment(orders: DataFrame, customer: DataFrame, minF1: Double): DataFrame = {
     val med = orders.agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    // med is a 1-row relation → broadcast; customer scales with SF → no
+    // hint, AQE chooses (forced broadcast would OOM the driver at 100×)
     val labeled = orders.crossJoin(broadcast(med))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("model"),
         when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
         when(col("o_totalprice") > col("med"), 1).otherwise(0).as("yhat"))

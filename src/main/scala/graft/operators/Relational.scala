@@ -12,10 +12,13 @@ import graft.Tables
   * of this engine's graded capability surface and run on the star schema.
   *
   * Scale notes (100 TB):
-  *  - Dimension joins (`nation`, `region`, `customer` at small SF) are
-  *    explicitly `broadcast(...)` — no shuffle of the fact table. At real
-  *    scale `customer` outgrows the broadcast threshold and AQE will pick a
-  *    shuffled hash join on the same declarative plan.
+  *  - Only fixed-cardinality dimensions (`nation` = 25 rows, `region` = 5)
+  *    carry an explicit `broadcast(...)` hint. SF-scaled tables (`customer`,
+  *    `supplier`, `part`) are left unhinted: a forced hint would override
+  *    AQE's size-based choice and OOM the driver at 100× scale, whereas
+  *    unhinted AQE still picks BroadcastHashJoin at small SF (asserted via
+  *    the PLANS.md dump) and switches to shuffled hash join when the side
+  *    outgrows the threshold.
   *  - Grouped aggregates rely on map-side partial aggregation; shuffle
   *    volume is O(groups), not O(rows).
   *  - Windows are always `partitionBy` a high-cardinality key (custkey) —
@@ -33,7 +36,7 @@ object Relational {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -46,7 +49,7 @@ object Relational {
   def topCustomers(s: SparkSession, dir: String, k: Int): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(round(sum(col("o_totalprice")), 2).as("spend"),
            count(lit(1)).as("n_orders"))

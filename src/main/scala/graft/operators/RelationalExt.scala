@@ -46,11 +46,43 @@ object RelationalExt {
       .orderBy(col("month"))
   }
 
-  /** Quartile assignment + per-quartile stats (ntile). */
+  /** Quartile assignment + per-quartile stats, exactly matching
+    * `ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)` — but WITHOUT the
+    * global single-partition window (the classic 100×-scale killer).
+    *
+    * Scale shape (à la [[Metrics.aucDistributed]]): range-repartition by the
+    * sort key, sort within partitions, collect only the tiny per-partition
+    * row counts, then assign each row its global rank = partition offset +
+    * local index and apply the ntile formula (first `N mod 4` tiles get
+    * `⌈N/4⌉` rows). Two scan-parallel passes, no stage with one task;
+    * bit-identical to the windowed form (asserted in RelationalSpec). */
   def priceQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(ntile(4).over(w).cast("long").as("quartile"), col("o_totalprice"))
+    val parts = 32
+    // localCheckpoint (not persist): materialized once for the two passes,
+    // lineage truncated, and the backing blocks are reference-tracked by the
+    // ContextCleaner — nothing left pinned in the cache manager afterwards
+    val sorted = Tables.orders(s, dir)
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+      .localCheckpoint(true)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val q = total / 4; val r = total % 4
+    val quartRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = offsets(pid)
+      it.map { row =>
+        rn += 1
+        val g =
+          if (q == 0L || rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
+          else r + (rn - r * (q + 1) - 1) / q + 1
+        (g, row.getDouble(0))
+      }
+    }
+    s.createDataFrame(quartRdd).toDF("quartile", "o_totalprice")
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
       .orderBy(col("quartile"))
@@ -70,19 +102,22 @@ object RelationalExt {
       .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
   }
 
-  /** First and last order price per customer (first_value/last_value over
-    * the full partition frame). */
-  def firstLastOrder(s: SparkSession, dir: String): DataFrame = {
-    val wf = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+  /** First and last order price per customer. Semantically
+    * first_value/last_value over the full partition frame, but executed as a
+    * single map-side-combined hash aggregate — `min_by`/`max_by` keyed on
+    * (o_orderdate, o_orderkey) — instead of a window (per-partition sort)
+    * followed by a `.distinct()` that shuffles one row per order back down
+    * to one per customer. The (date, key) struct is unique per order, so
+    * the argmin/argmax is deterministic. */
+  def firstLastOrder(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .select(col("o_custkey"),
-        first_value(col("o_totalprice")).over(wf).as("first_price"),
-        last_value(col("o_totalprice")).over(wf).as("last_price"))
-      .distinct()
+      .groupBy(col("o_custkey"))
+      .agg(
+        min_by(col("o_totalprice"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("first_price"),
+        max_by(col("o_totalprice"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("last_price"))
       .orderBy(col("o_custkey"))
-  }
 
   /** Full-outer join: per-nation customer vs supplier counts (sparse
     * supplier side exercises null rows on both legs). */
@@ -118,14 +153,15 @@ object RelationalExt {
         |ORDER BY c_custkey""".stripMargin)
   }
 
-  /** Three-way fact-dimension join: revenue by part brand (broadcast both
-    * dimensions). */
+  /** Three-way fact-dimension join: revenue by part brand. `part` and
+    * `supplier` scale with SF, so no broadcast hint — AQE picks the join
+    * strategy by measured size. */
   def revenueByBrand(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
     val sup = Tables.supplier(s, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .groupBy(col("p_brand"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         countDistinct(col("s_suppkey")).as("n_suppliers"))
@@ -139,7 +175,7 @@ object RelationalExt {
     val o = Tables.orders(s, dir)
     val l = Tables.lineitem(s, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"),
         col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
         col("o_orderpriority"))
@@ -158,8 +194,8 @@ object RelationalExt {
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
         c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -182,8 +218,8 @@ object RelationalExt {
     val n2 = Tables.nation(s, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n1), c("c_nationkey") === col("c_nk"))
       .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
       .filter(col("cust_nation") =!= col("supp_nation"))

@@ -39,10 +39,36 @@ object Similarity {
     }
   }
 
+  /** Salted two-phase per-query top-k over a scored candidate relation
+    * (query_id, nbr_id, cos_sim). A single window partitioned by query_id
+    * caps parallelism at nQueries tasks — with 20 queries and a large
+    * corpus that's one straggler stage. Phase 1 ranks within
+    * (query_id, salt) — `salts`× the parallelism, each task seeing ~1/salts
+    * of the candidates — and keeps k per salt; phase 2 ranks the ≤ salts·k
+    * survivors per query (tiny). The global top-k under
+    * (cos_sim desc, nbr_id) is contained in the union of per-salt top-ks,
+    * so the result — ranks included — is bit-identical to the one-window
+    * form (asserted in SimilaritySpec). */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 8): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    scored
+      .withColumn("__salt", pmod(col("nbr_id"), lit(salts)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos_sim"),
+        row_number().over(w2).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** D4 exact — brute-force top-k cosine neighbors for a bounded query set
     * (`vec_id < nQueries`). Query side is broadcast; corpus is scanned
-    * once; top-k per query via ranked window on (rounded sim, neighbor id)
-    * so selection is deterministic. */
+    * once; top-k per query via the salted two-phase rank on (rounded sim,
+    * neighbor id) so selection is deterministic and the top-k stage is not
+    * capped at nQueries-way parallelism. */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -52,12 +78,7 @@ object Similarity {
       .filter(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"),
         Features.pround(cosineExprIn(Some(embeddings.sparkSession), "q_emb", "n_emb"), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("nbr_id"))
-    joined.select(col("query_id"), col("nbr_id"), col("cos_sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(joined, k)
   }
 
   /** D4 scale path — random-hyperplane LSH bucketing: signature = sign
@@ -117,12 +138,7 @@ object Similarity {
       .join(broadcast(qEmb), "query_id")
       .select(col("query_id"), col("nbr_id"),
         Features.pround(cosineExprIn(Some(embeddings.sparkSession), "q_emb", "n_emb"), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("nbr_id"))
-    cands.select(col("query_id"), col("nbr_id"), col("cos_sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(cands, k)
   }
 
   /** D4 scale path #2 — IVF (inverted-file) approximate nearest neighbors:
@@ -149,9 +165,13 @@ object Similarity {
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .fit(withVec.select("features").limit(10000))
     val centroids = km.clusterCenters.map(_.toArray)
-    // assignment: one pass, centroids broadcast inside the model transform
+    // assignment: one pass, centroids broadcast inside the model transform.
+    // localCheckpoint — the assigned relation is scanned three times below
+    // (query collect, query-embedding lookup, candidate join); materialize
+    // once, lineage truncated, blocks GC-tracked (no cache-manager leak)
     val assigned = km.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .localCheckpoint(true)
     // queries probe their nProbe nearest centroids (tiny driver-side math
     // over nQueries × nLists — the centroid table is the "index")
     val queries = assigned.filter(col("vec_id") < nQueries)
@@ -176,12 +196,7 @@ object Similarity {
       .join(broadcast(qEmb), "query_id")
       .select(col("query_id"), col("nbr_id"),
         Features.pround(cosineExprIn(Some(spark), "q_emb", "n_emb"), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("nbr_id"))
-    cands.select(col("query_id"), col("nbr_id"), col("cos_sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(cands, k)
   }
 
   /** Embedding-cosine near-duplicate pairs for a bounded id range: all

@@ -89,6 +89,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits >= bf1.size / 3, s"IVF recall too low: $hits/${bf1.size}")
   }
 
+  test("D4: salted two-phase top-k is bit-identical to a single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    // rebuild the scored candidate relation exactly as bruteForceTopK does,
+    // rank it with the one-window form, and compare against the salted path
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val joined = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        Features.pround(Similarity.cosineExpr("q_emb", "n_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("nbr_id"))
+    val oneWindow = joined
+      .select(col("query_id"), col("nbr_id"), col("cos_sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    val salted = Similarity.bruteForceTopK(emb, 5, 3).collect().map(_.toSeq)
+    assert(salted.toSeq == oneWindow.toSeq)
+  }
+
   test("D1 exact dedup groups: total copies equals row count") {
     val g = TextOps.dedupGroups(docs)
     assert(g.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())

@@ -88,6 +88,39 @@ class MlPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Training.build("quantum_forest", Map.empty, 100L))
   }
 
+  test("M10/M11: restored grid dims bind to the MLlib knobs") {
+    val rf = Training.build("random_forest",
+      Map("n_estimators" -> 50.0, "max_depth" -> 5.0, "min_samples_leaf" -> 2.0), 100L)
+      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassifier]
+    assert(rf.getMinInstancesPerNode == 2)
+    val gbt = Training.build("xgboost",
+      Map("n_estimators" -> 100.0, "subsample" -> 0.8), 100L)
+      .asInstanceOf[org.apache.spark.ml.classification.GBTClassifier]
+    assert(gbt.getSubsamplingRate == 0.8)
+    assert(gbt.getMaxIter == 100) // no silent cap on n_estimators
+    // the default config sweeps the reference's full grid shape
+    // (pipeline_config.yaml:37-50): 2·3·2·2 = 24 RF combos, 24 XGB combos
+    val defaults = PipelineConfig()
+    assert(Training.gridCombos(defaults.models("random_forest").grid).size == 24)
+    assert(Training.gridCombos(defaults.models("xgboost").grid).size == 24)
+  }
+
+  test("S5/M13: run writes evaluation, explainability, and training-log reports") {
+    assert(result.champion.isDefined) // forces the shared run
+    val dir = java.nio.file.Paths.get(config.modelDir)
+    val eval = java.nio.file.Files.readString(dir.resolve("evaluation_report.json"))
+    assert(eval.contains("\"champion\"") && eval.contains("\"thresholds\""))
+    val expl = java.nio.file.Files.readString(dir.resolve("explainability_report.json"))
+    assert(expl.contains("\"expected_value\"") && expl.contains("\"feature_importance\""))
+    assert(expl.contains("\"sample_size\": " + config.shapSampleSize))
+    val log = java.nio.file.Files.readString(dir.resolve("training_run_log.json"))
+    assert(log.contains("\"cv_results\"") && log.contains("\"best_params\""))
+    // every enabled model's grid evidence is present
+    config.models.collect { case (name, mc) if mc.enabled =>
+      assert(log.contains(s""""$name""""), s"run log missing $name")
+    }
+  }
+
   test("deployment: promote → load round-trip scores identically; re-promotion archives") {
     assert(result.champion.isDefined) // forces the shared run (and its promote)
     val (model, pre, metaJson) = Deployment.load(spark, config.modelDir)

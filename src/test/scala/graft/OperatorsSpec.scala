@@ -140,6 +140,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(champ(0).getAs[Double]("f1") >= 0.0)
   }
 
+  test("x17: range-partitioned quartiles are bit-identical to the windowed ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val windowed = ord
+      .select(ntile(4).over(w).cast("long").as("quartile"), col("o_totalprice"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("quartile")).collect().map(_.toSeq)
+    val scaled = RelationalExt.priceQuartiles(spark, sfDir).collect().map(_.toSeq)
+    assert(scaled.toSeq == windowed.toSeq)
+  }
+
+  test("x19: min_by/max_by aggregate matches the windowed first/last form") {
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val windowed = ord.select(col("o_custkey"),
+        first_value(col("o_totalprice")).over(wf).as("first_price"),
+        last_value(col("o_totalprice")).over(wf).as("last_price"))
+      .distinct().orderBy(col("o_custkey")).collect().map(_.toSeq)
+    val agged = RelationalExt.firstLastOrder(spark, sfDir).collect().map(_.toSeq)
+    assert(agged.toSeq == windowed.toSeq)
+  }
+
   implicit class SeqToDf(s: Seq[Double]) {
     def toDF(sess: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
       import sess.implicits._
