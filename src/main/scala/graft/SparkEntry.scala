@@ -117,6 +117,7 @@ object SparkEntry {
     "x27_grouping_sets" -> ((s, d) => RelationalExt.groupingSets(s, d)),
     "d23_subword_tokens" -> ((s, d) => TextOps.subwordTokenStats(Tables.documents(s, d))),
     "x28_nation_pair_volume" -> ((s, d) => RelationalExt.nationPairVolume(s, d)),
+    "x29_bucketed_segment_spend" -> ((s, d) => Scale.bucketedSegmentSpend(s, d)),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -483,6 +484,12 @@ object SparkEntry {
         "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
         "WHERE n1.n_name <> n2.n_name " +
         "GROUP BY 1, 2 ORDER BY cust_nation, supp_nation"),
+    "x29_bucketed_segment_spend" ->
+      ("SELECT c_mktsegment, " +
+        "CAST(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 " +
+        "AS spend, count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY c_mktsegment"),
     "d23_subword_tokens" ->
       ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) " +
         "AS total_subword_tokens, " +

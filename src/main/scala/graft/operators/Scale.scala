@@ -47,4 +47,44 @@ object Scale {
     * the scan of a filtered read touches only matching directories. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Declared-query form of the bucketed co-located join: orders and
+    * customer are laid out as bucketed-sorted tables on custkey (the
+    * one-time layout cost a warehouse pays once), then joined with NO
+    * shuffle on either side — the plan over the bucketed scans has no
+    * Exchange below the join (asserted in ScaleSpec) — and aggregated to
+    * spend per market segment. Only the O(groups) aggregate shuffles.
+    * Integer-cent summation keeps group totals order-independent across
+    * engines (same rationale as nationPairVolume). */
+  /** Drop a managed table AND clear its warehouse directory: a fresh
+    * session whose catalog has no entry for `table` cannot overwrite a
+    * leftover location from a previous JVM (LOCATION_ALREADY_EXISTS). */
+  private def dropManaged(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(warehouse, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  def bucketedSegmentSpend(s: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    import graft.Tables
+    dropManaged(s, "graft_bucketed_orders")
+    dropManaged(s, "graft_bucketed_customer")
+    writeBucketed(Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+      "graft_bucketed_orders", "custkey", buckets)
+    writeBucketed(Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+      "graft_bucketed_customer", "custkey", buckets)
+    bucketedJoin(s, "graft_bucketed_orders", "graft_bucketed_customer", "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

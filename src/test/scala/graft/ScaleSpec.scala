@@ -36,6 +36,22 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_cust")
   }
 
+  test("x29 declared bucketed query: custkey join shuffle-free, values match plain join") {
+    val res = Scale.bucketedSegmentSpend(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(custkey"),
+      s"bucketed join side must not shuffle on custkey:\n$plan")
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("spend"), count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment")).collect().map(_.toSeq)
+    assert(res.collect().map(_.toSeq).toSeq == plain.toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_customer")
+  }
+
   test("partitioned write prunes at scan time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     Scale.writePartitioned(
