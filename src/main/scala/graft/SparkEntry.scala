@@ -118,6 +118,8 @@ object SparkEntry {
     "d23_subword_tokens" -> ((s, d) => TextOps.subwordTokenStats(Tables.documents(s, d))),
     "x28_nation_pair_volume" -> ((s, d) => RelationalExt.nationPairVolume(s, d)),
     "x29_bucketed_segment_spend" -> ((s, d) => Scale.bucketedSegmentSpend(s, d)),
+    "x30_asof_last_order" -> ((s, d) => Temporal.asofLastOrder(s, d)),
+    "d24_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d), 5)),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -490,6 +492,26 @@ object SparkEntry {
         "AS spend, count(*) AS n_orders " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY 1 ORDER BY c_mktsegment"),
+    "x30_asof_last_order" ->
+      ("SELECT event_id, user_id, o_orderkey AS last_orderkey, o_totalprice AS last_price " +
+        "FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +
+        "row_number() OVER (PARTITION BY e.event_id " +
+        "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+        "FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
+        "AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) " +
+        "WHERE rn = 1 ORDER BY event_id"),
+    "d24_tfidf_top_terms" ->
+      ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "lt AS (SELECT lang, term, sum(tf) AS total_tf FROM tf GROUP BY 1, 2), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT lang, term, CAST(total_tf AS BIGINT) AS total_tf, df, " +
+        "floor(CAST(total_tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS tfidf " +
+        "FROM lt JOIN dft USING(term) CROSS JOIN n) " +
+        "SELECT lang, rnk, term, total_tf, df, tfidf FROM " +
+        "(SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rnk, " +
+        "term, total_tf, df, tfidf FROM scored) WHERE rnk <= 5 ORDER BY lang, rnk"),
     "d23_subword_tokens" ->
       ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) " +
         "AS total_subword_tokens, " +

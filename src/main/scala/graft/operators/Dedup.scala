@@ -45,12 +45,20 @@ object Dedup {
     * `rowsPerBand`, banded docs equijoined on (band index, band hash).
     * Returns distinct (id_a < id_b) candidate pairs. */
   def minhashCandidates(docs: DataFrame, w: Int = 3, bands: Int = 16,
-                        rowsPerBand: Int = 4): DataFrame = {
+                        rowsPerBand: Int = 4): DataFrame =
+    minhashCandidatesFromShingles(withShingles(docs, w), bands, rowsPerBand)
+
+  /** Candidate generation over an already-shingled (doc_id, sh) relation —
+    * lets [[minhashNearDups]] share ONE shingle scan between signature
+    * computation and Jaccard verification instead of running the tokenize +
+    * shingle pipeline twice. */
+  private def minhashCandidatesFromShingles(shingled: DataFrame, bands: Int,
+                                            rowsPerBand: Int): DataFrame = {
     val n = bands * rowsPerBand
     // note: no emptiness filter — the shingle array is never empty by
     // construction, and a filter on it would be pushed into the scan and
     // recompute the whole shingle pipeline per row
-    val sigDf = withShingles(docs, w)
+    val sigDf = shingled
       .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
       .select(col("doc_id"), minhashSignature("hs", n).as("sig"))
     val bandArr = (0 until bands).map { b =>
@@ -80,8 +88,10 @@ object Dedup {
     * ≥ minSim. Verification joins shingle sets back only for candidates. */
   def minhashNearDups(docs: DataFrame, minSim: Double, w: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minhashCandidates(docs, w, bands, rowsPerBand)
+    // one shingle scan for the whole pipeline: the materialized (doc_id, sh)
+    // relation feeds signature/banding AND the exact-Jaccard verification
     val sh = withShingles(docs, w).localCheckpoint(true)
+    val cands = minhashCandidatesFromShingles(sh, bands, rowsPerBand)
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

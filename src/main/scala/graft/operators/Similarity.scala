@@ -141,6 +141,71 @@ object Similarity {
     topKPerQuery(cands, k)
   }
 
+  /** Seeded k-means++ init + Lloyd iterations over a bounded in-memory
+    * sample (the IVF coarse quantizer). Deterministic for a fixed seed;
+    * an emptied cluster keeps its previous centroid. */
+  private[operators] def kmeansLloyd(points: Array[Array[Double]], k: Int,
+                                     iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans sample is empty")
+    val rng = new scala.util.Random(seed)
+    val dim = points(0).length
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < dim) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    // k-means++ seeding: first centroid uniform, next ∝ D²(x)
+    val centroids = Array.ofDim[Array[Double]](k)
+    centroids(0) = points(rng.nextInt(points.length)).clone()
+    val d2 = points.map(sqDist(_, centroids(0)))
+    var c = 1
+    while (c < k) {
+      val total = d2.sum
+      val target = rng.nextDouble() * total
+      var acc = 0.0; var pick = 0
+      var i = 0
+      while (i < points.length && acc <= target) { acc += d2(i); pick = i; i += 1 }
+      centroids(c) = points(pick).clone()
+      var j = 0
+      while (j < points.length) {
+        val d = sqDist(points(j), centroids(c))
+        if (d < d2(j)) d2(j) = d
+        j += 1
+      }
+      c += 1
+    }
+    // Lloyd iterations
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = Array.ofDim[Long](k)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      points.foreach { p =>
+        var best = 0; var bestD = sqDist(p, centroids(0))
+        var ci = 1
+        while (ci < k) {
+          val d = sqDist(p, centroids(ci))
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      var ci = 0
+      while (ci < k) {
+        if (counts(ci) > 0) {
+          var j = 0
+          while (j < dim) { centroids(ci)(j) = sums(ci)(j) / counts(ci); j += 1 }
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** D4 scale path #2 — IVF (inverted-file) approximate nearest neighbors:
     * a k-means coarse quantizer partitions the corpus into `nLists`
     * cells; a query probes its `nProbe` nearest centroids and re-ranks
@@ -154,23 +219,31 @@ object Similarity {
     * data-oblivious. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val spark = embeddings.sparkSession
-    val withVec = embeddings.select(col("vec_id"),
-      col("embedding"),
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
     // quantizer trains on a capped sample — at corpus scale nobody k-means
-    // the full table; centroid quality converges long before full coverage
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
-      .fit(withVec.select("features").limit(10000))
-    val centroids = km.clusterCenters.map(_.toArray)
-    // assignment: one pass, centroids broadcast inside the model transform.
-    // localCheckpoint — the assigned relation is scanned three times below
-    // (query collect, query-embedding lookup, candidate join); materialize
-    // once, lineage truncated, blocks GC-tracked (no cache-manager leak)
-    val assigned = km.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // the full table; centroid quality converges long before full coverage.
+    // The sample is bounded (10k × dim doubles ≈ MBs), so Lloyd's runs on
+    // the driver in milliseconds where a distributed fit pays multiple
+    // job launches per iteration for no extra quality.
+    val sample: Array[Array[Double]] = embeddings.select(col("embedding"))
+      .limit(10000).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = kmeansLloyd(sample, nLists, iters = 5, seed)
+    // assignment: one codegen'd scan — per-centroid squared-L2 distances as
+    // fused array expressions, cell = argmin. localCheckpoint — the assigned
+    // relation is scanned three times below (query collect, query-embedding
+    // lookup, candidate join); materialize once, lineage truncated, blocks
+    // GC-tracked (no cache-manager leak)
+    val distExprs = centroids.map { c =>
+      val arr = c.map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
+      s"aggregate(zip_with(embedding, $arr, (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    }
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding"),
+        expr(distExprs.mkString("array(", ", ", ")")).as("__dists"))
+      .select(col("vec_id"), col("embedding"),
+        (expr("array_position(__dists, array_min(__dists))") - 1L)
+          .cast("int").as("cell"))
       .localCheckpoint(true)
     // queries probe their nProbe nearest centroids (tiny driver-side math
     // over nQueries × nLists — the centroid table is the "index")

@@ -117,6 +117,43 @@ object TextOps {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"), col("source"))
 
+  /** D5 — TF-IDF top-k terms per language. Score for a (lang, term) is
+    * `Σ_docs tf(doc, term) · ln(N / df(term))` — since idf is constant per
+    * term, it factors out of the sum, so the score is ONE multiplication of
+    * an exact integer sum by `ln` of a ratio of exact integers: the float
+    * work is a single deterministic operation per output row, not an
+    * order-dependent summation (cross-engine safe).
+    *
+    * Scale shape: tf is a map-side-combined (doc, term) aggregate, df a
+    * term-keyed aggregate, the N relation is 1 row (broadcast); the final
+    * top-k window partitions by lang over the per-(lang, term) aggregate —
+    * input already reduced to vocab size, bounded per language. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ", -1)).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // tf rows are unique per (doc, term)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.groupBy(col("lang"), col("term"))
+      .agg(sum(col("tf")).as("total_tf"))
+      .join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("term"), col("total_tf"), col("df"),
+        Features.pround(col("total_tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("term"), col("total_tf"), col("df"), col("tfidf"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword-list
     * hits and argmax. No SQL oracle (the stopword tables are engine-local
     * config) — covered by ScalaTest on documents with known `lang`. */

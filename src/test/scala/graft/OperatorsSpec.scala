@@ -16,6 +16,24 @@ class OperatorsSpec extends AnyFunSuite {
   private def cust = Tables.customer(spark, sfDir)
   private def docs = Tables.documents(spark, sfDir)
 
+  test("D5 tf-idf: ranks contiguous per lang, scores non-negative and sorted, idf factoring exact") {
+    val res = TextOps.tfidfTopTerms(docs, 5).collect()
+    val byLang = res.groupBy(_.getAs[String]("lang"))
+    byLang.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rows.length))
+      val scores = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("tfidf"))
+      assert(scores.forall(_ >= 0.0))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // idf factoring: score == pround(total_tf * ln(N/df)) recomputed driver-side
+    val n = docs.count().toDouble
+    res.foreach { r =>
+      val expect = math.floor(r.getAs[Long]("total_tf").toDouble *
+        math.log(n / r.getAs[Long]("df").toDouble) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("tfidf") == expect)
+    }
+  }
+
   test("V1: testdata has no nulls in lineitem") {
     val row = Validation.nullCounts(li).collect()(0)
     assert(row.toSeq.forall(_ == 0L))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** As-of join: union+window implementation must match the naive
+  * inequality-join + argmax formulation exactly, including tie semantics
+  * (inclusive at equal time; max tie-break among equal times). */
+class TemporalSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  test("asofJoin matches the inequality-join argmax reference") {
+    val res = Temporal.asofLastOrder(spark, sfDir)
+      .collect().map(_.toSeq)
+    // naive reference: inequality join + row_number argmax — the formulation
+    // that explodes at scale, used here only as the semantic oracle
+    val e = Tables.eventsTs(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val ref = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"), col("o_totalprice").as("last_price"))
+      .orderBy(col("event_id"))
+      .collect().map(_.toSeq)
+    assert(res.length == ref.length)
+    assert(res.toSeq == ref.toSeq)
+  }
+
+  test("asofJoin tie semantics: update at probe time is visible; max tie-break wins") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L))
+      .toDF("k", "t", "probe_id")
+    val right = Seq(
+      (1L, 10L, 7L, "at-probe-low"), (1L, 10L, 9L, "at-probe-high"),
+      (1L, 4L, 3L, "early"), (1L, 11L, 99L, "late"))
+      .toDF("k", "t2", "rk", "tag")
+    val out = Temporal.asofJoin(left, right, "k", "t", "t2",
+        Seq("rk", "tag"), "rk")
+      .select(col("probe_id"), col("__asof.rk"), col("__asof.tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // probe at t=10 sees both t2=10 updates (inclusive) and picks rk=9;
+    // probe at t=5 sees only the early update
+    assert(out == Set((100L, 9L, "at-probe-high"), (101L, 3L, "early")))
+  }
+
+  test("asofJoin left rows with no prior update carry a null payload") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 500L)).toDF("k", "t", "probe_id")
+    val right = Seq((1L, 2L, 1L, "future-only")).toDF("k", "t2", "rk", "tag")
+    val out = Temporal.asofJoin(left, right, "k", "t", "t2", Seq("rk", "tag"), "rk")
+    assert(out.filter(col("__asof").isNotNull).count() == 0)
+    assert(out.count() == 1)
+  }
+}
