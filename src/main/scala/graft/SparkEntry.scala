@@ -119,6 +119,7 @@ object SparkEntry {
     "x28_nation_pair_volume" -> ((s, d) => RelationalExt.nationPairVolume(s, d)),
     "x29_bucketed_segment_spend" -> ((s, d) => Scale.bucketedSegmentSpend(s, d)),
     "x30_asof_last_order" -> ((s, d) => Temporal.asofLastOrder(s, d)),
+    "x31_attribution_window" -> ((s, d) => Temporal.attributionWindow(s, d)),
     "d24_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d), 5)),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
@@ -500,6 +501,13 @@ object SparkEntry {
         "FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
         "AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) " +
         "WHERE rn = 1 ORDER BY event_id"),
+    "x31_attribution_window" ->
+      ("SELECT o_orderkey, count(e.user_id) AS n_events, " +
+        "CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS value_mass " +
+        "FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey " +
+        "AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate " +
+        "AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL 7 DAY " +
+        "GROUP BY o_orderkey ORDER BY o_orderkey"),
     "d24_tfidf_top_terms" ->
       ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +

@@ -63,6 +63,34 @@ object Temporal {
       .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col("__asof"): _*)
   }
 
+  /** Attribution-window join (x31): per order, the customer's event count
+    * and value mass within `days` after the order — the "activity in the N
+    * days after a transaction" feature.
+    *
+    * Scale shape: an equi-join on the customer key with the time window as
+    * a residual range predicate — Catalyst plans the shuffle/broadcast on
+    * the EQUALITY key and evaluates the range as a post-join filter, so
+    * there is no pair explosion beyond each customer's own rows (per-key
+    * skew is the salted-join case, [[Scale.saltedJoin]]). Value mass sums
+    * integer cents: per-row conversion is IEEE-identical across engines and
+    * integer summation is order-independent. */
+  def attributionWindow(s: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val e = graft.Tables.eventsTs(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    o.join(e,
+        e("user_id") === o("o_custkey") &&
+          e("ts") >= o("o_orderdate") &&
+          e("ts") < o("o_orderdate") + expr(s"INTERVAL $days DAYS"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("user_id")).as("n_events"),
+        (sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("value_mass"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Declared-query form (x30): for each event, the customer's most recent
     * order at or before the event time — the point-in-time feature lookup.
     * Payload values pass through unrounded (no arithmetic → bit-identical

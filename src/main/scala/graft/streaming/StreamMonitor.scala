@@ -88,6 +88,26 @@ object StreamMonitor {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Watermarked stream-stream interval join: enrich an event stream with
+    * the matching row of a second stream (e.g. orders) for the same key
+    * within a time window — `o.ts ∈ [e.ts − maxDelay, e.ts]`.
+    *
+    * Both sides carry watermarks and the join condition bounds the event
+    * time range, so each side's buffered state is evictable once the
+    * watermark passes — bounded state, the requirement for an unbounded
+    * run. Expects `left` with (event_id, ts, user_id, value) and `right`
+    * with (r_id, r_ts, r_user_id, r_value). */
+  def enrichJoin(left: DataFrame, right: DataFrame,
+                 watermark: String = "2 hours",
+                 maxDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $maxDelay") &&
+        col("r_ts") <= col("ts"))
+  }
+
   /** File-source ingestion: stream the events table from a parquet
     * directory (the production entry — new files appearing under `dir` are
     * picked up incrementally). Handles the TIMESTAMP(NANOS) column the

@@ -57,6 +57,29 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join matches within-window pairs only") {
+    implicit val ctx = spark.sqlContext
+    val left = MemoryStream[(Long, Timestamp, Long, Double)]
+    val right = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = StreamMonitor.enrichJoin(
+      left.toDF.toDF("event_id", "ts", "user_id", "value"),
+      right.toDF.toDF("r_id", "r_ts", "r_user_id", "r_value"),
+      watermark = "2 hours", maxDelay = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    // event at t=90; right rows: t=80 (in window), t=20 (too old: > 1h
+    // before), t=95 (after the event), wrong user at t=85
+    left.addData((1L, ts(90), 1L, 10.0))
+    right.addData(
+      (100L, ts(80), 1L, 1.0), (101L, ts(20), 1L, 2.0),
+      (102L, ts(95), 1L, 3.0), (103L, ts(85), 2L, 4.0))
+    q.processAllAvailable()
+    val got = spark.table("ssj").select("event_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L)))
+    q.stop()
+  }
+
   test("flatMapGroupsWithState: running totals accumulate across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
