@@ -121,6 +121,9 @@ object SparkEntry {
     "x30_asof_last_order" -> ((s, d) => Temporal.asofLastOrder(s, d)),
     "x31_attribution_window" -> ((s, d) => Temporal.attributionWindow(s, d)),
     "d24_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d), 5)),
+    "d25_length_quantiles" -> ((s, d) => TextOps.lengthQuantiles(Tables.documents(s, d))),
+    "d26_bigram_top" -> ((s, d) => TextOps.bigramTop(Tables.documents(s, d), 15)),
+    "d27_quality_filter" -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
 
     // ---- M-series: preprocessing + metrics, relational forms (§2.4) ----
     "m1_standard_scale" -> ((s, d) =>
@@ -520,6 +523,31 @@ object SparkEntry {
         "SELECT lang, rnk, term, total_tf, df, tfidf FROM " +
         "(SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rnk, " +
         "term, total_tf, df, tfidf FROM scored) WHERE rnk <= 5 ORDER BY lang, rnk"),
+    "d25_length_quantiles" ->
+      ("SELECT lang, quantile_cont(n_chars, 0.25) AS p25_chars, " +
+        "quantile_cont(n_chars, 0.5) AS p50_chars, " +
+        "quantile_cont(n_chars, 0.75) AS p75_chars, " +
+        "quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr_chars, " +
+        "count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
+    "d26_bigram_top" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), " +
+        "b AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t WHERE len(toks) >= 2) " +
+        "SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 15"),
+    "d27_quality_filter" ->
+      ("WITH q AS (SELECT lang, n_chars, " +
+        "len(string_split(text, ' ')) AS n_tok, " +
+        "len(replace(text, ' ', '')) AS non_space, " +
+        "len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, " +
+        "len(text) AS n_len FROM documents), " +
+        "k AS (SELECT lang, n_chars, (n_tok >= 10 " +
+        "AND CAST(non_space AS DOUBLE) / n_tok >= 2.0 " +
+        "AND CAST(non_space AS DOUBLE) / n_tok <= 15.0 " +
+        "AND CAST(n_punct AS DOUBLE) / n_len <= 0.1) AS keep FROM q) " +
+        "SELECT lang, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_drop, " +
+        "CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
+        "FROM k GROUP BY lang ORDER BY lang"),
     "d23_subword_tokens" ->
       ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) " +
         "AS total_subword_tokens, " +

@@ -46,20 +46,22 @@ object Dedup {
     * Returns distinct (id_a < id_b) candidate pairs. */
   def minhashCandidates(docs: DataFrame, w: Int = 3, bands: Int = 16,
                         rowsPerBand: Int = 4): DataFrame =
-    minhashCandidatesFromShingles(withShingles(docs, w), bands, rowsPerBand)
+    minhashCandidatesFromHashed(
+      withShingles(docs, w)
+        .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs")),
+      bands, rowsPerBand)
 
-  /** Candidate generation over an already-shingled (doc_id, sh) relation —
-    * lets [[minhashNearDups]] share ONE shingle scan between signature
-    * computation and Jaccard verification instead of running the tokenize +
-    * shingle pipeline twice. */
-  private def minhashCandidatesFromShingles(shingled: DataFrame, bands: Int,
-                                            rowsPerBand: Int): DataFrame = {
+  /** Candidate generation over an already hashed-shingle (doc_id,
+    * hs: array<long>) relation — lets [[minhashNearDups]] share ONE
+    * tokenize + shingle + hash scan between signature computation and
+    * Jaccard verification instead of running the pipeline twice. */
+  private def minhashCandidatesFromHashed(hashed: DataFrame, bands: Int,
+                                          rowsPerBand: Int): DataFrame = {
     val n = bands * rowsPerBand
     // note: no emptiness filter — the shingle array is never empty by
     // construction, and a filter on it would be pushed into the scan and
     // recompute the whole shingle pipeline per row
-    val sigDf = shingled
-      .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+    val sigDf = hashed
       .select(col("doc_id"), minhashSignature("hs", n).as("sig"))
     val bandArr = (0 until bands).map { b =>
       val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
@@ -84,14 +86,23 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Full MinHash near-dup: candidates verified with exact shingle Jaccard
-    * ≥ minSim. Verification joins shingle sets back only for candidates. */
+  /** Full MinHash near-dup: candidates verified with exact Jaccard over the
+    * 64-bit-hashed distinct shingle sets, ≥ minSim. Hashing before set
+    * arithmetic keeps the materialized relation at 8 bytes per shingle
+    * (strings would be ~w words each) and makes intersect/union integer
+    * comparisons; a 64-bit collision altering a Jaccard value needs two
+    * distinct shingles of one doc pair to collide (~n²/2⁶⁴ — negligible).
+    * Verification joins the hashed sets back only for candidates. */
   def minhashNearDups(docs: DataFrame, minSim: Double, w: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    // one shingle scan for the whole pipeline: the materialized (doc_id, sh)
-    // relation feeds signature/banding AND the exact-Jaccard verification
-    val sh = withShingles(docs, w).localCheckpoint(true)
-    val cands = minhashCandidatesFromShingles(sh, bands, rowsPerBand)
+    // one tokenize+shingle+hash scan for the whole pipeline: the
+    // materialized (doc_id, hs) relation feeds signature/banding AND the
+    // Jaccard verification
+    val sh = withShingles(docs, w)
+      .select(col("doc_id"), expr("array_distinct(transform(sh, s -> xxhash64(s)))").as("sh"))
+      .localCheckpoint(true)
+    val cands = minhashCandidatesFromHashed(
+      sh.select(col("doc_id"), col("sh").as("hs")), bands, rowsPerBand)
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -74,12 +74,20 @@ object Scale {
     import graft.Tables
     dropManaged(s, "graft_bucketed_orders")
     dropManaged(s, "graft_bucketed_customer")
-    writeBucketed(Tables.orders(s, dir)
-      .select(col("o_custkey").as("custkey"), col("o_totalprice")),
-      "graft_bucketed_orders", "custkey", buckets)
-    writeBucketed(Tables.customer(s, dir)
-      .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
-      "graft_bucketed_customer", "custkey", buckets)
+    // the two layout writes are independent Spark jobs — submit them
+    // concurrently (the scheduler interleaves their stages across cores;
+    // serial submission leaves the cluster half-idle per write)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future(writeBucketed(Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        "graft_bucketed_orders", "custkey", buckets)),
+      Future(writeBucketed(Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        "graft_bucketed_customer", "custkey", buckets)))
+    writes.foreach(Await.result(_, Duration.Inf))
     bucketedJoin(s, "graft_bucketed_orders", "graft_bucketed_customer", "custkey")
       .groupBy(col("c_mktsegment"))
       .agg((sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))

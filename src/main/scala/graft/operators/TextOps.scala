@@ -117,6 +117,63 @@ object TextOps {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"), col("source"))
 
+  /** D5 — per-language document-length quantiles (quality profiling).
+    * Quarter quantiles only: at p ∈ {.25, .5, .75} the linear interpolation
+    * `(1−f)·a + f·b` over integer values is exact in IEEE-754 (f is a
+    * binary fraction, products and sum round-free), so DuckDB's
+    * `a + (b−a)·f` formulation yields the bit-identical double — no
+    * rounding needed. Exact `percentile` buffers per-group values: groups
+    * here are languages (bounded set); the unbounded-cardinality form is
+    * `approx_percentile` ([[Features.quantileFlagApprox]] pattern). */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.25)").as("p25_chars"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.75)").as("p75_chars"),
+        (expr("percentile(n_chars, 0.75)") - expr("percentile(n_chars, 0.25)"))
+          .as("iqr_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  /** D5 — global top-k word bigrams (the n-gram statistic; unigrams are
+    * [[tokenFrequency]]). One explode of size−1 bigrams per doc, map-side
+    * combined count, TakeOrdered top-k with a deterministic tie-break. */
+  def bigramTop(docs: DataFrame, k: Int): DataFrame =
+    docs.select(split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** D5 — C4/Gopher-style quality filter: keep a document iff it has ≥ 10
+    * tokens, mean token length in [2, 15], and punctuation mass ≤ 10% of
+    * characters. Emits the per-language audit (kept/dropped/char mass) —
+    * the materialization a pipeline acts on. All predicates are exact
+    * integer ratios (IEEE division of integers, deterministic in any
+    * engine); one scan, one bounded-key aggregate. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val nTok = tokenCount("text")
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val keep = (nTok >= 10) &&
+      (nonSpace.cast("double") / nTok.cast("double") >= 2.0) &&
+      (nonSpace.cast("double") / nTok.cast("double") <= 15.0) &&
+      (nPunct.cast("double") / length(col("text")).cast("double") <= 0.1)
+    docs.select(col("lang"), col("n_chars"), keep.as("keep"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_drop"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** D5 — TF-IDF top-k terms per language. Score for a (lang, term) is
     * `Σ_docs tf(doc, term) · ln(N / df(term))` — since idf is constant per
     * term, it factors out of the sum, so the score is ONE multiplication of
