@@ -189,6 +189,8 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5)),
     "d17_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), 8)),
+    "d28_winnow_neardups" -> ((s, d) =>
+      Dedup.winnowNearDups(Tables.documents(s, d), minShared = 3)),
     "d18_multimodal_meta" -> ((s, d) =>
       Multimodal.metaSummary(Multimodal.assetsFromDocuments(Tables.documents(s, d)))),
   )

@@ -115,6 +115,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowing fingerprints per document (Schleimer et al., SIGMOD 2003 —
+    * see [[graft.functions.WinnowKernel]]): the substring-level dedup
+    * primitive. One codegen'd scan; `fps` is the sorted distinct fingerprint
+    * set, ~2/(w+1) of the k-grams. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col("doc_id"),
+      GraftColumnBridge.column(graft.functions.WinnowFingerprints(
+        GraftColumnBridge.expression(col("text")), k, w)).as("fps"))
+  }
+
+  /** Substring-level near-dup candidates: documents sharing ≥ `minShared`
+    * winnowed fingerprints. The winnowing guarantee makes any shared
+    * substring of ≥ w+k−1 bytes produce ≥ 1 shared fingerprint, so this
+    * catches copied passages exact dedup and whole-doc MinHash both miss.
+    *
+    * Scale shape: explode to (fp, doc) — O(rows · fps/doc) — drop
+    * stop-fingerprints (df > maxDf: boilerplate shared by many docs would
+    * explode the self-join quadratically per fp, and carries no dedup
+    * signal), then a fp-keyed self-equijoin and a pair-count aggregate.
+    * Never O(rows²). */
+  def winnowNearDups(docs: DataFrame, minShared: Int, k: Int = 8, w: Int = 4,
+                     maxDf: Int = 50): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint(true) // feeds df-filter AND both self-join sides
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val filtered = fp.join(rare, "fp")
+    val a = filtered.select(col("fp"), col("doc_id").as("id_a"))
+    val b = filtered.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash (64-bit): per-bit majority vote over xxhash64'd distinct
     * tokens, computed by the native [[graft.functions.SimhashBits]]
     * expression — a narrow, shuffle-free projection (the explode +
