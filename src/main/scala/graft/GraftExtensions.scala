@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.{CosineSimilarity, WinnowFingerprints}
 
@@ -17,18 +18,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def intLit(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue
+
+  private def checkArity(fn: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$fn`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** A literal/foldable integral argument, or a proper analysis error —
+    * without this, `winnow_fingerprints(text)` died with
+    * IndexOutOfBoundsException and a non-foldable k/w with a codegen-time
+    * ClassCastException instead of an analysis-time message. */
+  private def intLit(fn: String, param: String, e: Expression): Int = {
+    val integral = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!e.foldable || !integral)
+      throw new AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+    e.eval() match {
+      case null => throw new AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+      case v: Number => v.intValue
+    }
+  }
 
   private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        checkArity("cosine_sim", children, 2)
+        CosineSimilarity(children(0), children(1))
+      }),
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
-      (children: Seq[Expression]) =>
-        WinnowFingerprints(children(0), intLit(children(1)), intLit(children(2)))))
+      (children: Seq[Expression]) => {
+        checkArity("winnow_fingerprints", children, 3)
+        WinnowFingerprints(children(0),
+          intLit("winnow_fingerprints", "k", children(1)),
+          intLit("winnow_fingerprints", "w", children(2)))
+      }))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -65,7 +65,10 @@ object RunPipeline {
           (TreeShap.shapValues(m, sample, nFeat), TreeShap.expectedValue(m))
       }
       val importance = Shap.globalImportance(shapLong, config.maxDisplayFeatures).collect()
-      writeExplainabilityReport(config, importance, expectedValue, config.shapSampleSize)
+      // report the ACTUAL sample row count — Shap.sampleRows is a Bernoulli
+      // sample (can return fewer than requested, or the whole df when
+      // count <= n), so echoing config.shapSampleSize would overstate it
+      writeExplainabilityReport(config, importance, expectedValue, sample.count().toInt)
     }
     // 7b. S5 report sinks (`evaluation.py:178-204`, `explainability.py:134-156`)
     writeEvaluationReport(config, scores, champion)

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
 /** Explainability operators (E1–E4, `explainability.py:15-214`).
   *
   *  - E1 dispatch: LinearExplainer semantics for linear models (closed
-  *    form — exact); ablation attribution for tree ensembles (the
-  *    KernelExplainer-style fallback; interventional TreeSHAP over MLlib
-  *    node structs is the §7.4.1 hard item, planned).
+  *    form — exact); tree ensembles get EXACT path-dependent TreeSHAP
+  *    ([[TreeShap]], dispatched in [[RunPipeline]]), with the ablation
+  *    attribution here retained as a cross-check only.
   *  - E2 Linear SHAP on the margin: φᵢ = wᵢ·(xᵢ − E[xᵢ]) over a seeded
   *    background sample (`sample_size`, ref `explainability.py:64-72`).
   *    Pure DataFrame math: the coefficient vector and background means are

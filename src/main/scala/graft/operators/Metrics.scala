@@ -17,15 +17,68 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
+  /** Exact global median with bounded memory — the 100 TB replacement for
+    * a single-buffer `percentile(x, 0.5)` aggregate (which materializes
+    * every value in ONE aggregation buffer). Same two-pass shape as
+    * [[aucDistributed]]: range-repartition by value, count each partition,
+    * locate the global rank(s) of the middle element(s), then fetch exactly
+    * those order statistics from their partitions. Interpolation matches
+    * Spark's `Percentile` formula `(1−f)·lower + f·higher` with f = 0.5,
+    * so the result is bit-identical to the windowed/aggregate form
+    * (asserted in tests) — no task ever holds more than its sorted
+    * partition slice. */
+  def exactMedian(df: DataFrame, valueCol: String, partitions: Int = 32): Double = {
+    import org.apache.spark.sql.Row
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(partitions, col("__v"))
+      .sortWithinPartitions(col("__v"))
+    val rdd = vals.rdd
+    rdd.localCheckpoint() // two passes below share the sorted layout
+    val counts: Array[(Int, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.size.toLong))
+      }.collect().sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n > 0, s"exactMedian over empty relation ($valueCol)")
+    // 0-based global ranks of the two middle order statistics (equal when
+    // n is odd): position = 0.5 * (n - 1)
+    val lowerRank = (n - 1) / 2
+    val upperRank = n / 2
+    // map each target rank to (partition, local 0-based offset)
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+    def locate(rank: Long): (Int, Long) = {
+      val pid = offsets.lastIndexWhere(_ <= rank) // offsets(pid) = first global rank in pid
+      (counts(pid)._1, rank - offsets(pid))
+    }
+    val targets: Map[Int, Seq[Long]] =
+      Seq(locate(lowerRank), locate(upperRank))
+        .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).distinct }
+    val byPart: Map[(Int, Long), Double] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        targets.get(pid) match {
+          case None => Iterator.empty
+          case Some(ranks) =>
+            val want = ranks.toSet
+            it.zipWithIndex.collect {
+              case (r: Row, i) if want(i.toLong) => ((pid, i.toLong), r.getDouble(0))
+            }
+        }
+      }.collect().toMap
+    val lo = byPart(locate(lowerRank))
+    val hi = byPart(locate(upperRank))
+    0.5 * lo + 0.5 * hi
+  }
+
   /** Attach binary label + rule-based prediction to orders: y = (status='F'),
-    * yhat = price > global median. */
+    * yhat = price > global median. The median comes from [[exactMedian]]
+    * (bounded memory) and enters the plan as a literal — no per-row join. */
   def labeledOrders(orders: DataFrame): DataFrame = {
-    val med = orders.agg(expr("percentile(o_totalprice, 0.5)").as("med"))
-    orders.crossJoin(broadcast(med))
-      .select(
-        when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
-        when(col("o_totalprice") > col("med"), 1).otherwise(0).as("yhat"),
-        col("o_totalprice"), col("o_orderkey"))
+    val med = exactMedian(orders, "o_totalprice")
+    orders.select(
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
+      when(col("o_totalprice") > med, 1).otherwise(0).as("yhat"),
+      col("o_totalprice"), col("o_orderkey"))
   }
 
   /** M16 — confusion matrix as grouped counts. */
@@ -110,14 +163,17 @@ object Metrics {
     * market segment of the ordering customer) f1, filter by threshold,
     * argmax with deterministic tie-break. */
   def championBySegment(orders: DataFrame, customer: DataFrame, minF1: Double): DataFrame = {
-    val med = orders.agg(expr("percentile(o_totalprice, 0.5)").as("med"))
-    // med is a 1-row relation → broadcast; customer scales with SF → no
-    // hint, AQE chooses (forced broadcast would OOM the driver at 100×)
-    val labeled = orders.crossJoin(broadcast(med))
+    // bounded-memory exact median (range-repartition two-pass) — the
+    // previous in-plan `percentile(x, 0.5)` buffered every price in ONE
+    // aggregation buffer. The scalar enters the plan as a literal; the
+    // customer join scales with SF → no hint, AQE chooses (a forced
+    // broadcast would OOM the driver at 100×).
+    val med = exactMedian(orders, "o_totalprice")
+    val labeled = orders
       .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("model"),
         when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
-        when(col("o_totalprice") > col("med"), 1).otherwise(0).as("yhat"))
+        when(col("o_totalprice") > med, 1).otherwise(0).as("yhat"))
     val perModel = labeled.groupBy(col("model")).agg(
       sum(when(col("y") === 1 && col("yhat") === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(col("y") === 0 && col("yhat") === 1, 1L).otherwise(0L)).as("fp"),

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * and the partition-wise decode / feature-extract / frame-sample plumbing
   * a media pipeline needs.
   *
-  * The decode step itself is STUBBED (deterministic fake — image/audio
-  * codecs are not in this environment); everything around it is real:
-  * schema, batch shape, partition-wise execution, output contracts. Swap
-  * `stubDecode` for a JNI/codec call and nothing else changes.
+  * The decode step is REAL for the containers the JVM ships codecs for:
+  * PNG / JPEG / GIF / BMP via `javax.imageio` (width × height × channels)
+  * and WAV via a RIFF header parse (channels, sample rate, sample count).
+  * Payloads that match no known magic fall back to a deterministic
+  * pseudo-decode (`codec = 'opaque'`) so text-backed fixtures still flow;
+  * a heavier codec (video, compressed audio) slots into `decodePayload`
+  * without touching the Spark-side plumbing.
   *
   * Scale notes: payloads never pass through a shuffle here — decode and
   * feature extraction are `mapPartitions` (narrow, pipelined with the
@@ -36,33 +39,109 @@ object Multimodal {
       map(lit("lang"), col("lang"), lit("source"), col("source"),
           lit("n_chars"), col("n_chars").cast("string")).as("meta"))
 
-  /** STUB decoder: derives deterministic pseudo-dimensions from the payload
-    * bytes. Replace with a real codec; the signature (bytes → struct) and
-    * the partition-wise batch execution are the production shape. */
-  private def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
-    if (payload == null || payload.isEmpty) (0, 0, 0L)
+  /** One decoded payload: container + the per-modality stats that apply
+    * (image fields null for audio and vice versa). */
+  final case class Decoded(codec: String, width: Integer, height: Integer,
+                           channels: Integer, nPixels: java.lang.Long,
+                           sampleRate: Integer, nSamples: java.lang.Long)
+
+  /** Fallback pseudo-decode for payloads with no recognizable container:
+    * deterministic dims derived from the bytes, so opaque fixtures still
+    * exercise the full plumbing. */
+  private def opaqueDecode(payload: Array[Byte]): Decoded = {
+    if (payload == null || payload.isEmpty)
+      Decoded("opaque", 0, 0, 0, 0L, null, null)
     else {
       var h = 1125899906842597L
       var i = 0
       while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
       val w = 64 + math.floorMod(h, 1024).toInt
       val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      (w, ht, w.toLong * ht)
+      Decoded("opaque", w, ht, 1, w.toLong * ht, null, null)
     }
   }
 
-  /** Partition-wise decode: binary payload → (width, height, n_pixels).
-    * One pass, no shuffle; payload dropped after decode. */
+  private def readLeShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def readLeInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** WAV (RIFF/WAVE) header parse: walk the chunk list for `fmt ` and
+    * `data`; n_samples = data bytes / block align. Pure byte arithmetic —
+    * no AudioSystem dependency, deterministic. */
+  private def decodeWav(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 44) return None
+    var channels = 0; var sampleRate = 0; var blockAlign = 0
+    var dataBytes = -1L
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = readLeInt(b, off + 4).toLong & 0xffffffffL
+      if (id == "fmt " && off + 24 <= b.length) {
+        channels = readLeShort(b, off + 10)
+        sampleRate = readLeInt(b, off + 12)
+        blockAlign = readLeShort(b, off + 20)
+      } else if (id == "data") {
+        dataBytes = math.min(size, (b.length - off - 8).toLong)
+      }
+      val step = 8L + size + (size & 1L) // chunks are word-aligned
+      off = if (off + step > b.length.toLong) b.length else (off + step).toInt
+    }
+    if (channels <= 0 || blockAlign <= 0 || dataBytes < 0) None
+    else Some(Decoded("wav", null, null, channels, null, sampleRate,
+      dataBytes / blockAlign))
+  }
+
+  private def decodeImage(codec: String, b: Array[Byte]): Option[Decoded] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else Some(Decoded(codec, img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents,
+        img.getWidth.toLong * img.getHeight, null, null))
+    } catch { case _: Exception => None }
+
+  /** Sniff the container by magic bytes and decode. Real codecs: PNG,
+    * JPEG, GIF, BMP (JDK ImageIO), WAV (RIFF parse). Unknown → opaque
+    * pseudo-decode. */
+  private[operators] def decodePayload(payload: Array[Byte]): Decoded = {
+    if (payload == null || payload.length < 12) return opaqueDecode(payload)
+    val b = payload
+    val real =
+      if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+        decodeImage("png", b)
+      else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+        decodeImage("jpeg", b)
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+        decodeImage("gif", b)
+      else if (b(0) == 'B' && b(1) == 'M')
+        decodeImage("bmp", b)
+      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        decodeWav(b)
+      else None
+    real.getOrElse(opaqueDecode(payload))
+  }
+
+  /** Partition-wise decode: binary payload → (codec, width, height,
+    * channels, n_pixels, sample_rate, n_samples). One pass, no shuffle;
+    * payload dropped after decode. */
   def decodeAssets(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("codec", StringType),
       StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("n_pixels", LongType)))
+      StructField("channels", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType)))
     val rdd = assets.select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
       it.map { r =>
-        val (w, h, np) = stubDecode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getLong(0), r.getString(1), w, h, np)
+        val d = decodePayload(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), r.getString(1), d.codec, d.width, d.height,
+          d.channels, d.nPixels, d.sampleRate, d.nSamples)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Locale-independent double → SQL literal. `Double.toString` round-trips
+    * the exact bit pattern and never uses locale-sensitive separators (an
+    * `f"$v%.17g"` interpolation would emit `,` decimals under comma-decimal
+    * default locales and fail to parse). */
+  private def dlit(v: Double): String = {
+    require(!v.isNaN && !v.isInfinite, s"non-finite plan literal: $v")
+    s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+  }
+
   /** Cosine similarity between two ArrayType(Float) columns, computed in
     * double precision. Uses the native [[graft.functions.CosineSimilarity]]
     * codegen expression when the session has graft extensions registered
@@ -92,7 +101,7 @@ object Similarity {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val arr = p.map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
+      val arr = p.map(dlit).mkString("array(", ", ", ")")
       s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN ${1L << i}L ELSE 0L END)"
     }
     embeddings.withColumn("bucket", expr(bits.mkString(" + ")))
@@ -206,6 +215,17 @@ object Similarity {
     centroids
   }
 
+  /** Train the IVF coarse quantizer once (capped-sample k-means) so
+    * repeated [[ivfTopK]] calls amortize the index build — the production
+    * shape: build at ingest, probe at query time. */
+  def trainIvfCentroids(embeddings: DataFrame, nLists: Int,
+                        seed: Long = 42L): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = embeddings.select(col("embedding"))
+      .limit(10000).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    kmeansLloyd(sample, nLists, iters = 5, seed)
+  }
+
   /** D4 scale path #2 — IVF (inverted-file) approximate nearest neighbors:
     * a k-means coarse quantizer partitions the corpus into `nLists`
     * cells; a query probes its `nProbe` nearest centroids and re-ranks
@@ -218,24 +238,28 @@ object Similarity {
     * [[lshTopK]]: IVF adapts to the data distribution where LSH is
     * data-oblivious. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     // quantizer trains on a capped sample — at corpus scale nobody k-means
     // the full table; centroid quality converges long before full coverage.
     // The sample is bounded (10k × dim doubles ≈ MBs), so Lloyd's runs on
     // the driver in milliseconds where a distributed fit pays multiple
-    // job launches per iteration for no extra quality.
-    val sample: Array[Array[Double]] = embeddings.select(col("embedding"))
-      .limit(10000).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids = kmeansLloyd(sample, nLists, iters = 5, seed)
+    // job launches per iteration for no extra quality. In production the
+    // quantizer is built ONCE and reused across queries — pass
+    // `precomputedCentroids` (from [[trainIvfCentroids]]) to skip the
+    // rebuild; the self-training form remains for the declared query.
+    val centroids = precomputedCentroids.getOrElse(
+      trainIvfCentroids(embeddings, nLists, seed))
+    require(centroids.length == nLists,
+      s"expected $nLists centroids, got ${centroids.length}")
     // assignment: one codegen'd scan — per-centroid squared-L2 distances as
     // fused array expressions, cell = argmin. localCheckpoint — the assigned
     // relation is scanned three times below (query collect, query-embedding
     // lookup, candidate join); materialize once, lineage truncated, blocks
     // GC-tracked (no cache-manager leak)
     val distExprs = centroids.map { c =>
-      val arr = c.map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
+      val arr = c.map(dlit).mkString("array(", ", ", ")")
       s"aggregate(zip_with(embedding, $arr, (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
     }
     val assigned = embeddings

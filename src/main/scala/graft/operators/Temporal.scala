@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * no single-partition stage. This is the standard scale pattern for
   * point-in-time correctness in training-data generation (no leakage:
   * only rows with `r.t <= l.t` are visible to each left row).
+  *
+  * Skew ceiling: the window partitions by KEY, so one pathological key
+  * (a single user with 10⁸ events) lands in one task — the same per-key
+  * bound every key-partitioned operator has (cf. [[Scale.saltedJoin]]'s
+  * escape hatch for joins). For hot keys, pre-aggregate the RIGHT side
+  * into time buckets first (per (key, hour): keep only the latest payload
+  * — a groupBy, fully parallel), then as-of join the left rows against the
+  * bucketed relation: the window input per key shrinks from |events| to
+  * |buckets|, at the cost of intra-bucket resolution handled by a second,
+  * now-small, exact pass over the hot buckets only.
   */
 object Temporal {
 
@@ -29,6 +39,11 @@ object Temporal {
     * Ties: a right row exactly at the left row's time IS visible
     * (inclusive). Among right rows sharing the same time, the one with the
     * greatest `rightTieBreak` wins — deterministic across engines.
+    *
+    * Null keys follow join semantics: null never matches, so null-key right
+    * rows are dropped and null-key left rows pass through with a null
+    * `__asof` (they would otherwise co-group in the null window partition
+    * and leak payloads to each other).
     *
     * Assumes left/right column names are disjoint from the `__`-prefixed
     * working columns. */
@@ -45,7 +60,7 @@ object Temporal {
       lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payloadType).as("__p"),
       struct(leftCols.map(col): _*).as("__row"))
-    val updates = right.select(
+    val updates = right.filter(col(key).isNotNull).select(
       col(key).as("__k"), col(rightT).as("__t"),
       lit(0).as("__kind"),
       col(rightTieBreak).as("__tie"),

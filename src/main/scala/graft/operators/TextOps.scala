@@ -186,11 +186,17 @@ object TextOps {
     * top-k window partitions by lang over the per-(lang, term) aggregate —
     * input already reduced to vocab size, bounded per language. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    // localCheckpoint: tf feeds BOTH the df relation and the per-(lang,
+    // term) score aggregate — without materialization the explode + first
+    // hash aggregate runs twice (no CSE across DataFrame reuse; same rule
+    // as the Dedup self-joins). Blocks are reference-tracked by the
+    // ContextCleaner, so nothing pins the cache manager.
     val tf = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ", -1)).as("term"))
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df_ = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // tf rows are unique per (doc, term)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

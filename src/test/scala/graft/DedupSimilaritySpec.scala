@@ -89,6 +89,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits >= bf1.size / 3, s"IVF recall too low: $hits/${bf1.size}")
   }
 
+  test("D4 IVF: precomputed centroids reproduce the self-training result exactly") {
+    val sub = emb.filter(col("vec_id") < 300)
+    val centroids = Similarity.trainIvfCentroids(sub, nLists = 8)
+    val self = Similarity.ivfTopK(sub, nQueries = 5, k = 5, nLists = 8, nProbe = 3)
+      .collect().map(_.toString)
+    val pre = Similarity.ivfTopK(sub, nQueries = 5, k = 5, nLists = 8, nProbe = 3,
+      precomputedCentroids = Some(centroids))
+      .collect().map(_.toString)
+    assert(self.sameElements(pre))
+  }
+
   test("D4: salted two-phase top-k is bit-identical to a single-window rank") {
     import org.apache.spark.sql.expressions.Window
     // rebuild the scored candidate relation exactly as bruteForceTopK does,
@@ -108,6 +119,87 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
     val salted = Similarity.bruteForceTopK(emb, 5, 3).collect().map(_.toSeq)
     assert(salted.toSeq == oneWindow.toSeq)
+  }
+
+  test("winnow: planted plagiarism — a copied passage links otherwise-distinct docs") {
+    // the shared passage is far longer than w+k-1 = 11 bytes, the rest of
+    // each doc is distinct prose → the pair MUST surface, distinct docs not
+    val passage = "stochastic gradient descent converges under a decaying learning rate schedule"
+    val planted = Seq(
+      (0L, s"chapter one begins here $passage and then wanders off"),
+      (1L, s"totally different framing yet quoting $passage verbatim near the end"),
+      (2L, "no overlap at all, this document discusses medieval bread baking"),
+      (3L, "another unrelated text entirely, concerning tidal patterns and moons")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(planted, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 >= 2L || p._2 >= 2L))
+  }
+
+  test("winnow guarantee: any shared substring of >= w+k-1 bytes shares a fingerprint") {
+    // exactly the paper bound: k=8, w=4 → an 11-byte common substring
+    val common = "abcdefghijk" // 11 bytes
+    require(common.length == 8 + 4 - 1)
+    val fpsOf = (s: String) => graft.functions.WinnowKernel.winnow(
+      s.getBytes("UTF-8"), 8, 4).toSet
+    val a = fpsOf(s"zzzzzzzzzzzzzzzz${common}qqqqqqqqqqqqqqqq")
+    val b = fpsOf(s"mmmmmmmmmmmmmmmm${common}tttttttttttttttt")
+    assert(a.intersect(b).nonEmpty)
+  }
+
+  test("winnow: maxDf drops boilerplate fingerprints, keeps rare-passage pairs") {
+    val boiler = "this footer is identical boilerplate repeated across every single page"
+    val rare = "the rare quoted sentence that only two documents actually share today"
+    val docs = (0L until 10L).map(i => (i, s"doc number $i $boiler")) ++ Seq(
+      (100L, s"first unique holder of $rare plus extra words"),
+      (101L, s"second unique holder of $rare and other filler"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(df, minShared = 2, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"rare pair missing from $pairs")
+    // fingerprints of the boilerplate appear in 10 > maxDf docs → filtered;
+    // the 45 boilerplate pairs must NOT appear
+    assert(!pairs.exists(p => p._1 < 100L && p._2 < 100L), s"boilerplate pairs leaked: $pairs")
+  }
+
+  test("winnow: interpreted eval and codegen produce identical fingerprints") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "short", "", "exactly11ch",
+      "unicode snowman ☃ and accents éèê mixed in")
+    // codegen path: a whole-stage-codegen'd projection over the registered fn
+    val viaCodegen = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .selectExpr("id", "winnow_fingerprints(text, 8, 4) AS fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      // interpreted path: Expression.eval on a literal child
+      val e = graft.functions.WinnowFingerprints(
+        Literal(UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType), 8, 4)
+      val interpreted = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray.toSeq
+      assert(interpreted == viaCodegen(i.toLong), s"mismatch for '$t'")
+    }
+  }
+
+  test("winnow_fingerprints: wrong arity and non-foldable args raise analysis errors") {
+    import org.apache.spark.sql.AnalysisException
+    val df = Seq((1L, "some text here")).toDF("id", "text")
+    df.createOrReplaceTempView("wf_args_v")
+    val e1 = intercept[AnalysisException](
+      spark.sql("SELECT winnow_fingerprints(text) FROM wf_args_v").collect())
+    assert(e1.getMessage.contains("winnow_fingerprints"))
+    val e2 = intercept[AnalysisException](
+      spark.sql("SELECT winnow_fingerprints(text, id, 4) FROM wf_args_v").collect())
+    assert(e2.getMessage.contains("winnow_fingerprints"))
+    val e3 = intercept[AnalysisException](
+      spark.sql("SELECT cosine_sim(array(1.0F)) FROM wf_args_v").collect())
+    assert(e3.getMessage.contains("cosine_sim"))
   }
 
   test("D1 exact dedup groups: total copies equals row count") {

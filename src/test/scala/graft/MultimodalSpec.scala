@@ -47,6 +47,67 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decode: real PNG payload yields true width/height/channels") {
+    import spark.implicits._
+    // a real 7×5 RGB PNG written through the same codec family that reads it
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 7).foreach(x => (0 until 5).foreach(y =>
+      img.setRGB(x, y, x * 40 + y)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val gifBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gifBos)
+    val df = Seq(
+      (1L, "image", bos.toByteArray, Map.empty[String, String]),
+      (2L, "image", gifBos.toByteArray, Map.empty[String, String]))
+      .toDF("asset_id", "modality", "payload", "meta")
+    val rows = Multimodal.decodeAssets(df).orderBy("asset_id").collect()
+    assert(rows(0).getAs[String]("codec") == "png")
+    assert(rows(0).getAs[Int]("width") == 7 && rows(0).getAs[Int]("height") == 5)
+    assert(rows(0).getAs[Int]("channels") == 3)
+    assert(rows(0).getAs[Long]("n_pixels") == 35L)
+    assert(rows(1).getAs[String]("codec") == "gif")
+    assert(rows(1).getAs[Int]("width") == 7 && rows(1).getAs[Int]("height") == 5)
+  }
+
+  test("decode: real WAV payload yields channels/sample_rate/n_samples") {
+    import spark.implicits._
+    // hand-assembled 16-bit stereo 8kHz WAV with 100 samples per channel
+    val channels = 2; val rate = 8000; val bps = 16; val nSamples = 100
+    val blockAlign = channels * bps / 8
+    val dataBytes = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(bps.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    (0 until dataBytes / 2).foreach(i => buf.putShort((i * 13).toShort))
+    val df = Seq((9L, "audio", buf.array(), Map.empty[String, String]))
+      .toDF("asset_id", "modality", "payload", "meta")
+    val r = Multimodal.decodeAssets(df).collect()(0)
+    assert(r.getAs[String]("codec") == "wav")
+    assert(r.getAs[Int]("channels") == 2)
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Long]("n_samples") == 100L)
+    assert(r.isNullAt(r.fieldIndex("width")))
+  }
+
+  test("decode: truncated/garbage containers fall back to opaque, never throw") {
+    import spark.implicits._
+    val junk: Array[Byte] = Array(0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val riffJunk = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
+    val df = Seq(
+      (1L, "image", junk, Map.empty[String, String]),
+      (2L, "audio", riffJunk, Map.empty[String, String]))
+      .toDF("asset_id", "modality", "payload", "meta")
+    val rows = Multimodal.decodeAssets(df).orderBy("asset_id").collect()
+    assert(rows.forall(_.getAs[String]("codec") == "opaque"))
+  }
+
   test("meta summary: totals consistent with source table") {
     val m = Multimodal.metaSummary(assets)
     val totalChars = m.agg(sum("total_chars")).collect()(0).getLong(0)

@@ -158,6 +158,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(champ(0).getAs[Double]("f1") >= 0.0)
   }
 
+  test("M17: bounded-memory exactMedian is bit-identical to the percentile aggregate") {
+    import spark.implicits._
+    // real data (even row count at this SF) across several partition counts
+    val viaAgg = ord.agg(expr("percentile(o_totalprice, 0.5)")).collect()(0).getDouble(0)
+    Seq(1, 3, 7, 32).foreach { p =>
+      assert(Metrics.exactMedian(ord, "o_totalprice", p) == viaAgg, s"partitions=$p")
+    }
+    // odd and even synthetic sets, including duplicate middle values
+    val odd = Seq(5.0, 1.0, 9.0, 3.0, 7.0).map(Tuple1(_)).toDF("v")
+    assert(Metrics.exactMedian(odd, "v", 4) == 5.0)
+    val even = Seq(4.0, 1.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    assert(Metrics.exactMedian(even, "v", 4) == 2.5)
+    val dup = Seq(2.0, 2.0, 2.0, 8.0).map(Tuple1(_)).toDF("v")
+    assert(Metrics.exactMedian(dup, "v", 2) == 2.0)
+  }
+
   test("x17: range-partitioned quartiles are bit-identical to the windowed ntile") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))

@@ -57,4 +57,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.filter(col("__asof").isNotNull).count() == 0)
     assert(out.count() == 1)
   }
+
+  test("asofJoin null keys never match (join semantics), left null-key rows pass through") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), 10L, 100L),   // normal key — matches
+      (Option.empty[Long], 10L, 200L)) // null key — must NOT pick up null-key updates
+      .toDF("k", "t", "probe_id")
+    val right = Seq(
+      (Option(1L), 5L, 7L, "real"),
+      (Option.empty[Long], 5L, 9L, "null-key-update"))
+      .toDF("k", "t2", "rk", "tag")
+    val out = Temporal.asofJoin(left, right, "k", "t", "t2", Seq("rk", "tag"), "rk")
+      .select(col("probe_id"), col("__asof.tag").as("tag"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(out == Set((100L, Some("real")), (200L, None)))
+  }
 }
