@@ -162,6 +162,8 @@ object SparkEntry {
       Metrics.championBySegment(ord(s, d), cust(s, d), 0.05)),
     "m18_auc_rank" -> ((s, d) =>
       Metrics.aucRank(Metrics.labeledOrders(ord(s, d)))),
+    "m19_segment_auc" -> ((s, d) =>
+      Metrics.segmentAuc(ord(s, d), cust(s, d))),
 
     // ---- D-series: text analysis + dedup + events (§2.7) ----
     "d1_dedup_groups" -> ((s, d) => TextOps.dedupGroups(Tables.documents(s, d))),
@@ -193,6 +195,13 @@ object SparkEntry {
       Dedup.winnowNearDups(Tables.documents(s, d), minShared = 3)),
     "d18_multimodal_meta" -> ((s, d) =>
       Multimodal.metaSummary(Multimodal.assetsFromDocuments(Tables.documents(s, d)))),
+    "d29_unigram_surprisal" -> ((s, d) =>
+      TextOps.unigramSurprisal(Tables.documents(s, d))),
+    // rows-only (decode stats depend on the engine-local opaque decode;
+    // real-container decodes are ScalaTest-verified with PNG/GIF/WAV
+    // fixtures in MultimodalSpec):
+    "d30_decode_stats" -> ((s, d) =>
+      Multimodal.decodeStats(Multimodal.assetsFromDocuments(Tables.documents(s, d)))),
   )
 
   /** Portable rounding in oracle SQL — the exact IEEE-754 formula
@@ -465,6 +474,29 @@ object SparkEntry {
         "s AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) AS DOUBLE) AS n, " +
         "CAST(sum(CASE WHEN y = 1 THEN rn ELSE 0 END) AS DOUBLE) AS sr FROM r) " +
         "SELECT " + pr("(sr - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))", 6) + " AS auc FROM s"),
+    "m19_segment_auc" ->
+      ("WITH l AS (SELECT c_mktsegment AS model, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, o_totalprice, o_orderkey " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "r AS (SELECT model, y, row_number() OVER (PARTITION BY model " +
+        "ORDER BY o_totalprice, o_orderkey) AS rn FROM l), " +
+        "s AS (SELECT model, CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "CAST(count(*) - sum(y) AS BIGINT) AS n_neg, " +
+        "CAST(sum(CASE WHEN y = 1 THEN rn ELSE 0 END) AS BIGINT) AS sum_rank FROM r GROUP BY model) " +
+        "SELECT model, n_pos, n_neg, CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE " +
+        pr("(CAST(sum_rank AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0) " +
+          "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))", 6) +
+        " END AS auc FROM s ORDER BY model"),
+    "d29_unigram_surprisal" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "cnt AS (SELECT term, count(*) AS ct FROM tok GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS total FROM tok), " +
+        "m AS (SELECT doc_id, CAST(floor(-ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)) " +
+        "* 1000000 + 0.5) AS BIGINT) AS micro " +
+        "FROM tok JOIN cnt USING(term) CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        pr("CAST(sum(micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6) +
+        " AS surprisal FROM m GROUP BY doc_id ORDER BY doc_id"),
 
     "d20_dedup_docs" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +

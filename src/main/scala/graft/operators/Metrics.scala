@@ -159,6 +159,40 @@ object Metrics {
     else (rankSum - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))
   }
 
+  /** M15 extension — per-segment ROC-AUC: the Mann-Whitney rank statistic
+    * computed INSIDE each group (window partitioned by segment), the
+    * "evaluate every model slice at once" shape. Zero-division (a segment
+    * with no positives or no negatives) scores 0.0, matching the sklearn
+    * zero_division convention used repo-wide.
+    *
+    * Scale: the window partitions by segment, so parallelism is
+    * #segments-wide and each task sorts only its segment — the global
+    * single-partition rank of [[aucRank]] never appears. A pathologically
+    * hot segment degrades to the [[aucDistributed]] two-phase pattern
+    * applied within that segment. */
+  def segmentAuc(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val labeled = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("model"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy(col("model"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = labeled.select(col("model"), col("y"),
+      row_number().over(w).cast("long").as("rn"))
+    val n1 = col("n_pos").cast("double"); val n0 = col("n_neg").cast("double")
+    ranked.groupBy(col("model"))
+      .agg(sum(col("y")).as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).as("n_neg"),
+        sum(when(col("y") === 1L, col("rn")).otherwise(0L)).as("sum_rank"))
+      .select(col("model"), col("n_pos"), col("n_neg"),
+        Features.pround(
+          when(n1 === 0.0 || n0 === 0.0, 0.0)
+            .otherwise((col("sum_rank").cast("double") - n1 * (n1 + 1.0) / 2.0) / (n1 * n0)),
+          6).as("auc"))
+      .orderBy(col("model"))
+  }
+
   /** M17 — champion selection (`evaluation.py:139-166`): per-"model" (here:
     * market segment of the ordering customer) f1, filter by threshold,
     * argmax with deterministic tie-break. */

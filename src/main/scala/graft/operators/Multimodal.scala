@@ -183,6 +183,17 @@ object Multimodal {
         expr(s"filter(frames, (f, i) -> i % $everyK = 0)").as("sampled_frames"))
       .withColumn("n_frames", size(col("sampled_frames")))
 
+  /** Decoded-asset profile: per (modality, codec) counts and pixel/sample
+    * mass — the query-able audit of the decode pass (one narrow decode
+    * scan, one bounded-key aggregate). */
+  def decodeStats(assets: DataFrame): DataFrame =
+    decodeAssets(assets)
+      .groupBy(col("modality"), col("codec"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_pixels")).as("total_pixels"),
+        sum(col("n_samples")).as("total_samples"))
+      .orderBy(col("modality"), col("codec"))
+
   /** Metadata aggregation over the typed meta map — the query-able side of
     * multimodal assets. */
   def metaSummary(assets: DataFrame): DataFrame =

@@ -217,6 +217,43 @@ object TextOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** D5 — unigram-LM surprisal per document: mean −ln p(token) under the
+    * corpus's own unigram distribution — the classic LM-quality filter a
+    * training-data pipeline ranks documents by (low = repetitive
+    * boilerplate, high = noise; the keep-band is the middle).
+    *
+    * Cross-engine determinism: each token's surprisal is quantized to
+    * integer micro-units (`floor(−ln p · 10⁶ + 0.5)`) BEFORE the per-doc
+    * sum, so the aggregate is an order-independent integer sum and the
+    * final mean is one exact division — engine float-sum ordering can
+    * never flip the result (`ln` itself differs ≤ 1 ulp between libms;
+    * at micro quantization a flip needs the pre-round value within
+    * ~1e-10 of a .5 boundary — negligible over vocab-sized inputs).
+    *
+    * Scale shape: one explode scan materialized once (feeds the vocab
+    * count AND the re-join), a term-keyed aggregate (vocab-sized), a 1-row
+    * broadcast total, and a doc-keyed aggregate — shuffles O(tokens),
+    * never more. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      .localCheckpoint(true)
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(-log(col("ct").cast("double") / col("total").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        Features.pround(
+          col("sum_micro").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword-list
     * hits and argmax. No SQL oracle (the stopword tables are engine-local
     * config) — covered by ScalaTest on documents with known `lang`. */

@@ -108,6 +108,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("codec") == "opaque"))
   }
 
+  test("decode stats: per (modality, codec) totals cover every asset") {
+    val stats = Multimodal.decodeStats(assets).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == assets.count())
+    // document-backed payloads are all opaque containers
+    assert(stats.forall(_.getAs[String]("codec") == "opaque"))
+    assert(stats.map(_.getAs[String]("modality")).distinct.sorted.toSeq ==
+      Seq("audio", "image", "video"))
+  }
+
   test("meta summary: totals consistent with source table") {
     val m = Multimodal.metaSummary(assets)
     val totalChars = m.agg(sum("total_chars")).collect()(0).getLong(0)

@@ -158,6 +158,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(champ(0).getAs[Double]("f1") >= 0.0)
   }
 
+  test("M19: per-segment AUC equals the global rank AUC applied to each segment alone") {
+    val res = Metrics.segmentAuc(ord, cust).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0, r)
+      // recompute this segment with the single-group aucRank
+      val seg = r.getAs[String]("model")
+      val labeled = ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === seg)
+        .select(when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
+          lit(0).as("yhat"), col("o_totalprice"), col("o_orderkey"))
+      val ref = Metrics.aucRank(labeled).collect()(0).getDouble(0)
+      assert(auc == ref, s"segment $seg: $auc != $ref")
+    }
+  }
+
+  test("M19: a single-class segment scores 0.0 (zero-division convention)") {
+    import spark.implicits._
+    val o = Seq((1L, 10L, "F", 5.0), (2L, 10L, "F", 7.0), (3L, 11L, "F", 9.0), (4L, 11L, "O", 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val c = Seq((10L, "ALLPOS"), (11L, "MIXED")).toDF("c_custkey", "c_mktsegment")
+    val m = Metrics.segmentAuc(o, c).collect().map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    assert(m("ALLPOS") == 0.0) // no negatives → zero-division → 0
+    assert(m("MIXED") == 1.0)  // the positive outranks the negative
+  }
+
+  test("D5 surprisal: uniform-unique corpus scores ln(N); repetition scores lower") {
+    import spark.implicits._
+    val uniq = Seq((0L, "aa bb"), (1L, "cc dd")).toDF("doc_id", "text")
+    val res = TextOps.unigramSurprisal(uniq).collect()
+    // every token count 1 of 4 → -ln(1/4) quantized to micro, mean of equals
+    val expected = math.floor(math.log(4.0) * 1e6 + 0.5) / 1e6
+    res.foreach(r => assert(r.getAs[Double]("surprisal") == expected, r))
+    val mixed = Seq((0L, "x x x x"), (1L, "p q r s")).toDF("doc_id", "text")
+    val byDoc = TextOps.unigramSurprisal(mixed).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("surprisal")).toMap
+    assert(byDoc(0L) < byDoc(1L)) // repetitive doc is less surprising
+  }
+
   test("M17: bounded-memory exactMedian is bit-identical to the percentile aggregate") {
     import spark.implicits._
     // real data (even row count at this SF) across several partition counts
