@@ -197,6 +197,8 @@ object SparkEntry {
       Multimodal.metaSummary(Multimodal.assetsFromDocuments(Tables.documents(s, d)))),
     "d29_unigram_surprisal" -> ((s, d) =>
       TextOps.unigramSurprisal(Tables.documents(s, d))),
+    "d31_repetition_ratio" -> ((s, d) =>
+      TextOps.repetitionRatio(Tables.documents(s, d))),
     // rows-only (decode stats depend on the engine-local opaque decode;
     // real-container decodes are ScalaTest-verified with PNG/GIF/WAV
     // fixtures in MultimodalSpec):
@@ -497,6 +499,18 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, " +
         pr("CAST(sum(micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6) +
         " AS surprisal FROM m GROUP BY doc_id ORDER BY doc_id"),
+    "d31_repetition_ratio" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t), " +
+        "cnt AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2), " +
+        "ranked AS (SELECT doc_id, bigram, n, " +
+        "CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn FROM cnt) " +
+        "SELECT doc_id, n_bigrams, bigram AS top_bigram, CAST(n AS BIGINT) AS top_n, " +
+        pr("CAST(n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 6) + " AS rep_ratio " +
+        "FROM ranked WHERE rn = 1 ORDER BY doc_id"),
 
     "d20_dedup_docs" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +

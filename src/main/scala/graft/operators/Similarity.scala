@@ -226,6 +226,25 @@ object Similarity {
     kmeansLloyd(sample, nLists, iters = 5, seed)
   }
 
+  /** Persist a trained IVF quantizer as a (cell, centroid) parquet table —
+    * the index artifact a production deployment builds at ingest and ships
+    * to query time. */
+  def saveIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF quantizer (inverse of [[saveIvfIndex]]). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** D4 scale path #2 — IVF (inverted-file) approximate nearest neighbors:
     * a k-means coarse quantizer partitions the corpus into `nLists`
     * cells; a query probes its `nProbe` nearest centroids and re-ranks

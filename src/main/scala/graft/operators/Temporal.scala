@@ -19,15 +19,13 @@ import org.apache.spark.sql.functions._
   * point-in-time correctness in training-data generation (no leakage:
   * only rows with `r.t <= l.t` are visible to each left row).
   *
-  * Skew ceiling: the window partitions by KEY, so one pathological key
-  * (a single user with 10⁸ events) lands in one task — the same per-key
-  * bound every key-partitioned operator has (cf. [[Scale.saltedJoin]]'s
-  * escape hatch for joins). For hot keys, pre-aggregate the RIGHT side
-  * into time buckets first (per (key, hour): keep only the latest payload
-  * — a groupBy, fully parallel), then as-of join the left rows against the
-  * bucketed relation: the window input per key shrinks from |events| to
-  * |buckets|, at the cost of intra-bucket resolution handled by a second,
-  * now-small, exact pass over the hot buckets only.
+  * Skew ceiling: [[asofJoin]]'s window partitions by KEY, so one
+  * pathological key (a single user with 10⁸ events) lands in one task —
+  * the same per-key bound every key-partitioned operator has (cf.
+  * [[Scale.saltedJoin]]'s escape hatch for joins). The implemented escape
+  * hatch is [[asofJoinBucketed]]: time-bucketed two-level resolution with
+  * identical semantics (asserted bit-equal in TemporalSpec), whose
+  * per-task bound is one key's rows per TIME BUCKET.
   */
 object Temporal {
 
@@ -76,6 +74,76 @@ object Temporal {
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__kind") === 1)
       .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col("__asof"): _*)
+  }
+
+  /** Hot-key-safe as-of join — same semantics as [[asofJoin]] (inclusive at
+    * equal time, max-`rightTieBreak` among equal times, null keys never
+    * match), but the per-key work is bounded by TIME BUCKET, not by the
+    * key's full history, so a single pathological key no longer lands in
+    * one task:
+    *
+    *  1. reduce the right side to ONE row per (key, bucket): the latest
+    *     update in that bucket (`max_by` — a fully parallel aggregate);
+    *  2. carry the latest update STRICTLY-BEFORE each bucket forward with
+    *     a window over (key, bucket) — per-key rows = #buckets, bounded by
+    *     the time span regardless of data volume;
+    *  3. resolve each left row exactly: candidates from its OWN bucket
+    *     (equi-join on (key, bucket) + time filter — pair work bounded by
+    *     bucket width) beat the carried before-bucket payload, because
+    *     bucketing is monotone: any in-bucket time ≥ every before-bucket
+    *     time.
+    *
+    * `bucket` must be a monotone time→bucket map over the SAME orderable
+    * type for both sides (e.g. `date_trunc("month", _)`, `floor(unix/86400)`).
+    * Choose the width so one key's rows per bucket fit a task — the knob
+    * that trades carry-window length against in-bucket join fan-out.
+    * Precondition (same as [[asofJoin]]): (rightT, rightTieBreak) unique
+    * per key, else the winner among exact ties is plan-order dependent. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                       leftT: String, rightT: String,
+                       rightPayload: Seq[String], rightTieBreak: String,
+                       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right.filter(col(key).isNotNull)
+    val lid = left
+      .withColumn("__lid", monotonically_increasing_id())
+      .withColumn("__b", bucket(col(leftT)))
+    val rb = r.select(
+      col(key).as("__k"), bucket(col(rightT)).as("__b"),
+      col(rightT).as("__t"), col(rightTieBreak).as("__tie"),
+      struct(rightPayload.map(col): _*).as("__p"))
+    // (1) latest update per (key, bucket)
+    val perBucket = rb.groupBy(col("__k"), col("__b"))
+      .agg(max_by(struct(col("__t"), col("__tie"), col("__p")),
+        struct(col("__t"), col("__tie"))).as("__u"))
+    // (2) strictly-before-bucket carry: probes (kind 0) sort BEFORE the
+    // bucket's own update (kind 1), so `last` sees only earlier buckets
+    val probes = lid.select(col(key).as("__k"), col("__b")).distinct()
+      .withColumn("__kind", lit(0))
+      .withColumn("__u", lit(null).cast(perBucket.schema("__u").dataType))
+    val updates = perBucket.withColumn("__kind", lit(1))
+    val wCarry = Window.partitionBy("__k")
+      .orderBy(col("__b"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = probes.unionByName(updates)
+      .withColumn("__carry", last(col("__u"), ignoreNulls = true).over(wCarry))
+      .filter(col("__kind") === 0)
+      .select(col("__k"), col("__b"), col("__carry"))
+    // (3) in-bucket exact resolution + merge with the carry
+    val inBucket = lid
+      .join(rb,
+        lid(key) === rb("__k") && lid("__b") === rb("__b") &&
+          rb("__t") <= lid(leftT),
+        "left")
+      .groupBy(col("__lid"))
+      .agg(max_by(
+        when(col("__t").isNotNull, struct(col("__t"), col("__tie"), col("__p"))),
+        when(col("__t").isNotNull, struct(col("__t"), col("__tie")))).as("__w"))
+    lid
+      .join(inBucket, "__lid")
+      .join(carry, lid(key) === carry("__k") && lid("__b") === carry("__b"), "left")
+      .select(leftCols.map(col) :+
+        coalesce(col("__w.__p"), col("__carry.__p")).as("__asof"): _*)
   }
 
   /** Attribution-window join (x31): per order, the customer's event count

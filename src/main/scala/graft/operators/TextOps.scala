@@ -254,6 +254,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** D5 — per-document repetition ratio (the Gopher repetition rule): the
+    * fraction of a document's bigrams occupied by its single most frequent
+    * bigram — high values flag machine-generated or boilerplate text that
+    * per-token surprisal can miss. Ties on count break to the
+    * lexicographically smallest bigram (deterministic across engines via
+    * `min_by` over the (−count, bigram) composite).
+    *
+    * Scale: explode O(tokens), two doc-keyed aggregates (map-side
+    * combined); docs with < 2 tokens have no bigrams and are excluded. */
+  def repetitionRatio(docs: DataFrame): DataFrame = {
+    val counts = docs.select(split(col("text"), " ", -1).as("t"), col("doc_id"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        min_by(struct(col("bigram").as("top_bigram"), col("n").as("top_n")),
+          struct((-col("n")).as("neg"), col("bigram"))).as("__w"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("__w.top_bigram").as("top_bigram"), col("__w.top_n").as("top_n"),
+        Features.pround(
+          col("__w.top_n").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword-list
     * hits and argmax. No SQL oracle (the stopword tables are engine-local
     * config) — covered by ScalaTest on documents with known `lang`. */

@@ -100,6 +100,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(self.sameElements(pre))
   }
 
+  test("D4 IVF: index save/load round-trips centroids exactly") {
+    val sub = emb.filter(col("vec_id") < 300)
+    val centroids = Similarity.trainIvfCentroids(sub, nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/index"
+    Similarity.saveIvfIndex(spark, centroids, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.length == centroids.length)
+    centroids.zip(loaded).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
   test("D4: salted two-phase top-k is bit-identical to a single-window rank") {
     import org.apache.spark.sql.expressions.Window
     // rebuild the scored candidate relation exactly as bruteForceTopK does,

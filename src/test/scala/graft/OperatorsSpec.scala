@@ -198,6 +198,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byDoc(0L) < byDoc(1L)) // repetitive doc is less surprising
   }
 
+  test("D5 repetition ratio: known repeats score exactly; short docs excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "spam spam spam spam"),     // bigrams: 3 × "spam spam" → ratio 1
+      (1L, "a b c d"),                 // 3 distinct bigrams → 1/3, tie → "a b"
+      (2L, "one"),                     // < 2 tokens → excluded
+      (3L, "x y x y x")               // "x y"×2, "y x"×2 → tie → "x y"
+    ).toDF("doc_id", "text")
+    val res = TextOps.repetitionRatio(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("top_bigram"), r.getAs[Long]("top_n"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Double]("rep_ratio"))).toMap
+    assert(!res.contains(2L))
+    assert(res(0L) == (("spam spam", 3L, 3L, 1.0)))
+    assert(res(1L)._1 == "a b" && res(1L)._4 == math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    assert(res(3L) == (("x y", 2L, 4L, 0.5)))
+  }
+
   test("M17: bounded-memory exactMedian is bit-identical to the percentile aggregate") {
     import spark.implicits._
     // real data (even row count at this SF) across several partition counts

@@ -58,6 +58,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("asofJoinBucketed is bit-identical to asofJoin on real data (month buckets)") {
+    val e = Tables.eventsTs(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    def normalize(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("user_id"),
+        col("__asof.o_orderkey").as("k"), col("__asof.o_totalprice").as("p"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val plain = normalize(Temporal.asofJoin(e, o, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey"))
+    val bucketed = normalize(Temporal.asofJoinBucketed(e, o, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey",
+      t => date_trunc("month", t)))
+    assert(plain.length == bucketed.length)
+    assert(plain.toSeq == bucketed.toSeq)
+  }
+
+  test("asofJoinBucketed tie + boundary semantics match across bucket widths") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (1L, 4L, 102L), (2L, 8L, 103L))
+      .toDF("k", "t", "probe_id")
+    val right = Seq(
+      (1L, 10L, 7L, "at-probe-low"), (1L, 10L, 9L, "at-probe-high"),
+      (1L, 4L, 3L, "early"), (1L, 11L, 99L, "late"), (2L, 1L, 5L, "other-key"))
+      .toDF("k", "t2", "rk", "tag")
+    val expected = Temporal.asofJoin(left, right, "k", "t", "t2", Seq("rk", "tag"), "rk")
+      .select(col("probe_id"), col("__asof.rk"), col("__asof.tag"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    Seq(1L, 3L, 4L, 100L).foreach { width =>
+      val got = Temporal.asofJoinBucketed(left, right, "k", "t", "t2",
+        Seq("rk", "tag"), "rk", t => floor(t / width.toDouble))
+        .select(col("probe_id"), col("__asof.rk"), col("__asof.tag"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got == expected, s"width=$width")
+    }
+  }
+
   test("asofJoin null keys never match (join semantics), left null-key rows pass through") {
     import spark.implicits._
     val left = Seq(
