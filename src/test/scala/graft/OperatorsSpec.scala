@@ -175,6 +175,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("M19: plan has NO single-partition window — rank is segment-partitioned") {
+    val plan = Metrics.segmentAuc(ord, cust).queryExecution.executedPlan.toString
+    // the Window's partition spec must mention the segment key; an empty
+    // partition spec would be the aucRank global-rank shape
+    assert(plan.contains("Window"))
+    assert(plan.contains("windowspecdefinition(model"), plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).mkString("\n"))
+  }
+
   test("M19: a single-class segment scores 0.0 (zero-division convention)") {
     import spark.implicits._
     val o = Seq((1L, 10L, "F", 5.0), (2L, 10L, "F", 7.0), (3L, 11L, "F", 9.0), (4L, 11L, "O", 3.0))

@@ -68,4 +68,32 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(s + sn - 1.0) < 1e-12)
     }
   }
+
+  test("exactMedian: equals the sorted-middle reference on random multisets") {
+    val sizeGen = Gen.chooseNum(1, 40)
+    val ns = samples(sizeGen, 12)
+    ns.zipWithIndex.foreach { case (n, i) =>
+      // duplicates on purpose: values drawn from a small integer range
+      val xs = samples(Gen.chooseNum(-5, 5), n).map(_.toDouble)
+      val sorted = xs.sorted
+      val expected = 0.5 * sorted((n - 1) / 2) + 0.5 * sorted(n / 2)
+      val df = xs.map(Tuple1(_)).toDF("v")
+      Seq(1, 5).foreach { p =>
+        val got = graft.operators.Metrics.exactMedian(df, "v", p)
+        assert(got == expected, s"case $i n=$n partitions=$p xs=$xs")
+      }
+    }
+  }
+
+  test("winnow guarantee holds for random docs with a random planted substring") {
+    val k = 8; val w = 4
+    (0 until 8).foreach { i =>
+      val shared = samples(Gen.alphaLowerChar, k + w - 1 + i * 3).mkString
+      val pre = samples(Gen.alphaNumChar, 10 + i * 7).mkString
+      val post = samples(Gen.alphaNumChar, 25 - i * 2).mkString
+      val a = graft.functions.WinnowKernel.winnow((pre + shared + "0" * 9).getBytes("UTF-8"), k, w).toSet
+      val b = graft.functions.WinnowKernel.winnow(("1" * 11 + shared + post).getBytes("UTF-8"), k, w).toSet
+      assert(a.intersect(b).nonEmpty, s"case $i shared='$shared'")
+    }
+  }
 }
