@@ -164,6 +164,8 @@ object SparkEntry {
       Metrics.aucRank(Metrics.labeledOrders(ord(s, d)))),
     "m19_segment_auc" -> ((s, d) =>
       Metrics.segmentAuc(ord(s, d), cust(s, d))),
+    "m20_calibration_bins" -> ((s, d) =>
+      Metrics.calibrationBins(ord(s, d))),
 
     // ---- D-series: text analysis + dedup + events (§2.7) ----
     "d1_dedup_groups" -> ((s, d) => TextOps.dedupGroups(Tables.documents(s, d))),
@@ -199,6 +201,10 @@ object SparkEntry {
       TextOps.unigramSurprisal(Tables.documents(s, d))),
     "d31_repetition_ratio" -> ((s, d) =>
       TextOps.repetitionRatio(Tables.documents(s, d))),
+    "d32_lexical_diversity" -> ((s, d) =>
+      TextOps.lexicalDiversity(Tables.documents(s, d))),
+    "d33_chunked_docs" -> ((s, d) =>
+      TextOps.chunkDocs(Tables.documents(s, d))),
     // rows-only (decode stats depend on the engine-local opaque decode;
     // real-container decodes are ScalaTest-verified with PNG/GIF/WAV
     // fixtures in MultimodalSpec):
@@ -511,6 +517,35 @@ object SparkEntry {
         "SELECT doc_id, n_bigrams, bigram AS top_bigram, CAST(n AS BIGINT) AS top_n, " +
         pr("CAST(n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 6) + " AS rep_ratio " +
         "FROM ranked WHERE rn = 1 ORDER BY doc_id"),
+    "d32_lexical_diversity" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types, " +
+        pr("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
+          "CAST(len(string_split(text, ' ')) AS DOUBLE)", 6) + " AS ttr " +
+        "FROM documents ORDER BY doc_id"),
+    "d33_chunked_docs" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t), " +
+        "c AS (SELECT doc_id, chunk_id, " +
+        "list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50) AS c FROM e) " +
+        "SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_chunk_tokens, " +
+        "md5(array_to_string(c, ' ')) AS chunk_hash " +
+        "FROM c ORDER BY doc_id, chunk_id"),
+    "m20_calibration_bins" ->
+      ("WITH s AS (SELECT o_totalprice, " +
+        "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, " +
+        "count(*) OVER () AS n FROM orders), " +
+        "med AS (SELECT avg(o_totalprice) AS med FROM s " +
+        "WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1), " +
+        "sc AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
+        "floor((1.0 / (1.0 + exp(-((o_totalprice - med) / 10000.0)))) * 1000000.0 + 0.5) / 1000000.0 AS score " +
+        "FROM orders, med) " +
+        "SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin, count(*) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS n_pos, " +
+        pr("CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6) + " AS frac_pos, " +
+        pr("CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+          "/ CAST(count(*) AS DOUBLE) / 1000000.0", 6) + " AS mean_score " +
+        "FROM sc GROUP BY 1 ORDER BY bin"),
 
     "d20_dedup_docs" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +

@@ -193,6 +193,38 @@ object Metrics {
       .orderBy(col("model"))
   }
 
+  /** M15 extension — calibration (reliability-diagram) bins: bucket a
+    * monotone score into deciles and compare the mean score against the
+    * empirical positive rate per bucket. Declared form scores with a
+    * sigmoid of the median-centered price (the same rule family as
+    * [[labeledOrders]]), so the whole curve is SQL-checkable.
+    *
+    * Determinism: the score is pround(6)-quantized per row BEFORE both the
+    * binning and the per-bin mean (the mean sums integer micro-units), so
+    * engine float-sum ordering cannot move a row across bins or change a
+    * mean. Scale: one scan + a 10-key aggregate; the median comes from
+    * [[exactMedian]] (bounded memory). */
+  def calibrationBins(orders: DataFrame, scale: Double = 10000.0,
+                      partitions: Int = 32): DataFrame = {
+    val med = exactMedian(orders, "o_totalprice", partitions)
+    orders.select(
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        Features.pround(
+          Features.sigmoid((col("o_totalprice") - med) / scale), 6).as("score"))
+      .select(col("y"), col("score"),
+        least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(floor(col("score") * 1e6 + 0.5).cast("long")).as("sum_micro"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        Features.pround(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        Features.pround(
+          col("sum_micro").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mean_score"))
+      .orderBy(col("bin"))
+  }
+
   /** M17 — champion selection (`evaluation.py:139-166`): per-"model" (here:
     * market segment of the ordering customer) f1, filter by threshold,
     * argmax with deterministic tie-break. */

@@ -283,6 +283,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** D5 — lexical diversity (type-token ratio) per document: distinct
+    * tokens / total tokens. Low TTR flags repetitive text from the type
+    * side, complementing [[repetitionRatio]]'s sequence side. One scan,
+    * no shuffle (per-row array ops), exact integer ratio. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        Features.pround(
+          col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+      .orderBy(col("doc_id"))
+
+  /** D5 — context-window chunking: split each document into sliding
+    * token windows of `chunkTokens` advancing by `stride` (overlap =
+    * chunkTokens − stride) — the materialization step that turns documents
+    * into training sequences. Trailing windows shorter than `chunkTokens`
+    * are kept (standard practice; drop them downstream with a length
+    * filter if packing instead). Chunks are emitted as (id, token count,
+    * content hash) — the hash is the dedup/shuffle-friendly handle; the
+    * text itself stays reconstructible from (doc_id, chunk_id, stride).
+    *
+    * Scale: one scan, explode fan-out = ceil(tokens/stride) per doc —
+    * output rows O(corpus tokens / stride), no shuffle until a downstream
+    * aggregate. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, CAST(floor((size(t) - 1) / $stride) AS INT))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)").as("c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword-list
     * hits and argmax. No SQL oracle (the stopword tables are engine-local
     * config) — covered by ScalaTest on documents with known `lang`. */

@@ -224,6 +224,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(3L) == (("x y", 2L, 4L, 0.5)))
   }
 
+  test("D5 lexical diversity: exact ratios, all-unique = 1, all-same = 1/n") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c d"), (1L, "x x x x"), (2L, "y")).toDF("doc_id", "text")
+    val res = TextOps.lexicalDiversity(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Double]("ttr"))).toMap
+    assert(res(0L) == ((4L, 4L, 1.0)))
+    assert(res(1L) == ((4L, 1L, 0.25)))
+    assert(res(2L) == ((1L, 1L, 1.0)))
+  }
+
+  test("D5 chunking: windows cover all tokens, overlap by chunk-stride, tails kept") {
+    import spark.implicits._
+    val words = (0 until 95).map(i => s"w$i")
+    val df = Seq((7L, words.mkString(" ")), (8L, "solo")).toDF("doc_id", "text")
+    val res = TextOps.chunkDocs(df, chunkTokens = 50, stride = 40).collect()
+    val doc7 = res.filter(_.getLong(0) == 7L).sortBy(_.getLong(1))
+    // starts 0, 40, 80 → lengths 50, 50, 15
+    assert(doc7.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L))
+    assert(doc7.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(50L, 50L, 15L))
+    // chunk hash equals the hash of the expected token span
+    val expectHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(words.slice(40, 90).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(doc7(1).getAs[String]("chunk_hash") == expectHash)
+    val doc8 = res.filter(_.getLong(0) == 8L)
+    assert(doc8.length == 1 && doc8(0).getAs[Long]("n_chunk_tokens") == 1L)
+  }
+
+  test("M20 calibration: bins partition all rows, mean_score within bin bounds, monotone") {
+    val res = Metrics.calibrationBins(ord).collect()
+    assert(res.map(_.getAs[Long]("n")).sum == ord.count())
+    res.foreach { r =>
+      val bin = r.getAs[Long]("bin"); val ms = r.getAs[Double]("mean_score")
+      val frac = r.getAs[Double]("frac_pos")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(ms >= bin / 10.0 - 1e-9 && ms <= (bin + 1) / 10.0 + 1e-9 ||
+        bin == 9L && ms <= 1.0, r)
+    }
+    val bins = res.map(_.getAs[Long]("bin")).toSeq
+    assert(bins == bins.sorted && bins.distinct == bins)
+  }
+
   test("M17: bounded-memory exactMedian is bit-identical to the percentile aggregate") {
     import spark.implicits._
     // real data (even row count at this SF) across several partition counts
