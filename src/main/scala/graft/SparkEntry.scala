@@ -120,6 +120,8 @@ object SparkEntry {
     "x29_bucketed_segment_spend" -> ((s, d) => Scale.bucketedSegmentSpend(s, d)),
     "x30_asof_last_order" -> ((s, d) => Temporal.asofLastOrder(s, d)),
     "x31_attribution_window" -> ((s, d) => Temporal.attributionWindow(s, d)),
+    "x32_exists_big_spenders" -> ((s, d) => RelationalExt.existsBigSpenders(s, d)),
+    "x33_nearby_order_mass" -> ((s, d) => RelationalExt.nearbyOrderMass(s, d)),
     "d24_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d), 5)),
     "d25_length_quantiles" -> ((s, d) => TextOps.lengthQuantiles(Tables.documents(s, d))),
     "d26_bigram_top" -> ((s, d) => TextOps.bigramTop(Tables.documents(s, d), 15)),
@@ -546,6 +548,20 @@ object SparkEntry {
         pr("CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
           "/ CAST(count(*) AS DOUBLE) / 1000000.0", 6) + " AS mean_score " +
         "FROM sc GROUP BY 1 ORDER BY bin"),
+    "x32_exists_big_spenders" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 400000.0) ORDER BY c_custkey"),
+    "x33_nearby_order_mass" ->
+      ("WITH b AS (SELECT o_orderkey, o_custkey, " +
+        "date_diff('day', DATE '1970-01-01', o_orderdate) AS d, " +
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_orderkey, o_custkey, " +
+        "CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d " +
+        "RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS BIGINT) AS n_nearby, " +
+        "CAST(CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d " +
+        "RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS BIGINT) AS DOUBLE) / 100.0 AS nearby_mass " +
+        "FROM b ORDER BY o_orderkey"),
 
     "d20_dedup_docs" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +

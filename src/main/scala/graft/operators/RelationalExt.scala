@@ -153,6 +153,40 @@ object RelationalExt {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated EXISTS via the SQL interface (planned as a left-semi
+    * join — same physical shape as IN, but with the correlated predicate
+    * pushed into the join condition): customers with at least one order
+    * above a fixed price in a fixed year. */
+  def existsBigSpenders(s: SparkSession, dir: String): DataFrame = {
+    viewsFor(s, dir, "orders", "customer")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** RANGE-framed window: per order, the count and total of the SAME
+    * customer's orders within ±30 days of it — a value-range frame (all
+    * peers within the bound), not a row-count frame. The order column is
+    * the epoch-day integer so the frame bound is engine-portable; the sum
+    * is integer cents (order-independent). Window partitions by customer —
+    * fully parallel across customers. */
+  def nearbyOrderMass(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"))
+      .rangeBetween(-30, 30)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_nearby"),
+        (sum(col("cents")).over(w).cast("double") / 100.0).as("nearby_mass"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Three-way fact-dimension join: revenue by part brand. `part` and
     * `supplier` scale with SF, so no broadcast hint — AQE picks the join
     * strategy by measured size. */

@@ -283,6 +283,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Metrics.exactMedian(dup, "v", 2) == 2.0)
   }
 
+  test("x32: EXISTS plans as a semi join, no row multiplication") {
+    val res = RelationalExt.existsBigSpenders(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.linesIterator.take(8).mkString("\n"))
+    // semi-join: each customer at most once
+    val keys = res.collect().map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("x33: RANGE frame counts value-distance peers, not row-distance") {
+    import spark.implicits._
+    // one customer, days 0, 10, 45: ±30 frame pairs (0,10) and (10,45)? no —
+    // |0-45|=45 > 30, |10-45|=35 > 30, |0-10|=10 ≤ 30
+    val df = Seq((1L, 100L, "1970-01-01", 100.0), (2L, 100L, "1970-01-11", 200.0),
+      (3L, 100L, "1970-02-15", 400.0))
+      .toDF("o_orderkey", "o_custkey", "d0", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d0").cast("date").as("o_orderdate"), col("o_totalprice"))
+    df.createOrReplaceTempView("x33_probe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("d")).rangeBetween(-30, 30)
+    val out = df.select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"), count(lit(1)).over(w).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("x17: range-partitioned quartiles are bit-identical to the windowed ntile") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
