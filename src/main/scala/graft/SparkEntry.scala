@@ -207,6 +207,8 @@ object SparkEntry {
       TextOps.lexicalDiversity(Tables.documents(s, d))),
     "d33_chunked_docs" -> ((s, d) =>
       TextOps.chunkDocs(Tables.documents(s, d))),
+    "d34_embedding_centroids" -> ((s, d) =>
+      Similarity.embeddingCentroids(Tables.embeddings(s, d))),
     // rows-only (decode stats depend on the engine-local opaque decode;
     // real-container decodes are ScalaTest-verified with PNG/GIF/WAV
     // fixtures in MultimodalSpec):
@@ -533,6 +535,16 @@ object SparkEntry {
         "SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_chunk_tokens, " +
         "md5(array_to_string(c, ' ')) AS chunk_hash " +
         "FROM c ORDER BY doc_id, chunk_id"),
+    "d34_embedding_centroids" ->
+      ("WITH x AS (SELECT vec_id % 8 AS cluster, unnest(embedding) AS v, " +
+        "unnest(range(1, len(embedding) + 1)) - 1 AS idx FROM embeddings), " +
+        "s AS (SELECT cluster, CAST(idx AS BIGINT) AS idx, " +
+        pr("CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+          "/ CAST(count(*) AS DOUBLE) / 1000000.0", 6) + " AS avg_val " +
+        "FROM x GROUP BY 1, 2), " +
+        "n AS (SELECT vec_id % 8 AS cluster, count(*) AS n_vecs FROM embeddings GROUP BY 1) " +
+        "SELECT s.cluster, n.n_vecs, s.idx, s.avg_val FROM s JOIN n USING(cluster) " +
+        "ORDER BY cluster, idx"),
     "m20_calibration_bins" ->
       ("WITH s AS (SELECT o_totalprice, " +
         "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, " +

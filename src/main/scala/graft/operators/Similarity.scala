@@ -315,6 +315,25 @@ object Similarity {
     topKPerQuery(cands, k)
   }
 
+  /** Per-group embedding centroids via the custom [[graft.functions.VectorAvg]]
+    * aggregate — ONE pass with map-side partial aggregation (the composed
+    * posexplode → groupBy(idx) → avg alternative shuffles one row per
+    * vector ELEMENT). Emitted long-form (cluster, idx, avg_val) for the
+    * oracle compare; element means are micro-quantized integer sums, so
+    * the result is partition-layout independent. */
+  def embeddingCentroids(embeddings: DataFrame, nClusters: Int = 8): DataFrame = {
+    val vecAvg = udaf(graft.functions.VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    embeddings
+      .groupBy((col("vec_id") % nClusters).as("cluster"))
+      .agg(vecAvg(col("embedding")).as("centroid"), count(lit(1)).as("n_vecs"))
+      .select(col("cluster"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("idx", "avg_val")))
+      .select(col("cluster"), col("n_vecs"), col("idx").cast("long").as("idx"),
+        col("avg_val"))
+      .orderBy(col("cluster"), col("idx"))
+  }
+
   /** Embedding-cosine near-duplicate pairs for a bounded id range: all
     * pairs with cosine ≥ minSim (the embedding-space analog of MinHash
     * dedup; at corpus scale the candidate set comes from [[lshTopK]]'s

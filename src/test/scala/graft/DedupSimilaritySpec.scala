@@ -100,6 +100,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(self.sameElements(pre))
   }
 
+  test("VectorAvg: exact means on known vectors; partition-layout independent") {
+    val df = Seq((0L, Seq(1.0f, 2.0f)), (0L, Seq(3.0f, 4.0f)), (1L, Seq(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.embeddingCentroids(df, nClusters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(res((0L, 0L)) == ((2L, 2.0)) && res((0L, 1L)) == ((2L, 3.0)))
+    assert(res((1L, 0L)) == ((1L, -1.0)) && res((1L, 1L)) == ((1L, 1.0)))
+    // micro-quantized integer sums → identical under any partitioning
+    val base = Similarity.embeddingCentroids(emb, 8).collect().map(_.toString).toSeq
+    val shuffled = Similarity.embeddingCentroids(emb.repartition(13), 8)
+      .collect().map(_.toString).toSeq
+    assert(base == shuffled)
+  }
+
   test("D4 IVF: index save/load round-trips centroids exactly") {
     val sub = emb.filter(col("vec_id") < 300)
     val centroids = Similarity.trainIvfCentroids(sub, nLists = 8)
