@@ -209,6 +209,14 @@ object SparkEntry {
       TextOps.chunkDocs(Tables.documents(s, d))),
     "d34_embedding_centroids" -> ((s, d) =>
       Similarity.embeddingCentroids(Tables.embeddings(s, d))),
+    "d35_dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nodes = docs.filter(col("doc_id") < 60).select(col("doc_id").as("id"))
+      val edges = Similarity.jaccardPairs(docs, 60, 0.5).select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    }),
     // rows-only (decode stats depend on the engine-local opaque decode;
     // real-container decodes are ScalaTest-verified with PNG/GIF/WAV
     // fixtures in MultimodalSpec):
@@ -545,6 +553,20 @@ object SparkEntry {
         "n AS (SELECT vec_id % 8 AS cluster, count(*) AS n_vecs FROM embeddings GROUP BY 1) " +
         "SELECT s.cluster, n.n_vecs, s.idx, s.avg_val FROM s JOIN n USING(cluster) " +
         "ORDER BY cluster, idx"),
+    "d35_dedup_components" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents WHERE doc_id < 60), " +
+        "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a, t b " +
+        "WHERE a.doc_id < b.doc_id AND " +
+        pr("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)", 6) + " >= 0.5), " +
+        "sym AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e), " +
+        "reach(id, comp) AS (" +
+        "SELECT doc_id, doc_id FROM (SELECT doc_id FROM documents WHERE doc_id < 60) " +
+        "UNION " +
+        "SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id) " +
+        "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component " +
+        "FROM reach GROUP BY id ORDER BY doc_id"),
     "m20_calibration_bins" ->
       ("WITH s AS (SELECT o_totalprice, " +
         "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, " +

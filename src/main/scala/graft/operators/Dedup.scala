@@ -155,6 +155,45 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over an undirected near-dup pair list by
+    * iterative min-label propagation — the step that turns pairwise
+    * near-dup evidence ([[minhashNearDups]], [[simhashNearDups]],
+    * [[winnowNearDups]], [[Similarity.jaccardPairs]]) into a dedup
+    * DECISION: every doc gets its component's minimum id, and the
+    * canonical representative is the row where `id = component`.
+    *
+    * Each round is one shuffle (neighbor-min aggregate + label join);
+    * rounds needed = graph diameter, and near-dup components are tiny
+    * dup-clusters (diameter ≪ 10), so the loop is short. Labels are
+    * `localCheckpoint`ed per round — iterative lineage otherwise grows
+    * unboundedly and re-executes the whole history each round. At
+    * web-graph diameters switch to the alternating large-star/small-star
+    * contraction; for dedup graphs min-propagation is exact and simpler.
+    * Raises if `maxIter` rounds don't reach the fixpoint. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // reused every round; truncate once
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("__ch"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__ch")).count()
+      labels = next.select(col("id"), col("comp"))
+      it += 1
+    }
+    require(changed == 0L, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** SimHash (64-bit): per-bit majority vote over xxhash64'd distinct
     * tokens, computed by the native [[graft.functions.SimhashBits]]
     * expression — a narrow, shuffle-free projection (the explode +

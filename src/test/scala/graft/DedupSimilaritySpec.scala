@@ -226,6 +226,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e3.getMessage.contains("cosine_sim"))
   }
 
+  test("connected components: chains, triangles, isolated nodes, min labels") {
+    val nodes = (0L to 9L).map(Tuple1(_)).toDF("id")
+    // chain 0-1-2-3 (diameter 3), triangle 4-5-6, edge 7-8, isolated 9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("connected components: equals driver-side union-find on real minhash pairs") {
+    val pairs = Dedup.minhashNearDups(docs, 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    // reference: classic union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val nodes = docs.select(col("doc_id").as("id"))
+    val edges = pairs.toSeq.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("D1 exact dedup groups: total copies equals row count") {
     val g = TextOps.dedupGroups(docs)
     assert(g.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
