@@ -156,6 +156,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"), col("fold"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"), col("fold"))),
+    "v9_psi_drift" -> ((s, d) => Validation.psiDrift(ord(s, d))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -267,6 +268,18 @@ object SparkEntry {
           s"round(stddev_samp($c), 4) AS std_$c",
           s"round(avg(CAST($c IS NULL AS DOUBLE)), 6) AS nullfrac_$c"))
         .mkString(", ") + " FROM lineitem"),
+    "v9_psi_drift" ->
+      ("WITH f AS (SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bin, " +
+        "(CAST(o_orderdate AS DATE) < DATE '1998-01-01') AS early FROM orders), " +
+        "c AS (SELECT bin, CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM f GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c) " +
+        "SELECT bin, n_a, n_b, " +
+        pr("((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) - " +
+          "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))) * " +
+          "ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) / " +
+          "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))", 6) + " AS psi_term " +
+        "FROM c CROSS JOIN t ORDER BY bin"),
 
     "f1_conditional_ratio" ->
       ("SELECT l_orderkey, l_linenumber, floor((CASE WHEN l_quantity > 25 " +

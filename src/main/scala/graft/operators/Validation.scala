@@ -75,4 +75,31 @@ object Validation {
         if (c == numericCols.head) tail
         else round(avg(col(c)), 4).as(s"mean_$c") +: tail
       }: _*)
+
+  /** V8 extension — Population Stability Index between two time slices of
+    * the SAME relation: fixed-width value bins, Laplace-smoothed bin
+    * shares, per-bin `(p − q)·ln(p/q)` term (total PSI = Σ terms; > 0.2
+    * is the conventional retrain trigger). Fixed bin edges (not
+    * quantiles) keep the monitor stable across runs and engines; both
+    * shares derive from integer counts, so the only float work per bin is
+    * two divisions, one subtraction, one `ln` — portable at pround(6).
+    *
+    * Scale: one scan, one nBins-key aggregate, totals broadcast from a
+    * 1-row relation. */
+  def psiDrift(orders: DataFrame, splitDate: String = "1998-01-01",
+               binWidth: Double = 50000.0, nBins: Int = 10): DataFrame = {
+    val counts = orders.select(
+        least(floor(col("o_totalprice") / binWidth).cast("long"), lit(nBins - 1L)).as("bin"),
+        (col("o_orderdate").cast("date") < lit(splitDate).cast("date")).as("early"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val p = (col("n_a") + 1L).cast("double") / (col("ta") + nBins.toLong).cast("double")
+    val q = (col("n_b") + 1L).cast("double") / (col("tb") + nBins.toLong).cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        Features.pround((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
 }

@@ -224,6 +224,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(3L) == (("x y", 2L, 4L, 0.5)))
   }
 
+  test("V9 PSI: identical slices score ~0, shifted slices score high") {
+    import spark.implicits._
+    def mk(rows: Seq[(Double, String)]) = rows.zipWithIndex
+      .map { case ((p, d), i) => (i.toLong, p, d) }
+      .toDF("o_orderkey", "o_totalprice", "d0")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("d0").cast("timestamp").as("o_orderdate"))
+    // same price distribution on both sides of the split → PSI ≈ 0
+    val flat = mk((0 until 100).map(i =>
+      (i % 10 * 50000.0 + 1000.0, if (i < 50) "1997-01-01" else "1999-01-01")))
+    val psiFlat = Validation.psiDrift(flat).collect().map(_.getAs[Double]("psi_term")).sum
+    assert(math.abs(psiFlat) < 0.01, psiFlat)
+    // early mass in low bins, late mass in high bins → large PSI
+    val shifted = mk((0 until 100).map(i =>
+      if (i < 50) (1000.0, "1997-01-01") else (450000.0, "1999-01-01")))
+    val psiShift = Validation.psiDrift(shifted).collect().map(_.getAs[Double]("psi_term")).sum
+    assert(psiShift > 1.0, psiShift)
+    // real data: every term finite, bins cover all rows
+    val real = Validation.psiDrift(ord).collect()
+    assert(real.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == ord.count())
+    assert(real.forall(r => !r.getAs[Double]("psi_term").isNaN))
+  }
+
   test("D5 lexical diversity: exact ratios, all-unique = 1, all-same = 1/n") {
     import spark.implicits._
     val df = Seq((0L, "a b c d"), (1L, "x x x x"), (2L, "y")).toDF("doc_id", "text")
