@@ -42,6 +42,34 @@ object QualityCheck {
     compare(profile(baselineDf, numericCols), profile(currentDf, numericCols),
       numericCols)
 
+  final case class PsiResult(column: String, psi: Double, warned: Boolean)
+
+  /** Distribution-shape gate complementing the mean-shift check: PSI of a
+    * numeric column between baseline and current, over fixed-width bins
+    * anchored at the baseline min/max (the [[graft.operators.Validation
+    * .psiDrift]] statistic, generalized to two relations). Conventional
+    * thresholds: 0.1 watch, 0.2 act. */
+  def psiCheck(baselineDf: DataFrame, currentDf: DataFrame, column: String,
+               nBins: Int = 10, threshold: Double = 0.2): PsiResult = {
+    val mm = baselineDf.agg(min(col(column)).cast("double"),
+      max(col(column)).cast("double")).collect()(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = math.max((hi - lo) / nBins, 1e-12)
+    def binned(df: DataFrame) = df.select(
+        least(greatest(floor((col(column) - lo) / width), lit(0.0)), lit(nBins - 1.0))
+          .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = binned(baselineDf); val b = binned(currentDf)
+    val ta = a.values.sum.toDouble + nBins; val tb = b.values.sum.toDouble + nBins
+    val psi = (0 until nBins).map { i =>
+      val p = (a.getOrElse(i.toLong, 0L) + 1.0) / ta
+      val q = (b.getOrElse(i.toLong, 0L) + 1.0) / tb
+      (p - q) * math.log(p / q)
+    }.sum
+    PsiResult(column, psi, psi > threshold)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -57,7 +85,11 @@ object QualityCheck {
     val json = drifts.map(d =>
       s"""{"column": "${d.column}", "rel_shift": ${d.relShift}, "warned": ${d.warned}}""")
       .mkString("[", ", ", "]")
-    println(s"""{"drift_check": $json}""")
+    val psis = numeric.map(c => psiCheck(baseline, current, c))
+    val psiJson = psis.map(p =>
+      s"""{"column": "${p.column}", "psi": ${p.psi}, "warned": ${p.warned}}""")
+      .mkString("[", ", ", "]")
+    println(s"""{"drift_check": $json, "psi_check": $psiJson}""")
     spark.stop()
   }
 }

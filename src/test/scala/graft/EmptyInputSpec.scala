@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Empty-relation behavior: every operator either returns an empty result
+  * or raises a documented precondition error — never crashes with an
+  * internal error or returns garbage. At 100 TB an empty slice is an
+  * everyday event (a new partition, a filtered shard), not an edge case. */
+class EmptyInputSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String, String, Long)]
+    .toDF("doc_id", "lang", "source", "n_chars")
+    .withColumn("text", lit(""))
+    .filter(lit(false))
+    .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+
+  private def emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+
+  test("text ops on an empty documents relation return empty, not errors") {
+    assert(TextOps.dedupGroups(emptyDocs).count() == 0)
+    assert(TextOps.tokenStats(emptyDocs).count() == 0)
+    assert(TextOps.tfidfTopTerms(emptyDocs, 5).count() == 0)
+    assert(TextOps.unigramSurprisal(emptyDocs).count() == 0)
+    assert(TextOps.repetitionRatio(emptyDocs).count() == 0)
+    assert(TextOps.lexicalDiversity(emptyDocs).count() == 0)
+    assert(TextOps.chunkDocs(emptyDocs).count() == 0)
+  }
+
+  test("dedup pipelines on an empty documents relation return empty") {
+    assert(Dedup.minhashNearDups(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.simhashNearDups(emptyDocs, 8).count() == 0)
+    assert(Dedup.winnowNearDups(emptyDocs, 2).count() == 0)
+    val none = Dedup.connectedComponents(
+      emptyDocs.select(col("doc_id").as("id")),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(none.count() == 0)
+  }
+
+  test("similarity ops on an empty embeddings relation return empty or raise cleanly") {
+    assert(Similarity.bruteForceTopK(emptyEmb, 5, 3).count() == 0)
+    assert(Similarity.lshTopK(emptyEmb, 64, 5, 3).count() == 0)
+    assert(Similarity.embeddingCentroids(emptyEmb).count() == 0)
+    // IVF trains a quantizer — an empty corpus is a documented precondition error
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emptyEmb, 5, 3)
+    }
+  }
+
+  test("exactMedian raises its documented precondition on an empty relation") {
+    val e = intercept[IllegalArgumentException] {
+      Metrics.exactMedian(Seq.empty[Double].map(Tuple1(_)).toDF("v"), "v")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("temporal joins with an empty side behave like their join semantics") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "probe_id")
+    val noRight = Seq.empty[(Long, Long, Long, String)].toDF("k", "t2", "rk", "tag")
+    val out = Temporal.asofJoin(left, noRight, "k", "t", "t2", Seq("rk", "tag"), "rk")
+    assert(out.count() == 1 && out.filter(col("__asof").isNotNull).count() == 0)
+    val outB = Temporal.asofJoinBucketed(left, noRight, "k", "t", "t2",
+      Seq("rk", "tag"), "rk", t => floor(t / 4.0))
+    assert(outB.count() == 1 && outB.filter(col("__asof").isNotNull).count() == 0)
+    val noLeft = Seq.empty[(Long, Long, Long)].toDF("k", "t", "probe_id")
+    val right = Seq((1L, 5L, 7L, "x")).toDF("k", "t2", "rk", "tag")
+    assert(Temporal.asofJoin(noLeft, right, "k", "t", "t2", Seq("rk", "tag"), "rk").count() == 0)
+  }
+}

@@ -168,6 +168,21 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(drifts.filter(_.column != "monthly_charges").forall(!_.warned))
   }
 
+  test("quality check PSI: same distribution passes, shape change warns") {
+    val base = DataGen.generate(spark, 2000, 42L)
+    val same = DataGen.generate(spark, 2000, 99L)
+    val ok = QualityCheck.psiCheck(base, same, "monthly_charges")
+    assert(!ok.warned, s"psi=${ok.psi}")
+    // bimodal shift: push half the mass far right — mean-shift alone could
+    // miss a symmetric change, PSI's binned shape compare must not
+    val reshaped = DataGen.generate(spark, 2000, 99L)
+      .withColumn("monthly_charges",
+        when(col("tenure") % 2 === 0, col("monthly_charges") + 500.0)
+          .otherwise(col("monthly_charges")))
+    val bad = QualityCheck.psiCheck(base, reshaped, "monthly_charges")
+    assert(bad.warned, s"psi=${bad.psi}")
+  }
+
   test("E2/E3: linear SHAP shapes and importance ordering") {
     val (feat, _) = FeaturePipeline.fit(DataGen.generate(spark, 1000, 42L))
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
