@@ -210,6 +210,8 @@ object SparkEntry {
       TextOps.chunkDocs(Tables.documents(s, d))),
     "d34_embedding_centroids" -> ((s, d) =>
       Similarity.embeddingCentroids(Tables.embeddings(s, d))),
+    "d36_funnel_steps" -> ((s, d) =>
+      EventOps.funnelSteps(Tables.eventsTs(s, d), Seq("signup", "click", "purchase"))),
     "d35_dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val nodes = docs.filter(col("doc_id") < 60).select(col("doc_id").as("id"))
@@ -580,6 +582,17 @@ object SparkEntry {
         "SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id) " +
         "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component " +
         "FROM reach GROUP BY id ORDER BY doc_id"),
+    "d36_funnel_steps" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "s0 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t " +
+        "FROM e GROUP BY user_id), " +
+        "s1 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.ts > s0.t " +
+        "THEN e.ts END) AS t FROM e JOIN s0 ON e.user_id = s0.user_id GROUP BY e.user_id), " +
+        "s2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t " +
+        "THEN e.ts END) AS t FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id) " +
+        "SELECT CAST(0 AS BIGINT) AS step, 'signup' AS step_name, count(t) AS n_users FROM s0 " +
+        "UNION ALL SELECT CAST(1 AS BIGINT), 'click', count(t) FROM s1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', count(t) FROM s2 ORDER BY step"),
     "m20_calibration_bins" ->
       ("WITH s AS (SELECT o_totalprice, " +
         "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, " +

@@ -47,6 +47,35 @@ object EventOps {
 
   /** Per-type value drift profile over event values (streaming-monitor
     * batch analog of V8). */
+  /** Sequential funnel: step k's per-user entry time is the earliest
+    * step-k event STRICTLY AFTER that user's step-(k−1) entry; the output
+    * counts users reaching each step (classic ordered-conversion funnel,
+    * not mere per-type presence).
+    *
+    * Scale: one conditional-min aggregate per step, each a user-keyed
+    * shuffle of the (already user-partitioned after step 0) entry table —
+    * steps are sequential by definition, so the chain length equals the
+    * funnel length, never the data size. Timestamps compare exactly
+    * (micros), no float work. */
+  def funnelSteps(eventsTs: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = eventsTs.select(col("user_id"), col("event_type"), col("ts"))
+    var entries = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === steps.head, col("ts"))).as("t"))
+    val perStep = Seq.newBuilder[DataFrame]
+    def stepCount(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(col("t")).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(name).as("step_name"), col("n_users"))
+    perStep += stepCount(0, steps.head, entries)
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      entries = e.join(entries, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === step && col("ts") > col("t"), col("ts"))).as("t"))
+      perStep += stepCount(i, step, entries)
+    }
+    perStep.result().reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   def valueProfile(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

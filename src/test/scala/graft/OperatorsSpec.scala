@@ -224,6 +224,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(3L) == (("x y", 2L, 4L, 0.5)))
   }
 
+  test("D-series funnel: ORDER matters — presence without sequence does not convert") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: full ordered funnel
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: clicked BEFORE signup — click step must not count it
+      (2L, "click", 5L), (2L, "signup", 10L), (2L, "purchase", 30L),
+      // user 3: signup + click, no purchase
+      (3L, "signup", 1L), (3L, "click", 2L),
+      // user 4: purchase only — no funnel entry
+      (4L, "purchase", 9L))
+      .toDF("user_id", "event_type", "t0")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("t0") * 1000000L).as("ts"))
+    val res = EventOps.funnelSteps(e, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(res == Map("signup" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   test("V9 PSI: identical slices score ~0, shifted slices score high") {
     import spark.implicits._
     def mk(rows: Seq[(Double, String)]) = rows.zipWithIndex
