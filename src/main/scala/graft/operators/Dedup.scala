@@ -155,6 +155,62 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The persistable MinHash index for a corpus snapshot, as the two
+    * tables a production pipeline writes at ingest:
+    *  - `bands`: (doc_id, band, bh) — the LSH candidate-generation keys;
+    *  - `sets`:  (doc_id, hs) — hashed distinct shingle sets for
+    *    exact-Jaccard verification (stored once per doc, not per band).
+    * [[incrementalNearDups]] joins each new batch against them instead of
+    * re-running the full self-join — the daily-ingest shape: band work is
+    * O(new·bands), corpus signatures are never recomputed. */
+  final case class MinhashIndex(bands: DataFrame, sets: DataFrame)
+
+  def minhashIndex(docs: DataFrame, w: Int = 3, bands: Int = 16,
+                   rowsPerBand: Int = 4): MinhashIndex = {
+    val n = bands * rowsPerBand
+    val sh = withShingles(docs, w)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sh, s -> xxhash64(s)))").as("hs"))
+      .localCheckpoint(true) // feeds both tables; one tokenize+hash scan
+    val bandArr = (0 until bands).map { b =>
+      val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
+      s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
+    }
+    val banded = sh.select(col("doc_id"), minhashSignature("hs", n).as("sig"))
+      .select(col("doc_id"),
+        explode(expr(bandArr.mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    MinhashIndex(banded, sh)
+  }
+
+  /** Incremental near-dup: band the NEW batch only and equijoin against a
+    * persisted corpus [[minhashIndex]] — every new doc is checked against
+    * the whole corpus without touching corpus-side signatures again.
+    * Emits (new_id, corpus_id, jaccard ≥ minSim); identical hash family
+    * to [[minhashNearDups]], so a batch joined against its own index
+    * reproduces the self-join result (asserted in tests). */
+  def incrementalNearDups(newDocs: DataFrame, corpus: MinhashIndex,
+                          minSim: Double, w: Int = 3, bands: Int = 16,
+                          rowsPerBand: Int = 4): DataFrame = {
+    val fresh = minhashIndex(newDocs, w, bands, rowsPerBand)
+    val cands = fresh.bands
+      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+      .join(corpus.bands.select(col("band"), col("bh"), col("doc_id").as("corpus_id")),
+        Seq("band", "bh"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cands
+      .join(fresh.sets.select(col("doc_id").as("new_id"), col("hs").as("hs_new")), "new_id")
+      .join(corpus.sets.select(col("doc_id").as("corpus_id"), col("hs").as("hs_corpus")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        Features.pround(
+          size(array_intersect(col("hs_new"), col("hs_corpus"))).cast("double") /
+            size(array_union(col("hs_new"), col("hs_corpus"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minSim)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   /** Connected components over an undirected near-dup pair list by
     * iterative min-label propagation — the step that turns pairwise
     * near-dup evidence ([[minhashNearDups]], [[simhashNearDups]],

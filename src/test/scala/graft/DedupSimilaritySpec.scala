@@ -226,6 +226,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e3.getMessage.contains("cosine_sim"))
   }
 
+  test("incremental near-dup: batch vs own index reproduces the self-join result") {
+    val idx = Dedup.minhashIndex(synth)
+    val inc = Dedup.incrementalNearDups(synth, idx, 0.5).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))) -> r.getAs[Double]("jaccard")).toMap
+    val full = Dedup.minhashNearDups(synth, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(inc == full, s"inc=$inc full=$full")
+  }
+
+  test("incremental near-dup: a new doc is caught against a prior corpus index") {
+    val corpus = Dedup.minhashIndex(synth.filter(col("doc_id") =!= 1L))
+    val newBatch = synth.filter(col("doc_id") === 1L)
+    val hits = Dedup.incrementalNearDups(newBatch, corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 is the near-dup of 0 (and transitively of the exact-dup 3)
+    assert(hits.contains((1L, 0L)), hits)
+    assert(!hits.exists(_._2 == 2L), hits)
+  }
+
   test("connected components: chains, triangles, isolated nodes, min labels") {
     val nodes = (0L to 9L).map(Tuple1(_)).toDF("id")
     // chain 0-1-2-3 (diameter 3), triangle 4-5-6, edge 7-8, isolated 9
