@@ -135,4 +135,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.toSeq == Seq(1L, 2L))
     q.stop()
   }
+
+  test("streaming ingest + incremental dedup: each micro-batch checked via foreachBatch") {
+    import graft.operators.Dedup
+    implicit val ctx = spark.sqlContext
+    // corpus index built once from the existing docs
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about database engines and query planners"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val found = Dedup.incrementalNearDups(batch, idx, 0.5).collect()
+        hits.synchronized { hits ++= found.map(r => (r.getLong(0), r.getLong(1))) }
+        () // Unit — the streaming sink contract
+      }
+      .start()
+    // batch 1: a near-dup of corpus doc 0 arrives; batch 2: novel content
+    input.addData((10L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    q.processAllAvailable()
+    input.addData((11L, "entirely novel prose about tidal patterns and migratory birds"))
+    q.processAllAvailable()
+    q.stop()
+    assert(hits.toSet == Set((10L, 0L)), hits)
+  }
 }
