@@ -60,7 +60,8 @@ object Metrics {
           case None => Iterator.empty
           case Some(ranks) =>
             val want = ranks.toSet
-            it.zipWithIndex.collect {
+            val last = ranks.max
+            it.zipWithIndex.takeWhile(_._2 <= last).collect {
               case (r: Row, i) if want(i.toLong) => ((pid, i.toLong), r.getDouble(0))
             }
         }
