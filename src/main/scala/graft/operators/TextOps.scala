@@ -312,6 +312,11 @@ object TextOps {
     * aggregate. */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    // stride > chunkTokens would leave inter-window gaps — silent token
+    // loss in the materialized training set (caught by the coverage
+    // property test); overlap = chunkTokens − stride ≥ 0 is the contract
+    require(stride <= chunkTokens,
+      s"stride ($stride) must be <= chunkTokens ($chunkTokens): larger strides skip tokens")
     docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
       .select(col("doc_id"), col("t"),
         explode(expr(s"sequence(0, CAST(floor((size(t) - 1) / $stride) AS INT))"))

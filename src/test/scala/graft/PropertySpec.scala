@@ -85,6 +85,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs: full token coverage and correct window count for random geometries") {
+    val geoms = for {
+      chunk <- Seq(3, 7, 50)
+      stride <- Seq(1, 3, 40) if stride <= chunk // stride > chunk raises (gap guard)
+      nTok <- Seq(1, 2, 5, 49, 50, 51, 95)
+    } yield (chunk, stride, nTok)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.chunkDocs(Seq((1L, "a b")).toDF("doc_id", "text"), 3, 40)
+    }
+    geoms.foreach { case (chunk, stride, n) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val rows = graft.operators.TextOps.chunkDocs(df, chunk, stride).collect()
+      val expectedChunks = (n - 1) / stride + 1
+      assert(rows.length == expectedChunks, s"c=$chunk s=$stride n=$n")
+      // every token index is inside at least one window
+      val covered = rows.flatMap { r =>
+        val start = r.getLong(1) * stride
+        start until math.min(start + chunk, n)
+      }.toSet
+      assert(covered == (0 until n).toSet, s"c=$chunk s=$stride n=$n")
+      // window lengths: full until the tail
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        val start = r.getLong(1) * stride
+        assert(r.getAs[Long]("n_chunk_tokens") == math.min(chunk, n - start))
+      }
+    }
+  }
+
+  test("funnel counts are non-increasing across steps on real data") {
+    val f = graft.operators.EventOps.funnelSteps(
+      Tables.eventsTs(spark, SparkFixture.sfDir), Seq("signup", "click", "purchase"))
+      .collect().map(_.getAs[Long]("n_users")).toSeq
+    assert(f.length == 3)
+    assert(f.zip(f.tail).forall { case (a, b) => a >= b }, f)
+  }
+
   test("winnow guarantee holds for random docs with a random planted substring") {
     val k = 8; val w = 4
     (0 until 8).foreach { i =>
