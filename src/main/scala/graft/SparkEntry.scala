@@ -212,6 +212,8 @@ object SparkEntry {
       Similarity.embeddingCentroids(Tables.embeddings(s, d))),
     "d36_funnel_steps" -> ((s, d) =>
       EventOps.funnelSteps(Tables.eventsTs(s, d), Seq("signup", "click", "purchase"))),
+    "d37_gapfilled_hourly" -> ((s, d) =>
+      EventOps.gapFilledHourly(Tables.eventsTs(s, d))),
     "d35_dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val nodes = docs.filter(col("doc_id") < 60).select(col("doc_id").as("id"))
@@ -593,6 +595,21 @@ object SparkEntry {
         "SELECT CAST(0 AS BIGINT) AS step, 'signup' AS step_name, count(t) AS n_users FROM s0 " +
         "UNION ALL SELECT CAST(1 AS BIGINT), 'click', count(t) FROM s1 " +
         "UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', count(t) FROM s2 ORDER BY step"),
+    "d37_gapfilled_hourly" ->
+      ("WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, " +
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
+        "agg AS (SELECT hour, event_type, count(*) AS n, " +
+        "CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value_mass FROM e GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM agg), " +
+        "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds), " +
+        "grid AS (SELECT s.hour, t.event_type FROM spine s " +
+        "CROSS JOIN (SELECT DISTINCT event_type FROM e) t), " +
+        "j AS (SELECT g.hour, g.event_type, coalesce(a.n, 0) AS n, a.value_mass " +
+        "FROM grid g LEFT JOIN agg a ON g.hour = a.hour AND g.event_type = a.event_type) " +
+        "SELECT hour, event_type, CAST(n AS BIGINT) AS n, " +
+        "last_value(value_mass IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_mass " +
+        "FROM j ORDER BY hour, event_type"),
     "m20_calibration_bins" ->
       ("WITH s AS (SELECT o_totalprice, " +
         "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, " +

@@ -76,6 +76,41 @@ object EventOps {
     perStep.result().reduce(_ unionByName _).orderBy(col("step"))
   }
 
+  /** Time-series gap filling (resample + ffill): a complete hourly spine
+    * per event type — absent hours appear with n = 0 and carry the last
+    * seen hourly value mass forward (the feature a downstream model reads
+    * as "activity level as of hour h", with no gaps).
+    *
+    * Determinism: value mass sums integer cents (order-independent);
+    * carry-forward is `last(ignoreNulls)` over (type, hour) — per-type
+    * windows, #types-wide parallelism. The spine comes from one 1-row
+    * bounds aggregate exploded into `sequence(lo, hi, 1 hour)` — hours ×
+    * types rows, independent of event volume. */
+  def gapFilledHourly(eventsTs: DataFrame): DataFrame = {
+    // timestamp_ntz: the dumped parquet must carry a naive timestamp to
+    // match DuckDB's TIMESTAMP in the oracle compare (same as hourlyCounts)
+    val e = eventsTs.select(
+      date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+      col("event_type"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    // feeds the bounds aggregate AND the spine join — materialize once
+    val agg = e.groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cents")).cast("double") / 100.0).as("value_mass"))
+      .localCheckpoint(true)
+    val bounds = agg.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val spine = bounds.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val grid = spine.crossJoin(agg.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"), col("value_mass"))
+      .withColumn("carried_mass", last(col("value_mass"), ignoreNulls = true).over(w))
+      .select(col("hour"), col("event_type"), col("n"), col("carried_mass"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   def valueProfile(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

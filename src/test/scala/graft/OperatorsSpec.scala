@@ -224,6 +224,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(3L) == (("x y", 2L, 4L, 0.5)))
   }
 
+  test("gap-fill: absent hours appear zero-counted with carried value mass") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "click", 0L, 10.0), (2L, "click", 0L, 5.0),   // hour 0: mass 15.0
+      (3L, "click", 3L, 7.0),                            // hour 3 (hours 1-2 gap)
+      (4L, "view", 1L, 2.0))                             // view only at hour 1
+      .toDF("event_id", "event_type", "h", "value")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("h") * 3600L * 1000000L).as("ts"), col("value"))
+    val rows = EventOps.gapFilledHourly(e).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("hour")
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 3600, r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // spine covers hours 0..3 × {click, view} = 8 rows
+    assert(rows.size == 8)
+    assert(rows((0, "click")) == ((2L, Some(15.0))))
+    assert(rows((1, "click")) == ((0L, Some(15.0)))) // gap hour carries mass
+    assert(rows((2, "click")) == ((0L, Some(15.0))))
+    assert(rows((3, "click")) == ((1L, Some(7.0))))
+    assert(rows((0, "view")) == ((0L, None)))        // nothing seen yet
+    assert(rows((1, "view")) == ((1L, Some(2.0))))
+    assert(rows((3, "view")) == ((0L, Some(2.0))))
+  }
+
   test("D-series funnel: ORDER matters — presence without sequence does not convert") {
     import spark.implicits._
     val e = Seq(
