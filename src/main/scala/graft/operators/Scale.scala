@@ -45,6 +45,26 @@ object Scale {
 
   /** Write with hive-style partition pruning layout (dt=.../country=...):
     * the scan of a filtered read touches only matching directories. */
+  /** Small-file compaction — the everyday maintenance job at corpus scale:
+    * a directory of N fragment files (streaming micro-batch sinks, per-task
+    * writers) rewritten as ceil(bytes / targetBytes) right-sized files.
+    * Sizing reads the FILE FOOTPRINT from the filesystem (not a count())
+    * and `repartition(k)` round-robins rows so outputs are even; content
+    * is unchanged. Returns the output file count. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val k = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(k)
+      .write.mode("overwrite").parquet(outDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 

@@ -63,4 +63,22 @@ class ScaleSpec extends AnyFunSuite {
       s"expected partition filter in:\n$plan")
     assert(pruned.count() > 0)
   }
+
+  test("compaction: fragmented directory rewritten to sized files, content identical") {
+    val ord = Tables.orders(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val fragDir = s"$base/frag"; val outDir = s"$base/out"
+    ord.repartition(40).write.parquet(fragDir)
+    val fragFiles = new java.io.File(fragDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(fragFiles == 40)
+    val fragBytes = new java.io.File(fragDir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.length).sum
+    val target = math.max(fragBytes / 4, 1L) // expect ~4 output files
+    val outFiles = graft.operators.Scale.compact(spark, fragDir, outDir, target)
+    assert(outFiles < 40 && outFiles >= 4, s"outFiles=$outFiles")
+    val a = ord.orderBy("o_orderkey").collect().map(_.toSeq)
+    val b = spark.read.parquet(outDir).orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
