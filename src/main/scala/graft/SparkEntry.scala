@@ -122,6 +122,14 @@ object SparkEntry {
     "x31_attribution_window" -> ((s, d) => Temporal.attributionWindow(s, d)),
     "x32_exists_big_spenders" -> ((s, d) => RelationalExt.existsBigSpenders(s, d)),
     "x33_nearby_order_mass" -> ((s, d) => RelationalExt.nearbyOrderMass(s, d)),
+    "x34_asof_bucketed" -> ((s, d) => Temporal.asofLastOrderBucketed(s, d)),
+    // rows-only (MinHash family is engine-local; strong equivalence tests
+    // in DedupSimilaritySpec cover the semantics):
+    "d38_incremental_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Dedup.minhashIndex(docs.filter(col("doc_id") < 400))
+      Dedup.incrementalNearDups(docs.filter(col("doc_id") >= 400), corpus, 0.5)
+    }),
     "d24_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d), 5)),
     "d25_length_quantiles" -> ((s, d) => TextOps.lengthQuantiles(Tables.documents(s, d))),
     "d26_bigram_top" -> ((s, d) => TextOps.bigramTop(Tables.documents(s, d), 15)),
@@ -673,6 +681,16 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY 1 ORDER BY c_mktsegment"),
     "x30_asof_last_order" ->
+      ("SELECT event_id, user_id, o_orderkey AS last_orderkey, o_totalprice AS last_price " +
+        "FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +
+        "row_number() OVER (PARTITION BY e.event_id " +
+        "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+        "FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
+        "AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)) " +
+        "WHERE rn = 1 ORDER BY event_id"),
+    // x34 is the SAME point-in-time lookup through the bucketed rewrite —
+    // deliberately shares x30's oracle so the rewrite is hash-verified
+    "x34_asof_bucketed" ->
       ("SELECT event_id, user_id, o_orderkey AS last_orderkey, o_totalprice AS last_price " +
         "FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +
         "row_number() OVER (PARTITION BY e.event_id " +

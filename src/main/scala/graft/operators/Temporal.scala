@@ -178,14 +178,35 @@ object Temporal {
     * order at or before the event time — the point-in-time feature lookup.
     * Payload values pass through unrounded (no arithmetic → bit-identical
     * to any engine). */
-  def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+  def asofLastOrder(s: SparkSession, dir: String): DataFrame =
+    asofLastOrderVia(s, dir, bucketed = false)
+
+  /** Declared-query form (x34): identical semantics through the hot-key
+    * [[asofJoinBucketed]] path (month buckets) — shares x30's SQL oracle,
+    * so the bucketed rewrite is hash-verified end-to-end, not only
+    * unit-tested. */
+  def asofLastOrderBucketed(s: SparkSession, dir: String): DataFrame =
+    asofLastOrderVia(s, dir, bucketed = true)
+
+  private def asofLastOrderVia(s: SparkSession, dir: String,
+                               bucketed: Boolean): DataFrame = {
     val e = graft.Tables.eventsTs(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
     val o = graft.Tables.orders(s, dir)
-      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
         col("o_orderkey"), col("o_totalprice"))
-    asofJoin(e, o, "user_id", "ts", "o_orderdate",
-      Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    val eN = e.select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+    val joined =
+      if (bucketed)
+        asofJoinBucketed(eN, o, "user_id", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), "o_orderkey",
+          t => date_trunc("month", t))
+      else
+        asofJoin(eN, o, "user_id", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    joined
       .filter(col("__asof").isNotNull)
       .select(col("event_id"), col("user_id"),
         col("__asof.o_orderkey").as("last_orderkey"),
