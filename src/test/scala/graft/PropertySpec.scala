@@ -122,6 +122,38 @@ class PropertySpec extends AnyFunSuite {
     assert(f.zip(f.tail).forall { case (a, b) => a >= b }, f)
   }
 
+  test("asofJoin + bucketed form match the naive argmax reference on random instances") {
+    import graft.operators.Temporal
+    val rng = new scala.util.Random(4242L)
+    (0 until 4).foreach { case_ =>
+      val nKeys = 1 + rng.nextInt(4)
+      val left = (0 until 40).map(i =>
+        (rng.nextInt(nKeys).toLong, rng.nextInt(50).toLong, i.toLong))
+        .toDF("k", "t", "probe_id")
+      val right = (0 until 30).map(i =>
+        (rng.nextInt(nKeys).toLong, rng.nextInt(50).toLong, i.toLong, s"p$i"))
+        .toDF("k", "t2", "rk", "tag")
+      // naive reference: inequality join + (t2, rk) argmax
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("t2").desc, col("rk").desc)
+      val ref = left.join(right, left("k") === right("k") && col("t2") <= col("t"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("probe_id"), col("rk"), col("tag"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      def run(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("__asof").isNotNull)
+        .select(col("probe_id"), col("__asof.rk"), col("__asof.tag"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      val plain = run(Temporal.asofJoin(left, right, "k", "t", "t2", Seq("rk", "tag"), "rk"))
+      assert(plain == ref, s"case $case_ plain")
+      Seq(1L, 7L, 64L).foreach { width =>
+        val bucketed = run(Temporal.asofJoinBucketed(left, right, "k", "t", "t2",
+          Seq("rk", "tag"), "rk", t => floor(t / width.toDouble)))
+        assert(bucketed == ref, s"case $case_ width=$width")
+      }
+    }
+  }
+
   test("winnow guarantee holds for random docs with a random planted substring") {
     val k = 8; val w = 4
     (0 until 8).foreach { i =>
