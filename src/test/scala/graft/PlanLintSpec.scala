@@ -16,15 +16,35 @@ class PlanLintSpec extends AnyFunSuite {
     "d13_jaccard_pairs",       // bounded doc_id < 60 both sides (documented)
     "d21_embedding_neardups")  // bounded vec_id < 300 both sides (documented)
 
-  test("no declared query plans an unexpected CartesianProduct") {
+  /** Queries whose plan legitimately contains a GLOBAL (unpartitioned)
+    * window — the single-task stage every other query must avoid:
+    *  - m18_auc_rank: the declared oracle form; `Metrics.aucDistributed`
+    *    is the scale path (bit-equal, tested);
+    *  - x16_moving_avg: window over the pre-aggregated MONTHLY series —
+    *    input rows = #months, bounded by time span, not data volume. */
+  private val globalWindowAllowed: Set[String] = Set(
+    "m18_auc_rank", "x16_moving_avg")
+
+  // matches only when the FIRST comma-separated element of the spec is
+  // already an order spec (no partition columns before it)
+  private val globalWindowRe =
+    "windowspecdefinition\\(([^,()]+) (ASC|DESC)".r
+
+  test("no declared query plans an unexpected CartesianProduct or global window") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct") && !cartesianAllowed(name))
-          Some(name -> "CartesianProduct")
-        else None
+        val cart =
+          if (plan.contains("CartesianProduct") && !cartesianAllowed(name))
+            Seq(name -> "CartesianProduct") else Seq.empty
+        // a windowspecdefinition whose FIRST element is already the order
+        // spec (col ASC/DESC) has an empty partition list → global window
+        val glob =
+          if (globalWindowRe.findFirstIn(plan).isDefined && !globalWindowAllowed(name))
+            Seq(name -> "global (unpartitioned) window") else Seq.empty
+        cart ++ glob
       } catch {
-        case e: Throwable => Some(name -> s"plan build failed: ${e.getMessage}")
+        case e: Throwable => Seq(name -> s"plan build failed: ${e.getMessage}")
       }
     }
     assert(violations.isEmpty, violations.mkString("\n"))
