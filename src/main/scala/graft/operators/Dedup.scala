@@ -41,16 +41,6 @@ object Dedup {
       GraftColumnBridge.expression(col(hashedShinglesCol)), n))
   }
 
-  /** Candidate pairs via LSH banding: signature split into `bands` bands of
-    * `rowsPerBand`, banded docs equijoined on (band index, band hash).
-    * Returns distinct (id_a < id_b) candidate pairs. */
-  def minhashCandidates(docs: DataFrame, w: Int = 3, bands: Int = 16,
-                        rowsPerBand: Int = 4): DataFrame =
-    minhashCandidatesFromHashed(
-      withShingles(docs, w)
-        .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs")),
-      bands, rowsPerBand)
-
   /** Candidate generation over an already hashed-shingle (doc_id,
     * hs: array<long>) relation — lets [[minhashNearDups]] share ONE
     * tokenize + shingle + hash scan between signature computation and

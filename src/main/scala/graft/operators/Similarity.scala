@@ -90,23 +90,6 @@ object Similarity {
     topKPerQuery(joined, k)
   }
 
-  /** D4 scale path — random-hyperplane LSH bucketing: signature = sign
-    * pattern of `nPlanes` fixed pseudo-random hyperplanes (deterministic,
-    * generated from a seeded LCG at plan time). Vectors sharing a signature
-    * are candidate neighbors; exact cosine re-ranks within buckets.
-    * Candidate generation is a signature-equijoin (shuffle O(rows), never
-    * O(rows²)). Recall is tested in ScalaTest against the brute-force path. */
-  def lshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int, seed: Long = 42L): DataFrame = {
-    // deterministic hyperplanes from a tiny LCG — engine-independent
-    val rng = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] = Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val arr = p.map(dlit).mkString("array(", ", ", ")")
-      s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN ${1L << i}L ELSE 0L END)"
-    }
-    embeddings.withColumn("bucket", expr(bits.mkString(" + ")))
-  }
-
   /** LSH-bucketed approximate top-k with OR-amplification: `nTables`
     * independent hash tables of `nPlanes` bits each; a pair is a candidate
     * if it collides in ANY table (recall ≈ 1−(1−p^b)^L). Candidates are
