@@ -49,4 +49,18 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(violations.isEmpty, violations.mkString("\n"))
   }
+
+  test("catalog consistency: every oracle belongs to a declared query; rows-only set is the documented one") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+    // rows-only queries (no SQL oracle) — each must be deliberate:
+    // engine-specific hash families / HLL / k-means / engine-local decode
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "d15_minhash_neardups", "d16_lsh_topk", "d17_simhash_neardups",
+      "d19_approx_distinct", "d22_ivf_topk", "d28_winnow_neardups",
+      "d30_decode_stats", "d38_incremental_neardups")
+    assert(rowsOnly == documented,
+      s"undocumented rows-only: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
+  }
 }
