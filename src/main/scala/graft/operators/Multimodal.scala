@@ -173,6 +173,47 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Partition-wise image resize: decode a recognized image container,
+    * rescale to `targetW × targetH` (bilinear), re-encode as PNG; payloads
+    * that are not decodable images pass through with `resized = false` and
+    * the original bytes. Real pixels end-to-end via the JDK codec — the
+    * standard thumbnail/normalize step before a vision encoder. One
+    * narrow pass; only the (usually smaller) resized payload flows on. */
+  def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("resized", BooleanType),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType), StructField("height", IntegerType)))
+    val rdd = assets.select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            if (bytes == null) Array.emptyByteArray else bytes)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(src) =>
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            Row(r.getLong(0), r.getString(1), true, bos.toByteArray, targetW, targetH)
+          case None =>
+            Row(r.getLong(0), r.getString(1), false, bytes, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling: split payload into fixed-size "frames" and keep every
     * k-th (the video-pipeline access pattern, as pure byte plumbing). */
   def sampleFrames(assets: DataFrame, frameBytes: Int, everyK: Int): DataFrame =

@@ -96,6 +96,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("width")))
   }
 
+  test("resize: real PNG rescaled to target dims and re-decodable; opaque passes through") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(x => (0 until 12).foreach(y => img.setRGB(x, y, x * 17 + y)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(
+      (1L, "image", bos.toByteArray),
+      (2L, "text", "not an image at all".getBytes("UTF-8")))
+      .toDF("asset_id", "modality", "payload")
+    val out = Multimodal.resizeImages(df, 8, 6).orderBy("asset_id").collect()
+    assert(out(0).getAs[Boolean]("resized"))
+    assert(out(0).getAs[Int]("width") == 8 && out(0).getAs[Int]("height") == 6)
+    // the resized payload is itself a decodable 8×6 PNG
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]]("payload")))
+    assert(back.getWidth == 8 && back.getHeight == 6)
+    assert(!out(1).getAs[Boolean]("resized"))
+    assert(new String(out(1).getAs[Array[Byte]]("payload"), "UTF-8") == "not an image at all")
+    assert(out(1).isNullAt(out(1).fieldIndex("width")))
+  }
+
   test("decode: truncated/garbage containers fall back to opaque, never throw") {
     import spark.implicits._
     val junk: Array[Byte] = Array(0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
