@@ -22,9 +22,13 @@ import graft.operators.{Features, Metrics}
   *  - xgboost → GBTClassifier surrogate (xgboost4j not shippable offline);
   *    subsample ↔ subsamplingRate, learning_rate ↔ stepSize.
   *
-  * Parallelism: each fold-fit is cluster-data-parallel; the grid loop is
-  * sequential on the driver like sklearn's outer loop (its `n_jobs=-1`
-  * process pool maps to Spark executor parallelism within each fit).
+  * Parallelism: each fold-fit is cluster-data-parallel, AND the
+  * (combo × fold) fits run concurrently on a bounded driver pool — the
+  * analog of the reference's `GridSearchCV(n_jobs=-1)` outer loop and of
+  * MLlib `CrossValidator.setParallelism`. Small-data fits cannot saturate
+  * the cluster alone; concurrent job submission fills it. Results are
+  * per-(combo, fold) deterministic (fixed seeds), so concurrency cannot
+  * change scores or champion selection.
   */
 object Training {
 
@@ -71,19 +75,29 @@ object Training {
     * folds are not stratified). Caches the fold-tagged training set once;
     * every grid×fold fit reuses it. */
   def gridSearch(name: String, grid: Map[String, Seq[Double]], train: DataFrame,
-                 cvFolds: Int, seed: Long): (TrainedModel, Seq[CvResult]) = {
+                 cvFolds: Int, seed: Long,
+                 parallelism: Int = 4): (TrainedModel, Seq[CvResult]) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val folded = Split.foldAssign(train.select("features", "label"), "label", cvFolds, seed)
       .cache()
     val nTrain = folded.count()
-    val results = gridCombos(grid).map { params =>
-      val scores = (0 until cvFolds).map { f =>
-        val fit = build(name, params, nTrain)
-          .fit(folded.filter(col("fold") =!= f))
-          .asInstanceOf[Model[_]]
-        f1Score(fit, folded.filter(col("fold") === f))
-      }
-      CvResult(params, scores.sum / scores.size)
-    }
+    val combos = gridCombos(grid)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, combos.size * cvFolds)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val results =
+      try {
+        val futures = for (params <- combos; f <- 0 until cvFolds) yield Future {
+          val fit = build(name, params, nTrain)
+            .fit(folded.filter(col("fold") =!= f))
+            .asInstanceOf[Model[_]]
+          (params, f) -> f1Score(fit, folded.filter(col("fold") === f))
+        }
+        val scored = Await.result(Future.sequence(futures), Duration.Inf).toMap
+        combos.map(params => CvResult(params,
+          (0 until cvFolds).map(f => scored((params, f))).sum / cvFolds))
+      } finally pool.shutdown()
     val best = results.maxBy(r => (r.meanScore, -r.params.hashCode))
     val refit = build(name, best.params, nTrain).fit(folded).asInstanceOf[Model[_]]
     folded.unpersist()
