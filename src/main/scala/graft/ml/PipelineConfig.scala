@@ -29,7 +29,8 @@ final case class PipelineConfig(
   championAucThreshold: Double = 0.70,
   shapSampleSize: Int = 500,                  // pipeline_config.yaml:78
   maxDisplayFeatures: Int = 10,               // pipeline_config.yaml:79
-  modelDir: String = "/tmp/graft_models")
+  modelDir: String = "/tmp/graft_models",
+  gridParallelism: Int = 4)                   // n_jobs analog: concurrent CV fits
 
 final case class ModelConfig(enabled: Boolean, grid: Map[String, Seq[Double]])
 
@@ -64,6 +65,8 @@ object PipelineConfig {
     base.copy(
       nSamples = sys.env.get("PIPELINE_N_SAMPLES").map(_.toInt).getOrElse(base.nSamples),
       randomState = sys.env.get("PIPELINE_RANDOM_STATE").map(_.toInt).getOrElse(base.randomState),
-      modelDir = sys.env.getOrElse("PIPELINE_MODEL_DIR", base.modelDir))
+      modelDir = sys.env.getOrElse("PIPELINE_MODEL_DIR", base.modelDir),
+      gridParallelism = sys.env.get("PIPELINE_GRID_PARALLELISM").map(_.toInt)
+        .getOrElse(base.gridParallelism))
   }
 }

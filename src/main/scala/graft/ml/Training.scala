@@ -111,7 +111,8 @@ object Training {
                        train: DataFrame): Seq[(TrainedModel, Seq[CvResult])] =
     config.models.toSeq.sortBy(_._1).collect {
       case (name, mc) if mc.enabled =>
-        gridSearch(name, mc.grid, train, config.cvFolds, config.randomState)
+        gridSearch(name, mc.grid, train, config.cvFolds, config.randomState,
+          config.gridParallelism)
     }
 
   def trainAll(config: PipelineConfig, train: DataFrame): Seq[TrainedModel] =
