@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single-JVM local mode hosts driver AND all executor threads: the full
+  // reference training grid (depth-20 200-tree forests x concurrent CV
+  // fits) peaks well above 8g; the host has 125g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // deep serialized object graphs (boosted-ensemble lineages) recurse in
+  // the java deserializer; default 1m thread stacks overflow
+  "-Xss16m",
 )

@@ -166,6 +166,8 @@ object RunPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     val config = if (args.nonEmpty) PipelineConfig.load(args(0)) else PipelineConfig()
     val result = run(spark, config)
     val scoresJson = result.scores.map(s =>

@@ -48,11 +48,16 @@ object Training {
           .setMaxDepth(params.getOrElse("max_depth", 5.0).toInt)
           .setMinInstancesPerNode(params.getOrElse("min_samples_leaf", 1.0).toInt)
       case "xgboost" =>
+        // checkpointInterval: 100-200 boosting rounds build an RDD/object
+        // lineage deep enough to overflow the task-deserializer stack;
+        // periodic checkpoints truncate it (no-op when the session has no
+        // checkpoint dir — RunPipeline and the test fixture set one)
         new GBTClassifier().setSeed(42L)
           .setMaxIter(params.getOrElse("n_estimators", 100.0).toInt)
           .setMaxDepth(params.getOrElse("max_depth", 3.0).toInt)
           .setStepSize(params.getOrElse("learning_rate", 0.1))
           .setSubsamplingRate(params.getOrElse("subsample", 1.0))
+          .setCheckpointInterval(10)
       case other => throw new IllegalArgumentException(s"Unknown model type: $other")
     }
 

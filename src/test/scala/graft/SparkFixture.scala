@@ -15,6 +15,8 @@ object SparkFixture {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
     GraftExtensions.register(s)
     s
   }
