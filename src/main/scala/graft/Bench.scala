@@ -51,10 +51,20 @@ object Bench {
     }.toMap
     val p1 = timedPass(); val p2 = timedPass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings go to a file: the driver only keeps the last
+    // ~2k chars of stdout, so a 100-query JSON line gets truncated there
+    // (BENCH_r1..r3 all show parsed=null). The printed line stays compact —
+    // total + the slowest 25 — so it parses from the captured tail.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    val slowest = results.sortBy(-_._2).take(25)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

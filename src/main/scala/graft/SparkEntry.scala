@@ -165,6 +165,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"), col("fold"))),
     "v9_psi_drift" -> ((s, d) => Validation.psiDrift(ord(s, d))),
+    "v10_psi_by_column" -> ((s, d) => Validation.psiByColumn(
+      li(s, d), "l_shipdate", "1995-06-01",
+      Map("l_quantity" -> 5.0, "l_extendedprice" -> 10000.0,
+        "l_discount" -> 0.01, "l_tax" -> 0.01))),
+    "d39_lang_confusion" -> ((s, d) =>
+      TextOps.langConfusion(Tables.documents(s, d))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -292,6 +298,44 @@ object SparkEntry {
           "ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) / " +
           "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))", 6) + " AS psi_term " +
         "FROM c CROSS JOIN t ORDER BY bin"),
+    "v10_psi_by_column" -> {
+      val watched = Seq("l_discount" -> "0.01", "l_extendedprice" -> "10000.0",
+        "l_quantity" -> "5.0", "l_tax" -> "0.01")
+      val branches = watched.map { case (c, w) =>
+        s"SELECT '$c' AS column_name, " +
+          s"CAST(least(floor($c / CAST($w AS DOUBLE)), 9) AS BIGINT) AS bin, " +
+          "(CAST(l_shipdate AS DATE) < DATE '1995-06-01') AS early FROM lineitem"
+      }.mkString(" UNION ALL ")
+      s"WITH f AS ($branches), " +
+        "c AS (SELECT column_name, bin, " +
+        "CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_b " +
+        "FROM f GROUP BY 1, 2), " +
+        "t AS (SELECT column_name, CAST(sum(n_a) AS BIGINT) AS ta, " +
+        "CAST(sum(n_b) AS BIGINT) AS tb FROM c GROUP BY 1) " +
+        "SELECT c.column_name, bin, n_a, n_b, " +
+        pr("((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) - " +
+          "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))) * " +
+          "ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) / " +
+          "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))", 6) + " AS psi_term " +
+        "FROM c JOIN t ON c.column_name = t.column_name " +
+        "ORDER BY c.column_name, bin"
+    },
+    "d39_lang_confusion" -> {
+      val langs = operators.TextOps.langMarkers.keys.toSeq.sorted
+      val scores = langs.map { l =>
+        val list = operators.TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS score_$l"
+      }.mkString(", ")
+      val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN m > 0 AND score_$l = m THEN '$l'")
+        .mkString(" ")
+      "WITH s AS (SELECT lang AS true_lang, " + scores + " FROM documents), " +
+        s"g AS (SELECT true_lang, $m AS m, " +
+        langs.map(l => s"score_$l").mkString(", ") + " FROM s) " +
+        s"SELECT true_lang, CASE $cases ELSE 'und' END AS pred_lang, " +
+        "CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2"
+    },
 
     "f1_conditional_ratio" ->
       ("SELECT l_orderkey, l_linenumber, floor((CASE WHEN l_quantity > 25 " +

@@ -330,9 +330,18 @@ object TextOps {
   }
 
   /** Language-ID heuristic: score each candidate language by stopword-list
-    * hits and argmax. No SQL oracle (the stopword tables are engine-local
-    * config) — covered by ScalaTest on documents with known `lang`. */
-  private val langMarkers: Map[String, Seq[String]] = Map(
+    * hits and argmax (ties break to the alphabetically-first language; zero
+    * hits → "und"). The marker lists are plain literals, so the whole
+    * classifier is SQL-expressible — [[langConfusion]] is the declared,
+    * oracle-checked form. Covered additionally by ScalaTest determinism
+    * tests on documents with known `lang`.
+    *
+    * Scale: per-row array ops only (split + filter + greatest), no shuffle —
+    * a pure scan-bound pass at any corpus size. */
+  /** Marker lexicons — single source of truth for both the Spark classifier
+    * and the declared oracle SQL (SparkEntry builds the DuckDB CASE chain
+    * from this map). */
+  val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -352,4 +361,15 @@ object TextOps {
     }
     scored.withColumn("pred_lang", pred)
   }
+
+  /** D5 — language-ID confusion matrix: labeled `lang` × [[languageId]]
+    * prediction with counts. The audit view a pipeline monitors when the
+    * labeled language metadata and the content-based classifier disagree
+    * (disagreement mass = mislabeled or mixed-language documents).
+    * One scan (classifier is shuffle-free) + one bounded-key aggregate. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    languageId(docs)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
 }

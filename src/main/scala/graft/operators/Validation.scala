@@ -102,4 +102,43 @@ object Validation {
         Features.pround((p - q) * log(p / q), 6).as("psi_term"))
       .orderBy(col("bin"))
   }
+
+  /** V10 — per-column PSI sweep: [[psiDrift]] generalized to every watched
+    * numeric column in ONE scan. Each column gets its own fixed bin width;
+    * the unpivot (`stack`-style union of (column, bin) pairs) happens inside
+    * the projection, so the whole sweep is scan → explode(nCols) →
+    * one (column, bin)-keyed aggregate. Per-column totals come from a
+    * second tiny aggregate broadcast back — never a window over the data.
+    *
+    * Emits per-(column, bin) terms rather than the per-column sum: the sum
+    * of ~nBins doubles is addition-order-sensitive across engines, while
+    * each term is portable at pround(6) (two int-derived divisions, one ln).
+    *
+    * Scale: explode multiplies rows by nCols before the partial aggregate,
+    * but map-side combine collapses them to nCols·nBins keys per partition,
+    * so shuffle volume is O(partitions · nCols · nBins), independent of
+    * table size. */
+  def psiByColumn(df: DataFrame, timeCol: String, splitValue: String,
+                  binWidths: Map[String, Double], nBins: Int = 10): DataFrame = {
+    val cols = binWidths.keys.toSeq.sorted
+    val pairs = array(cols.map { c =>
+      struct(lit(c).as("column_name"),
+        least(floor(col(c) / binWidths(c)).cast("long"), lit(nBins - 1L))
+          .as("bin"))
+    }: _*)
+    val counts = df.select(explode(pairs).as("cb"),
+        (col(timeCol).cast("date") < lit(splitValue).cast("date")).as("early"))
+      .select(col("cb.column_name"), col("cb.bin"), col("early"))
+      .groupBy(col("column_name"), col("bin"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.groupBy(col("column_name"))
+      .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val p = (col("n_a") + 1L).cast("double") / (col("ta") + nBins.toLong).cast("double")
+    val q = (col("n_b") + 1L).cast("double") / (col("tb") + nBins.toLong).cast("double")
+    counts.join(broadcast(totals), Seq("column_name"))
+      .select(col("column_name"), col("bin"), col("n_a"), col("n_b"),
+        Features.pround((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy(col("column_name"), col("bin"))
+  }
 }

@@ -289,4 +289,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val valid = Set("en", "es", "de", "fr", "zh", "und")
     assert(r1.forall(r => valid.contains(r.getString(1))))
   }
+
+  test("language-id confusion: counts partition the corpus, codes valid, argmax tie-break honored") {
+    import spark.implicits._
+    val res = TextOps.langConfusion(docs).collect()
+    assert(res.map(_.getAs[Long]("n")).sum == docs.count())
+    val valid = Set("en", "es", "de", "fr", "zh")
+    assert(res.forall(r => valid.contains(r.getAs[String]("true_lang"))))
+    assert(res.forall(r => (valid + "und").contains(r.getAs[String]("pred_lang"))))
+    // hand-built docs: marker-free text → und; a de/fr tie on "la die la die"
+    // (fr: la×2, de: die×2) → alphabetically-first language (de) wins
+    val planted = Seq(
+      (1L, "rocket banana xylophone", "en", "s", 23L),
+      (2L, "la die la die", "fr", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.languageId(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "und", out)
+    assert(out(2L) == "de", out)
+  }
 }

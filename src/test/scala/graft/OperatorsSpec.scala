@@ -290,6 +290,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(real.forall(r => !r.getAs[Double]("psi_term").isNaN))
   }
 
+  test("V10 PSI sweep: covers every watched column, partitions rows, flags only the drifted column") {
+    import spark.implicits._
+    // two columns over a synthetic table: `stable` has the same distribution
+    // on both sides of the split, `drifted` moves all its mass
+    val df = (0 until 200).map { i =>
+      val early = i < 100
+      (i.toLong,
+        (i % 10) * 10.0 + 1.0,                        // stable: same both sides
+        if (early) 5.0 else 95.0,                     // drifted: low → high
+        if (early) "1997-01-01" else "1999-01-01")
+    }.toDF("id", "stable", "drifted", "d0")
+      .select(col("id"), col("stable"), col("drifted"),
+        col("d0").cast("timestamp").as("t"))
+    val res = Validation.psiByColumn(df, "t", "1998-01-01",
+      Map("stable" -> 10.0, "drifted" -> 10.0)).collect()
+    val byCol = res.groupBy(_.getAs[String]("column_name"))
+    assert(byCol.keySet == Set("stable", "drifted"))
+    // each column's bins partition all 200 rows
+    byCol.foreach { case (_, rows) =>
+      assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == 200L)
+    }
+    val psi = byCol.view.mapValues(_.map(_.getAs[Double]("psi_term")).sum).toMap
+    assert(math.abs(psi("stable")) < 0.01, psi)
+    assert(psi("drifted") > 1.0, psi)
+    // real data: finite terms, deterministic ordering by (column, bin)
+    val real = Validation.psiByColumn(li, "l_shipdate", "1995-06-01",
+      Map("l_quantity" -> 5.0, "l_discount" -> 0.01)).collect()
+    assert(real.forall(r => !r.getAs[Double]("psi_term").isNaN))
+    val keys = real.map(r => (r.getAs[String]("column_name"), r.getAs[Long]("bin")))
+    assert(keys.sameElements(keys.sortBy(identity)))
+  }
+
   test("D5 lexical diversity: exact ratios, all-unique = 1, all-same = 1/n") {
     import spark.implicits._
     val df = Seq((0L, "a b c d"), (1L, "x x x x"), (2L, "y")).toDF("doc_id", "text")
