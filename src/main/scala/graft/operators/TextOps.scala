@@ -329,18 +329,9 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  /** Language-ID heuristic: score each candidate language by stopword-list
-    * hits and argmax (ties break to the alphabetically-first language; zero
-    * hits → "und"). The marker lists are plain literals, so the whole
-    * classifier is SQL-expressible — [[langConfusion]] is the declared,
-    * oracle-checked form. Covered additionally by ScalaTest determinism
-    * tests on documents with known `lang`.
-    *
-    * Scale: per-row array ops only (split + filter + greatest), no shuffle —
-    * a pure scan-bound pass at any corpus size. */
-  /** Marker lexicons — single source of truth for both the Spark classifier
-    * and the declared oracle SQL (SparkEntry builds the DuckDB CASE chain
-    * from this map). */
+  /** Marker lexicons for [[languageId]] — single source of truth for both
+    * the Spark classifier and the declared oracle SQL (SparkEntry builds
+    * the DuckDB CASE chain from this map). */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "es" -> Seq("el", "la", "de", "que", "y"),
@@ -348,6 +339,14 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo"))
 
+  /** Language-ID heuristic: score each candidate language by stopword-list
+    * hits and argmax (ties break to the alphabetically-first language; zero
+    * hits → "und"). The marker lists are plain literals, so the whole
+    * classifier is SQL-expressible — [[langConfusion]] is the declared,
+    * oracle-checked form; ScalaTest covers determinism and tie-breaks.
+    *
+    * Scale: per-row array ops only (split + filter + greatest), no shuffle —
+    * a pure scan-bound pass at any corpus size. */
   def languageId(docs: DataFrame): DataFrame = {
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
       val list = ws.map(w => s"'$w'").mkString(", ")

@@ -123,6 +123,30 @@ object StreamMonitor {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Exactly-once parquet file sink — the durable end of the streaming
+    * pipeline. Restartable: the checkpoint directory holds the source's
+    * offset WAL and the sink's `_spark_metadata` commit log records which
+    * output files belong to committed batches, so a stop → restart (or a
+    * crash mid-batch) never duplicates and never loses rows — batch readers
+    * of `outDir` see committed files only.
+    *
+    * `Trigger.AvailableNow` drains everything currently available and then
+    * stops — the production shape for incremental jobs scheduled externally
+    * (each run picks up exactly the new files since the last checkpoint);
+    * pass a processing-time trigger instead for an always-on daemon.
+    *
+    * Scale: the sink writes one file per partition per batch; compact
+    * downstream with [[graft.operators.Scale]]'s compaction op if many
+    * small batches accrue. */
+  def parquetSink(df: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Anomaly stream: windows whose mean value drifts more than `sigmas`
     * from a fixed baseline (the streaming analog of the V8 drift warn). */
   def driftAlerts(events: DataFrame, baselineMean: Double, baselineStd: Double,

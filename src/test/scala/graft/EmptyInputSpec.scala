@@ -58,6 +58,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("language-id and PSI sweep on empty relations return empty, not errors") {
+    assert(TextOps.languageId(emptyDocs).count() == 0)
+    assert(TextOps.langConfusion(emptyDocs).count() == 0)
+    val emptyNum = Seq.empty[(Double, String)].toDF("x", "d0")
+      .select(col("x"), col("d0").cast("timestamp").as("t"))
+    assert(Validation.psiByColumn(emptyNum, "t", "1998-01-01",
+      Map("x" -> 1.0)).count() == 0)
+  }
+
   test("temporal joins with an empty side behave like their join semantics") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "probe_id")
     val noRight = Seq.empty[(Long, Long, Long, String)].toDF("k", "t2", "rk", "tag")

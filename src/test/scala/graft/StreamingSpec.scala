@@ -162,4 +162,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(hits.toSet == Set((10L, 0L)), hits)
   }
+
+  test("parquet sink lifecycle: checkpoint restart is exactly-once across runs") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_sink_in")
+    val out = Files.createTempDirectory("graft_sink_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    // stage a single parquet file into the watched dir (file-source layout)
+    def addFile(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_sink_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString + "/d")
+      val part = new java.io.File(tmp.toString + "/d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, in.resolve(name))
+    }
+    def nanos(s: Long) = s * 1000000000L
+    def run(): Unit = {
+      val q = StreamMonitor.parquetSink(
+        StreamMonitor.readEventsStream(spark, in.toString), out, ckpt)
+      q.awaitTermination()
+    }
+    addFile("a.parquet", Seq((1L, nanos(0), 1L, "a", 1.0, "{}"),
+      (2L, nanos(60), 1L, "a", 2.0, "{}")))
+    run()
+    // run 2: restart from the same checkpoint ingests ONLY the new file
+    addFile("b.parquet", Seq((3L, nanos(120), 2L, "b", 3.0, "{}")))
+    run()
+    // run 3: nothing new — a replayed restart must not duplicate anything
+    run()
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
 }
