@@ -88,12 +88,16 @@ object Validation {
     * 1-row relation. */
   def psiDrift(orders: DataFrame, splitDate: String = "1998-01-01",
                binWidth: Double = 50000.0, nBins: Int = 10): DataFrame = {
+    // localCheckpoint: counts feeds BOTH the totals aggregate and the final
+    // projection — without materializing this ≤ nBins-row relation the scan
+    // + partial aggregate would run twice (no CSE across DataFrame reuse)
     val counts = orders.select(
         least(floor(col("o_totalprice") / binWidth).cast("long"), lit(nBins - 1L)).as("bin"),
         (col("o_orderdate").cast("date") < lit(splitDate).cast("date")).as("early"))
       .groupBy(col("bin"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))
+      .localCheckpoint(true)
     val totals = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
     val p = (col("n_a") + 1L).cast("double") / (col("ta") + nBins.toLong).cast("double")
     val q = (col("n_b") + 1L).cast("double") / (col("tb") + nBins.toLong).cast("double")
@@ -120,18 +124,11 @@ object Validation {
     * table size. */
   def psiByColumn(df: DataFrame, timeCol: String, splitValue: String,
                   binWidths: Map[String, Double], nBins: Int = 10): DataFrame = {
-    val cols = binWidths.keys.toSeq.sorted
-    val pairs = array(cols.map { c =>
-      struct(lit(c).as("column_name"),
-        least(floor(col(c) / binWidths(c)).cast("long"), lit(nBins - 1L))
-          .as("bin"))
-    }: _*)
-    val counts = df.select(explode(pairs).as("cb"),
-        (col(timeCol).cast("date") < lit(splitValue).cast("date")).as("early"))
-      .select(col("cb.column_name"), col("cb.bin"), col("early"))
-      .groupBy(col("column_name"), col("bin"))
-      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))
+    // localCheckpoint: counts feeds BOTH the per-column totals and the final
+    // join — materializing this ≤ nCols·nBins-row relation keeps the table
+    // scan single-pass (no CSE across DataFrame reuse; plan-asserted)
+    val counts = psiCounts(df, timeCol, splitValue, binWidths, nBins)
+      .localCheckpoint(true)
     val totals = counts.groupBy(col("column_name"))
       .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
     val p = (col("n_a") + 1L).cast("double") / (col("ta") + nBins.toLong).cast("double")
@@ -140,5 +137,26 @@ object Validation {
       .select(col("column_name"), col("bin"), col("n_a"), col("n_b"),
         Features.pround((p - q) * log(p / q), 6).as("psi_term"))
       .orderBy(col("column_name"), col("bin"))
+  }
+
+  /** The single-scan (column, bin) count relation [[psiByColumn]]
+    * checkpoints — package-visible so the plan lint can assert the
+    * pre-checkpoint shape (one pruned scan) that lineage truncation hides
+    * from the final plan. */
+  private[graft] def psiCounts(df: DataFrame, timeCol: String,
+      splitValue: String, binWidths: Map[String, Double],
+      nBins: Int): DataFrame = {
+    val cols = binWidths.keys.toSeq.sorted
+    val pairs = array(cols.map { c =>
+      struct(lit(c).as("column_name"),
+        least(floor(col(c) / binWidths(c)).cast("long"), lit(nBins - 1L))
+          .as("bin"))
+    }: _*)
+    df.select(explode(pairs).as("cb"),
+        (col(timeCol).cast("date") < lit(splitValue).cast("date")).as("early"))
+      .select(col("cb.column_name"), col("cb.bin"), col("early"))
+      .groupBy(col("column_name"), col("bin"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))
   }
 }

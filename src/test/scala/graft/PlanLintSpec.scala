@@ -50,6 +50,34 @@ class PlanLintSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("v10 PSI sweep plan: one pruned lineitem scan, broadcast totals join") {
+    import graft.operators.Validation
+    val widths = Map("l_quantity" -> 5.0, "l_extendedprice" -> 10000.0,
+      "l_discount" -> 0.01, "l_tax" -> 0.01)
+    // pre-checkpoint shape: the whole sweep derives from ONE lineitem scan
+    // (unpivot happens in the projection, not via self-union), with only
+    // the watched columns + time column in the pruned scan schema
+    val countsPlan = Validation.psiCounts(Tables.lineitem(spark, sfDir),
+        "l_shipdate", "1995-06-01", widths, 10)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(countsPlan).size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    // the scan's output attribute list (ReadSchema text is truncated by
+    // spark.sql.maxMetadataStringLength, so parse the column list instead)
+    val readCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(countsPlan).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    assert(readCols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_shipdate"), readCols)
+    // final plan: counts is checkpointed, so NOTHING re-reads the table
+    // (zero file scans downstream) and per-column totals come back via a
+    // broadcast join, never a shuffle of the data
+    val finalPlan = SparkEntry.queries("v10_psi_by_column")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("FileScan parquet"), "table re-scanned downstream")
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(500))
+  }
+
   test("catalog consistency: every oracle belongs to a declared query; rows-only set is the documented one") {
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
