@@ -52,16 +52,22 @@ object EventOps {
     * counts users reaching each step (classic ordered-conversion funnel,
     * not mere per-type presence).
     *
-    * Scale: one conditional-min aggregate per step, each a user-keyed
-    * shuffle of the (already user-partitioned after step 0) entry table —
-    * steps are sequential by definition, so the chain length equals the
-    * funnel length, never the data size. Timestamps compare exactly
-    * (micros), no float work. */
+    * Scale: the funnel-relevant events (`event_type IN steps`, a pushed
+    * filter) are scanned ONCE and materialized; each step is then one
+    * user-keyed conditional-min aggregate over that relation joined with
+    * the previous step's O(users) entry table, which is checkpointed per
+    * step — without the materialization the lineage chain re-executes
+    * every prior step for each step count and each union branch, turning
+    * O(steps) scans into O(steps²) (caught by the scan audit). Timestamps
+    * compare exactly (micros), no float work. */
   def funnelSteps(eventsTs: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = eventsTs.select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin(steps: _*))
+      .localCheckpoint(true)
     var entries = e.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === steps.head, col("ts"))).as("t"))
+      .localCheckpoint(true)
     val perStep = Seq.newBuilder[DataFrame]
     def stepCount(i: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(col("t")).as("n_users"))
@@ -71,6 +77,7 @@ object EventOps {
       entries = e.join(entries, "user_id")
         .groupBy(col("user_id"))
         .agg(min(when(col("event_type") === step && col("ts") > col("t"), col("ts"))).as("t"))
+        .localCheckpoint(true)
       perStep += stepCount(i, step, entries)
     }
     perStep.result().reduce(_ unionByName _).orderBy(col("step"))

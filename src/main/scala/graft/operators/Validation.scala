@@ -22,16 +22,15 @@ object Validation {
 
   /** V2 — duplicate-row count beyond first occurrence (ref
     * `data_ingestion.py:133-136`, `df.duplicated().sum()` ==
-    * count(*) - count(distinct *)).
-    * Scale: `distinct` over all columns is a full shuffle on the row hash —
-    * unavoidable for exact dup detection; at 100 TB prefer the
-    * hash-projection variant in [[graft.operators.Dedup]]. */
-  def duplicateRowCount(df: DataFrame): DataFrame = {
-    val total = df.agg(count(lit(1)).as("total_rows"))
-    val dist  = df.distinct().agg(count(lit(1)).as("distinct_rows"))
-    total.crossJoin(dist)
-      .select((col("total_rows") - col("distinct_rows")).as("dup_rows"))
-  }
+    * count(*) - count(distinct *)), computed in ONE scan: group by the
+    * full row, then Σcount − #groups. The all-columns shuffle is the same
+    * one `distinct` would do, but the separate total-count pass (a second
+    * full scan) is gone. At 100 TB prefer the hash-projection variant in
+    * [[graft.operators.Dedup]] (16-byte keys instead of whole rows). */
+  def duplicateRowCount(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.toSeq.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg((sum(col("__n")) - count(lit(1))).as("dup_rows"))
 
   /** V3 — schema check (ref `data_ingestion.py:139-145`): expose the actual
     * column set as a sorted one-column relation for comparison. */
