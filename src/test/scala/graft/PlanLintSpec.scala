@@ -78,6 +78,44 @@ class PlanLintSpec extends AnyFunSuite {
     assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(500))
   }
 
+  /** Queries that legitimately scan the same table more than once — the
+    * full rationale lives in [[graft.tools.ScanAudit]]'s scaladoc
+    * (two-pass fit/transform contracts, id-pruned query-side reads,
+    * bounded self-pair joins, multi-branch semantics demos, two roles).
+    * Everything else must be single-scan per table. */
+  private val multiScanAllowed: Map[String, Set[String]] = Map(
+    "d13_jaccard_pairs" -> Set("documents"),
+    "d14_cosine_topk" -> Set("embeddings"),
+    "d16_lsh_topk" -> Set("embeddings"),
+    "d21_embedding_neardups" -> Set("embeddings"),
+    "f3_quantile_flag" -> Set("orders"),
+    "f5_zscore_clip" -> Set("orders"),
+    "m1_standard_scale" -> Set("customer"),
+    "m2_minmax_scale" -> Set("orders"),
+    "m3_robust_scale" -> Set("customer"),
+    "x21_above_avg_orders" -> Set("orders"),
+    "x24_union_semantics" -> Set("orders"),
+    "x28_nation_pair_volume" -> Set("nation"),
+    "x34_asof_bucketed" -> Set("orders", "events"),
+    "x8_intersect_statuses" -> Set("orders"))
+
+  test("no declared query re-scans a table outside the documented multi-scan set") {
+    val pathRe = "file:[^\\]\\s,]*?/(\\w+)\\.parquet".r
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val scans = plan.linesIterator.filter(_.contains("FileScan parquet"))
+          .flatMap(l => pathRe.findFirstMatchIn(l).map(_.group(1))).toSeq
+        val dups = scans.groupBy(identity).filter(_._2.size > 1).keySet
+        val undocumented = dups -- multiScanAllowed.getOrElse(name, Set.empty)
+        if (undocumented.nonEmpty) Seq(name -> undocumented) else Seq.empty
+      } catch {
+        case e: Throwable => Seq(name -> Set(s"plan build failed: ${e.getMessage}"))
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("catalog consistency: every oracle belongs to a declared query; rows-only set is the documented one") {
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
