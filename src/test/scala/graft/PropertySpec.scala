@@ -114,6 +114,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("languageId equals the driver-side argmax reference on random marker mixtures") {
+    import graft.operators.TextOps
+    val vocab = TextOps.langMarkers.values.flatten.toSeq.distinct ++
+      Seq("xylo", "quartz", "nebula") // words in no lexicon
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val docs = samples(docGen, 200).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "s", 1L) }
+    val out = TextOps.languageId(
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text, _, _, _) =>
+      val toks = text.split(" ", -1)
+      val scores = TextOps.langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
+        l -> toks.count(ws.contains)
+      }
+      val max = scores.map(_._2).max
+      val expected = if (max == 0) "und" else scores.find(_._2 == max).get._1
+      assert(out(id) == expected, s"doc $id '$text': ${out(id)} vs $expected")
+    }
+  }
+
   test("funnel counts are non-increasing across steps on real data") {
     val f = graft.operators.EventOps.funnelSteps(
       Tables.eventsTs(spark, SparkFixture.sfDir), Seq("signup", "click", "purchase"))
