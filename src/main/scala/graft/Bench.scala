@@ -61,8 +61,15 @@ object Bench {
     // (BENCH_r1..r3 all show parsed=null). The printed line stays compact —
     // total + the slowest 25 — so it parses from the captured tail.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
-    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    // best-effort: a read-only or foreign cwd must not discard the ~40 s
+    // of measurement behind it — the printed line below is the contract
+    try {
+      val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] BENCH_DETAIL.json not written: ${e.getMessage}")
+    }
     val slowest = results.sortBy(-_._2).take(25)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
     spark.stop()

@@ -166,9 +166,7 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("fold"))),
     "v9_psi_drift" -> ((s, d) => Validation.psiDrift(ord(s, d))),
     "v10_psi_by_column" -> ((s, d) => Validation.psiByColumn(
-      li(s, d), "l_shipdate", "1995-06-01",
-      Map("l_quantity" -> 5.0, "l_extendedprice" -> 10000.0,
-        "l_discount" -> 0.01, "l_tax" -> 0.01))),
+      li(s, d), "l_shipdate", "1995-06-01", Validation.defaultPsiWidths)),
     "d39_lang_confusion" -> ((s, d) =>
       TextOps.langConfusion(Tables.documents(s, d))),
     "m15_binary_metrics" -> ((s, d) =>
@@ -299,8 +297,10 @@ object SparkEntry {
           "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))", 6) + " AS psi_term " +
         "FROM c CROSS JOIN t ORDER BY bin"),
     "v10_psi_by_column" -> {
-      val watched = Seq("l_discount" -> "0.01", "l_extendedprice" -> "10000.0",
-        "l_quantity" -> "5.0", "l_tax" -> "0.01")
+      // widths rendered from the SAME map the Spark query uses —
+      // Double.toString round-trips, so both sides see identical values
+      val watched = operators.Validation.defaultPsiWidths.toSeq.sortBy(_._1)
+        .map { case (c, w) => c -> java.lang.Double.toString(w) }
       val branches = watched.map { case (c, w) =>
         s"SELECT '$c' AS column_name, " +
           s"CAST(least(floor($c / CAST($w AS DOUBLE)), 9) AS BIGINT) AS bin, " +

@@ -27,10 +27,15 @@ object Validation {
     * one `distinct` would do, but the separate total-count pass (a second
     * full scan) is gone. At 100 TB prefer the hash-projection variant in
     * [[graft.operators.Dedup]] (16-byte keys instead of whole rows). */
-  def duplicateRowCount(df: DataFrame): DataFrame =
+  def duplicateRowCount(df: DataFrame): DataFrame = {
+    // collision-proof count column: the operator takes ANY relation
+    val n = Iterator.from(0).map(i => s"__n$i")
+      .find(c => !df.columns.contains(c)).get
     df.groupBy(df.columns.toSeq.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .agg((sum(col("__n")) - count(lit(1))).as("dup_rows"))
+      .agg(count(lit(1)).as(n))
+      // coalesce: zero groups (empty input) must yield 0, not null
+      .agg(coalesce(sum(col(n)) - count(lit(1)), lit(0L)).as("dup_rows"))
+  }
 
   /** V3 — schema check (ref `data_ingestion.py:139-145`): expose the actual
     * column set as a sorted one-column relation for comparison. */
@@ -121,6 +126,14 @@ object Validation {
     * but map-side combine collapses them to nCols·nBins keys per partition,
     * so shuffle volume is O(partitions · nCols · nBins), independent of
     * table size. */
+  /** Watched columns + fixed bin widths of the DECLARED v10 sweep — the
+    * single source of truth for both the Spark query and the DuckDB
+    * oracle (SparkEntry renders these exact values into the SQL, so a
+    * width edited here changes both sides together). */
+  val defaultPsiWidths: Map[String, Double] = Map(
+    "l_quantity" -> 5.0, "l_extendedprice" -> 10000.0,
+    "l_discount" -> 0.01, "l_tax" -> 0.01)
+
   def psiByColumn(df: DataFrame, timeCol: String, splitValue: String,
                   binWidths: Map[String, Double], nBins: Int = 10): DataFrame = {
     // localCheckpoint: counts feeds BOTH the per-column totals and the final

@@ -24,6 +24,9 @@ import graft.{GraftExtensions, SparkEntry}
   *  - x21: scalar-subquery SQL surface (the subquery owns its scan);
   *  - x24: union-vs-union-all semantics demo, multi-branch by design;
   *  - x28: nation joined in two roles (cust-side + supp-side);
+  *  - x8: INTERSECT of two filtered slices of the same table — each set
+  *    operand owns its (filter-pushed) scan, a set-op semantics demo
+  *    like x24;
   *  - x34: two-level bucketed as-of resolution (exists to hash-verify
   *    the hot-key rewrite; see SURVEY §7.5). */
 object ScanAudit {

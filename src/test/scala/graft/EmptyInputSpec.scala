@@ -67,6 +67,15 @@ class EmptyInputSpec extends AnyFunSuite {
       Map("x" -> 1.0)).count() == 0)
   }
 
+  test("duplicateRowCount: empty input yields 0 (not null); reserved-name columns survive") {
+    val empty = Seq.empty[(Long, String)].toDF("a", "b")
+    val row = Validation.duplicateRowCount(empty).collect()(0)
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L)
+    // an input that already uses the internal count-column name family
+    val clash = Seq((1L, 2L), (1L, 2L), (3L, 4L)).toDF("__n0", "__n1")
+    assert(Validation.duplicateRowCount(clash).collect()(0).getLong(0) == 1L)
+  }
+
   test("temporal joins with an empty side behave like their join semantics") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "probe_id")
     val noRight = Seq.empty[(Long, Long, Long, String)].toDF("k", "t2", "rk", "tag")

@@ -52,8 +52,7 @@ class PlanLintSpec extends AnyFunSuite {
 
   test("v10 PSI sweep plan: one pruned lineitem scan, broadcast totals join") {
     import graft.operators.Validation
-    val widths = Map("l_quantity" -> 5.0, "l_extendedprice" -> 10000.0,
-      "l_discount" -> 0.01, "l_tax" -> 0.01)
+    val widths = Validation.defaultPsiWidths
     // pre-checkpoint shape: the whole sweep derives from ONE lineitem scan
     // (unpivot happens in the projection, not via self-union), with only
     // the watched columns + time column in the pruned scan schema
@@ -99,6 +98,14 @@ class PlanLintSpec extends AnyFunSuite {
     "x34_asof_bucketed" -> Set("orders", "events"),
     "x8_intersect_statuses" -> Set("orders"))
 
+  /** Known blind spot: eager `localCheckpoint(true)` truncates lineage, so
+    * scans consumed BEFORE a checkpoint are invisible to this lint (the
+    * checkpointed queries audit as zero-scan). The lint still pins every
+    * fixed regression — removing a load-bearing checkpoint (the d36 bug's
+    * shape) resurfaces the FileScan lines and fails here — but a NEW
+    * query that multi-scans before its checkpoint passes silently; v10
+    * covers that case with a dedicated pre-checkpoint assertion above,
+    * and `graft.tools.ScanAudit` is the manual sweep for the rest. */
   test("no declared query re-scans a table outside the documented multi-scan set") {
     val pathRe = "file:[^\\]\\s,]*?/(\\w+)\\.parquet".r
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
