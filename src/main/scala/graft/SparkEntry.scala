@@ -155,7 +155,7 @@ object SparkEntry {
           .map(cat => col(s"c_mktsegment_$cat")): _*)
         .orderBy(col("c_custkey"))),
     "m6_stratified_split" -> ((s, d) =>
-      Preprocess.stratifiedSplitByKey(cust(s, d), "c_custkey", "c_mktsegment")
+      Preprocess.stratifiedSplitByKey(cust(s, d), "c_custkey")
         .groupBy(col("c_mktsegment"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"), col("split"))),
@@ -562,7 +562,8 @@ object SparkEntry {
         "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn FROM orders), " +
         "s AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) AS DOUBLE) AS n, " +
         "CAST(sum(CASE WHEN y = 1 THEN rn ELSE 0 END) AS DOUBLE) AS sr FROM r) " +
-        "SELECT " + pr("(sr - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))", 6) + " AS auc FROM s"),
+        "SELECT " + pr("CASE WHEN n1 * (n - n1) = 0 THEN 0.0 " +
+          "ELSE (sr - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1)) END", 6) + " AS auc FROM s"),
     "m19_segment_auc" ->
       ("WITH l AS (SELECT c_mktsegment AS model, " +
         "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, o_totalprice, o_orderkey " +
@@ -831,7 +832,8 @@ object SparkEntry {
         "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "d10_hourly_events" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +
-        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
     "d11_session_counts" ->
       ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
         "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
@@ -839,7 +841,9 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
     "d12_value_profile" ->
-      ("SELECT event_type, count(*) AS n, round(avg(value), 4) AS mean_value, " +
+      ("SELECT event_type, count(*) AS n, " +
+        pr("CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+          "/ 100.0 / CAST(count(*) AS DOUBLE)", 4) + " AS mean_value, " +
         "round(stddev_samp(value), 4) AS std_value, round(min(value), 2) AS min_value, " +
         "round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type"),
     "d13_jaccard_pairs" ->

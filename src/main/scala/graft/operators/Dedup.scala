@@ -41,22 +41,36 @@ object Dedup {
       GraftColumnBridge.expression(col(hashedShinglesCol)), n))
   }
 
+  /** Banded MinHash signature relation (doc_id, band, bh) over an already
+    * hashed-shingle (doc_id, hs: array<long>) input — THE LSH key format.
+    * Single implementation on purpose: the band-hash layout is the
+    * compatibility contract between [[minhashNearDups]] and a persisted
+    * [[minhashIndex]] joined by [[incrementalNearDups]] ("identical hash
+    * family" is load-bearing); two copies could silently diverge.
+    * NOT materialized here — each caller checkpoints per its reuse shape.
+    *
+    * No emptiness filter — the shingle array is never empty by
+    * construction, and a filter on it would be pushed into the scan and
+    * recompute the whole shingle pipeline per row. */
+  private def bandedSignature(hashed: DataFrame, bands: Int,
+                              rowsPerBand: Int): DataFrame = {
+    val n = bands * rowsPerBand
+    val sigDf = hashed.select(col("doc_id"), minhashSignature("hs", n).as("sig"))
+    val bandArr = (0 until bands).map { b =>
+      val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
+      s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
+    }
+    sigDf.select(col("doc_id"),
+        explode(expr(bandArr.mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Candidate generation over an already hashed-shingle (doc_id,
     * hs: array<long>) relation — lets [[minhashNearDups]] share ONE
     * tokenize + shingle + hash scan between signature computation and
     * Jaccard verification instead of running the pipeline twice. */
   private def minhashCandidatesFromHashed(hashed: DataFrame, bands: Int,
                                           rowsPerBand: Int): DataFrame = {
-    val n = bands * rowsPerBand
-    // note: no emptiness filter — the shingle array is never empty by
-    // construction, and a filter on it would be pushed into the scan and
-    // recompute the whole shingle pipeline per row
-    val sigDf = hashed
-      .select(col("doc_id"), minhashSignature("hs", n).as("sig"))
-    val bandArr = (0 until bands).map { b =>
-      val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
-      s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
-    }
     // localCheckpoint: the banded signature relation feeds both sides of
     // the self-equijoin — without materialization Spark recomputes the full
     // signature pipeline per side (no CSE across self-joins). Checkpoint
@@ -65,10 +79,7 @@ object Dedup {
     // cache manager until an unpersist that a lazily-returned DataFrame can
     // never safely issue. At cluster scale this is a signature-table
     // checkpoint.
-    val banded = sigDf.select(col("doc_id"),
-        explode(expr(bandArr.mkString("array(", ", ", ")"))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .localCheckpoint(true)
+    val banded = bandedSignature(hashed, bands, rowsPerBand).localCheckpoint(true)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bh"))
@@ -157,20 +168,11 @@ object Dedup {
 
   def minhashIndex(docs: DataFrame, w: Int = 3, bands: Int = 16,
                    rowsPerBand: Int = 4): MinhashIndex = {
-    val n = bands * rowsPerBand
     val sh = withShingles(docs, w)
       .select(col("doc_id"),
         expr("array_distinct(transform(sh, s -> xxhash64(s)))").as("hs"))
       .localCheckpoint(true) // feeds both tables; one tokenize+hash scan
-    val bandArr = (0 until bands).map { b =>
-      val sliceExpr = s"slice(sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
-      s"named_struct('band', $b, 'bh', xxhash64(concat_ws(',', transform($sliceExpr, x -> CAST(x AS STRING)))))"
-    }
-    val banded = sh.select(col("doc_id"), minhashSignature("hs", n).as("sig"))
-      .select(col("doc_id"),
-        explode(expr(bandArr.mkString("array(", ", ", ")"))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    MinhashIndex(banded, sh)
+    MinhashIndex(bandedSignature(sh, bands, rowsPerBand), sh)
   }
 
   /** Incremental near-dup: band the NEW batch only and equijoin against a

@@ -23,10 +23,16 @@ object EventOps {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
-  /** D7 (batch analog) — tumbling hourly aggregate per event type. */
+  /** D7 (batch analog) — tumbling hourly aggregate per event type. Value
+    * mass sums integer cents (per-row conversion is IEEE-identical across
+    * engines, integer summation is order-independent) — `round(sum(double))`
+    * was the last remaining order-dependent float sum over raw data, the
+    * hazard x28/gapFilledHourly already guard against. */
   def hourlyCounts(eventsTs: DataFrame): DataFrame =
     eventsTs.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** D7 (batch analog) — sessionization: a >30-min silence starts a new
@@ -45,8 +51,6 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
-  /** Per-type value drift profile over event values (streaming-monitor
-    * batch analog of V8). */
   /** Sequential funnel: step k's per-user entry time is the earliest
     * step-k event STRICTLY AFTER that user's step-(k−1) entry; the output
     * counts users reaching each step (classic ordered-conversion funnel,
@@ -118,12 +122,24 @@ object EventOps {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Per-type value drift profile over event values (streaming-monitor
+    * batch analog of V8). The mean derives from an exact integer-cent sum
+    * (order-independent; one float division chain at the end); min/max are
+    * exact single values. std stays `stddev_samp` + round(4): the
+    * sum-of-squares integer form overflows 2^53 at large SF and invites
+    * catastrophic cancellation — the accepted residual is a last-ulp
+    * engine difference masked by rounding. */
   def valueProfile(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("mean_value"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("__sc"),
         round(stddev_samp(col("value")), 4).as("std_value"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
+      .select(col("event_type"), col("n"),
+        Features.pround(
+          col("__sc").cast("double") / 100.0 / col("n").cast("double"), 4)
+          .as("mean_value"),
+        col("std_value"), col("min_value"), col("max_value"))
       .orderBy(col("event_type"))
 }

@@ -122,13 +122,20 @@ object Metrics {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     val ranked = labeled.select(col("y"),
       row_number().over(w).cast("long").as("rn"))
+    val n1 = col("n1").cast("double")
+    val n = col("n").cast("double")
+    val denom = n1 * (n - n1)
     ranked.agg(
       sum(col("y").cast("long")).as("n1"),
       count(lit(1)).as("n"),
       sum(when(col("y") === 1, col("rn")).otherwise(0L)).as("sum_rank"))
+      // single-class input scores 0.0, matching aucDistributed/segmentAuc
+      // (the repo-wide sklearn zero_division convention) — the unguarded
+      // division returned null there, diverging from the other two forms
       .select(Features.pround(
-        (col("sum_rank").cast("double") - col("n1").cast("double") * (col("n1").cast("double") + 1.0) / 2.0)
-          / (col("n1").cast("double") * (col("n").cast("double") - col("n1").cast("double"))), 6).as("auc"))
+        when(denom === 0.0, 0.0).otherwise(
+          (col("sum_rank").cast("double") - n1 * (n1 + 1.0) / 2.0) / denom), 6)
+        .as("auc"))
   }
 
   /** Exact AUC without a global window — the 100 TB path. Range-repartition

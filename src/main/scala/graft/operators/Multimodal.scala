@@ -215,11 +215,18 @@ object Multimodal {
   }
 
   /** Frame sampling: split payload into fixed-size "frames" and keep every
-    * k-th (the video-pipeline access pattern, as pure byte plumbing). */
+    * k-th (the video-pipeline access pattern, as pure byte plumbing).
+    * Null or empty payloads yield zero frames — without the guard,
+    * `sequence(0, -1)` auto-descends and emits two phantom frames for an
+    * empty blob, and a null payload propagates to `size(null) = -1`. */
   def sampleFrames(assets: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
     assets.select(col("asset_id"),
-        expr(s"transform(sequence(0, CAST(floor((length(payload) - 1) / $frameBytes) AS INT)), " +
-          s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))").as("frames"))
+        when(coalesce(length(col("payload")), lit(0)) === 0,
+          expr("CAST(array() AS ARRAY<BINARY>)"))
+          .otherwise(expr(
+            s"transform(sequence(0, CAST(floor((length(payload) - 1) / $frameBytes) AS INT)), " +
+              s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+          .as("frames"))
       .select(col("asset_id"),
         expr(s"filter(frames, (f, i) -> i % $everyK = 0)").as("sampled_frames"))
       .withColumn("n_frames", size(col("sampled_frames")))

@@ -50,35 +50,46 @@ object Preprocess {
 
   /** M4 — OneHotEncoder, sklearn semantics (`feature_engineering.py:42-44`):
     * categories sorted lexicographically, `drop="first"`, unknown → all
-    * zeros. The vocabulary is collected at fit time (bounded domain — it is
-    * the encoding width), mirroring sklearn's `fit`. */
+    * zeros. Null is NOT a category (pandas `get_dummies` NaN semantics):
+    * null rows get all-zero indicators. The vocabulary is collected at fit
+    * time (bounded domain — it is the encoding width), mirroring sklearn's
+    * `fit`. */
   def oneHotDropFirst(df: DataFrame, c: String): DataFrame = {
-    val cats = df.select(col(c)).distinct().collect()
+    val cats = df.select(col(c)).filter(col(c).isNotNull).distinct().collect()
       .map(_.getString(0)).sorted.toSeq
     val kept = cats.drop(1)
     val indicators = kept.map(cat =>
-      (col(c) === lit(cat)).cast("int").as(s"${c}_$cat"))
+      when(col(c) === lit(cat), 1).otherwise(0).as(s"${c}_$cat"))
     df.select(df.columns.map(col).toSeq ++ indicators: _*)
   }
 
   /** M5 — ColumnTransformer compose (`feature_engineering.py:46-53`):
-    * scaled numerics ++ one-hot categoricals, remainder dropped. */
+    * scaled numerics ++ one-hot categoricals, remainder dropped. The
+    * indicator columns of each encode step are tracked by column-set diff,
+    * not name prefix — a prefix match would capture unrelated columns that
+    * merely share the prefix (e.g. catCols "plan" and "plan_type"). */
   def columnTransform(df: DataFrame, key: String, numCols: Seq[String],
                       catCols: Seq[String]): DataFrame = {
     val scaled = numCols.foldLeft(df)((d, c) => standardScale(d, c, s"${c}_z"))
-    val encoded = catCols.foldLeft(scaled)((d, c) => oneHotDropFirst(d, c))
+    val (encoded, hotCols) =
+      catCols.foldLeft((scaled, Seq.empty[String])) { case ((d, acc), c) =>
+        val before = d.columns.toSet
+        val e = oneHotDropFirst(d, c)
+        (e, acc ++ e.columns.filterNot(before).sorted)
+      }
     val outCols = Seq(col(key)) ++ numCols.map(c => col(s"${c}_z")) ++
-      catCols.flatMap(c => encoded.columns.filter(_.startsWith(s"${c}_"))
-        .filterNot(_ == c).sorted.map(col))
+      hotCols.map(col)
     encoded.select(outCols: _*)
   }
 
-  /** M6 — deterministic stratified split by key-modulus. The reference uses
-    * seeded shuffling (`train_test_split(random_state=42)`); cross-engine
-    * RNG equality is impossible, so the declared query splits each stratum
-    * by `key % 5 == 0` (exactly 20% of a dense key range). A seeded random
-    * variant for the ML path is in [[graft.ml.Split]]. */
-  def stratifiedSplitByKey(df: DataFrame, key: String, labelCol: String): DataFrame =
+  /** M6 — deterministic split by key-modulus: `key % 5 == 0` is exactly 20%
+    * of a dense key range, and because the modulus is label-independent the
+    * per-stratum rates land at ~20% too (the declared query groups by
+    * segment to show it). The reference uses seeded shuffling
+    * (`train_test_split(random_state=42)`); cross-engine RNG equality is
+    * impossible, so this is the oracle-able form. A seeded random variant
+    * with TRUE per-label stratification is [[graft.ml.Split.stratifiedSplit]]. */
+  def stratifiedSplitByKey(df: DataFrame, key: String): DataFrame =
     df.withColumn("split",
       when(col(key) % 5 === 0, lit("test")).otherwise(lit("train")))
 

@@ -112,10 +112,18 @@ object Similarity {
     val mask = (1L << nPlanes) - 1L
     val bucketCols = (0 until nTables).map(t =>
       s"concat('$t:', CAST(shiftrightunsigned(__bits, ${t * nPlanes}) & ${mask}L AS STRING))")
+    // slim (vec_id, bucket) relation — embeddings deliberately NOT carried
+    // (verification re-fetches them by id; shuffling vectors through the
+    // candidate distinct would cost more than the re-scan). localCheckpoint:
+    // the relation feeds both the query side and the corpus side of the
+    // bucket join — unmaterialized, the HyperplaneBits dot products and the
+    // explode would run twice (no CSE across self-joins, the Dedup rule).
+    // The checkpoint holds nTables small rows per vector, not vectors.
     val bucketed = embeddings
       .withColumn("__bits", bitsCol)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         explode(expr(bucketCols.mkString("array(", ", ", ")"))).as("bucket"))
+      .localCheckpoint(true)
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))
     val candIds = bucketed

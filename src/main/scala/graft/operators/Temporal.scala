@@ -105,9 +105,17 @@ object Temporal {
                        bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val leftCols = left.columns.toSeq
     val r = right.filter(col(key).isNotNull)
+    // localCheckpoint is CORRECTNESS here, not just cost: __lid comes from
+    // monotonically_increasing_id(), which depends on row order within
+    // partitions — nondeterministic after a shuffle — and this relation is
+    // referenced three times (probes, in-bucket join, final join). Without
+    // materialization each reference re-evaluates the id assignment and a
+    // shuffled-input left side could pair a row with another row's
+    // in-bucket winner. Checkpointing pins one id per physical row.
     val lid = left
       .withColumn("__lid", monotonically_increasing_id())
       .withColumn("__b", bucket(col(leftT)))
+      .localCheckpoint(true)
     val rb = r.select(
       col(key).as("__k"), bucket(col(rightT)).as("__b"),
       col(rightT).as("__t"), col(rightTieBreak).as("__tie"),

@@ -114,7 +114,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("M6/M7: stratified key split ~20% test per stratum; folds cover 0..4") {
-    val split = Preprocess.stratifiedSplitByKey(cust, "c_custkey", "c_mktsegment")
+    val split = Preprocess.stratifiedSplitByKey(cust, "c_custkey")
     val frac = split.filter(col("split") === "test").count().toDouble / cust.count()
     assert(frac > 0.15 && frac < 0.25)
     val folds = Preprocess.foldAssignByKey(cust, "c_custkey", 5)
