@@ -83,7 +83,12 @@ object Deployment {
   def archiveCount(dir: String): Int = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) 0
-    else Files.list(root).filter((p: Path) => p.getFileName.toString.startsWith("archive_"))
-      .count().toInt
+    else {
+      // Files.list holds an open DirectoryStream — close it, don't leak it
+      val s = Files.list(root)
+      try s.filter((p: Path) => p.getFileName.toString.startsWith("archive_"))
+        .count().toInt
+      finally s.close()
+    }
   }
 }

@@ -26,13 +26,15 @@ object Evaluation {
     val pred = predict(model, test)
       .select(col("label").cast("int").as("y"),
         col("prediction").cast("int").as("yhat"),
-        col("p1").as("o_totalprice"),
-        monotonically_increasing_id().as("o_orderkey"))
+        col("p1").as("o_totalprice"))
       .cache()
     val m = Metrics.binaryMetrics(pred).collect()(0)
-    // distributed exact AUC — no single-partition window (Metrics.aucRank
-    // stays as the oracle-checkable declared-query form)
-    val auc = Metrics.aucDistributed(pred)
+    // tie-aware midrank AUC (sklearn roc_auc_score semantics): model
+    // probabilities tie heavily for tree ensembles, and an arbitrary
+    // row-id tie-break would bias the statistic with physical row order.
+    // Metrics.aucRank stays as the oracle-checkable declared-query form
+    // (its (price, orderkey) ranking HAS a semantic tie-break key).
+    val auc = Metrics.aucDistributedMidrank(pred)
     pred.unpersist()
     ModelScore(name, m.getAs[Double]("accuracy"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), m.getAs[Double]("f1"), auc)

@@ -13,14 +13,20 @@ object QualityCheck {
   final case class Drift(column: String, baselineMean: Double, currentMean: Double,
                          relShift: Double, warned: Boolean)
 
-  /** Wide 1-row profile (mean/std/nullfrac per column + row count). */
+  /** Wide 1-row profile (mean/std/nullfrac per column + row count).
+    * Null-producing aggregates (empty input, all-null column, 1-row
+    * stddev_samp) profile as NaN rather than crashing the quality tool on
+    * exactly the dirty data it exists to flag; [[compare]] then reports
+    * NaN shifts (never silently "no drift") for those columns. */
   def profile(df: DataFrame, numericCols: Seq[String]): Map[String, Double] = {
     val aggs = numericCols.flatMap(c => Seq(
       avg(col(c)).as(s"mean_$c"), stddev_samp(col(c)).as(s"std_$c"),
       avg(col(c).isNull.cast("double")).as(s"nullfrac_$c"))) :+
       count(lit(1)).cast("double").as("n_rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    row.schema.fieldNames.map(f => f -> row.getAs[Double](f)).toMap
+    row.schema.fieldNames.map(f =>
+      f -> (if (row.isNullAt(row.fieldIndex(f))) Double.NaN
+            else row.getAs[Double](f))).toMap
   }
 
   /** Compare a fresh profile to a baseline: a column drifts when its mean
@@ -53,9 +59,17 @@ object QualityCheck {
                nBins: Int = 10, threshold: Double = 0.2): PsiResult = {
     val mm = baselineDf.agg(min(col(column)).cast("double"),
       max(col(column)).cast("double")).collect()(0)
+    // an empty (or all-null) baseline has no distribution to compare
+    // against — a documented precondition error, not an NPE
+    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+      s"psiCheck: baseline has no non-null values in '$column'")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = math.max((hi - lo) / nBins, 1e-12)
-    def binned(df: DataFrame) = df.select(
+    // nulls carry no position in the value distribution — excluded here,
+    // surfaced by profile()'s nullfrac instead
+    def binned(df: DataFrame) = df
+      .filter(col(column).isNotNull)
+      .select(
         least(greatest(floor((col(column) - lo) / width), lit(0.0)), lit(nBins - 1.0))
           .cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))

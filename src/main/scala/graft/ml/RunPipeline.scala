@@ -40,21 +40,18 @@ object RunPipeline {
     // SHAP for linear champions, exact TreeSHAP for tree ensembles
     champion.foreach { c =>
       val model = trained.find(_.name == c.name).get.model
+      // checkpointed: the sample feeds means/TreeSHAP/row-count, and a
+      // Bernoulli sample re-evaluated across jobs is not guaranteed stable
       val sample = Shap.sampleRows(testC, config.shapSampleSize, config.randomState)
+        .localCheckpoint(true)
       val (shapLong, expectedValue) = model match {
         case lr: LogisticRegressionModel =>
-          // base value of the margin-space linear SHAP:
-          // E[f(x)] = intercept + w·E[x] over the background sample
-          val nFeat = lr.coefficients.size
-          val means = sample
-            .select(org.apache.spark.ml.functions.vector_to_array(
-              org.apache.spark.sql.functions.col("features")).as("x"))
-            .select((0 until nFeat).map(i => org.apache.spark.sql.functions
-              .avg(org.apache.spark.sql.functions.col("x").getItem(i))): _*)
-            .collect()(0)
+          // ONE background-means pass shared by the expected value
+          // E[f(x)] = intercept + w·E[x] and the attributions
+          val means = Shap.backgroundMeans(sample, lr.coefficients.size)
           val ev = lr.intercept + lr.coefficients.toArray.zipWithIndex
-            .map { case (w, i) => w * means.getDouble(i) }.sum
-          (Shap.linearShap(lr, testC, config.shapSampleSize, config.randomState), ev)
+            .map { case (w, i) => w * means(i) }.sum
+          (Shap.linearShapOn(lr, sample, means), ev)
         case m =>
           val nFeat = m match {
             case rf: org.apache.spark.ml.classification.RandomForestClassificationModel => rf.numFeatures

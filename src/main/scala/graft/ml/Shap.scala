@@ -37,20 +37,26 @@ object Shap {
     }
   }
 
-  /** E2 — per-row, per-feature attributions for a linear model. Output:
-    * long form (row_id, feature_idx, shap). */
-  def linearShap(model: LogisticRegressionModel, df: DataFrame,
-                 sampleSize: Int, seed: Long = 42L): DataFrame = {
-    val sample = sampleRows(df, sampleSize, seed).cache()
+  /** Per-feature means of a `features`-vector relation — the SHAP
+    * background E[x]. Exposed so callers needing both the means (for the
+    * expected value) and attributions pay for ONE aggregation pass. */
+  def backgroundMeans(df: DataFrame, nFeat: Int): Array[Double] = {
+    val row = df.select(vector_to_array(col("features")).as("x"))
+      .select((0 until nFeat).map(i => avg(col("x").getItem(i)).as(s"m$i")): _*)
+      .collect()(0)
+    (0 until nFeat).map(row.getDouble).toArray
+  }
+
+  /** E2 core — attributions for the given rows against a FIXED background:
+    * φᵢ = wᵢ·(xᵢ − bgMeansᵢ). Long form (row_id, feature_idx, shap). */
+  def linearShapOn(model: LogisticRegressionModel, rows: DataFrame,
+                   bgMeans: Array[Double]): DataFrame = {
     val nFeat = model.coefficients.size
-    val arr = sample.select(vector_to_array(col("features")).as("x"))
-    val bgMeans = arr.select((0 until nFeat).map(i =>
-      avg(col("x").getItem(i)).as(s"m$i")): _*).collect()(0)
     val coefs = model.coefficients.toArray
     val shapCols = (0 until nFeat).map { i =>
-      ((col("x").getItem(i) - lit(bgMeans.getDouble(i))) * lit(coefs(i))).as(s"shap_$i")
+      ((col("x").getItem(i) - lit(bgMeans(i))) * lit(coefs(i))).as(s"shap_$i")
     }
-    val wide = sample
+    val wide = rows
       .select(monotonically_increasing_id().as("row_id"), vector_to_array(col("features")).as("x"))
       .select(col("row_id") +: shapCols: _*)
     // long form for grouped aggregation
@@ -58,6 +64,19 @@ object Shap {
       struct(lit(i).as("feature_idx"), col(s"shap_$i").as("shap"))): _*))
     wide.select(col("row_id"), stacked.as("s"))
       .select(col("row_id"), col("s.feature_idx").as("feature_idx"), col("s.shap").as("shap"))
+  }
+
+  /** E2 — reference shape (`explainability.py:64-83`): sample the relation,
+    * use THAT sample as both the explained set and the background (the
+    * reference explainer does exactly this). The sample is checkpointed:
+    * it feeds the means aggregate and the attribution projection, and a
+    * Bernoulli sample re-evaluated across jobs is not guaranteed the same
+    * rows (and a `.cache()` here leaked — the returned DataFrame could
+    * never safely unpersist it; checkpoint blocks are reference-tracked). */
+  def linearShap(model: LogisticRegressionModel, df: DataFrame,
+                 sampleSize: Int, seed: Long = 42L): DataFrame = {
+    val sample = sampleRows(df, sampleSize, seed).localCheckpoint(true)
+    linearShapOn(model, sample, backgroundMeans(sample, model.coefficients.size))
   }
 
   /** E2 fallback for non-linear models — ablation attribution: replace one
@@ -98,11 +117,18 @@ object Shap {
       .limit(topN)
 
   /** E4 — single-batch explanation: contributions sorted by |value| desc
-    * (`explainability.py:159-214`). */
-  def explainBatch(model: LogisticRegressionModel, batch: DataFrame): DataFrame = {
-    val nFeat = model.coefficients.size
-    val shap = linearShap(model, batch, sampleSize = Int.MaxValue)
-    shap.withColumn("abs_shap", abs(col("shap")))
+    * (`explainability.py:159-214`). The background means come from the
+    * provided REFERENCE relation (training/test sample), never from the
+    * batch itself — self-background made a 1-row serving request explain
+    * to identically zero (xᵢ = mean(xᵢ)) and small batches measure
+    * deviation from themselves instead of from the data distribution. */
+  def explainBatch(model: LogisticRegressionModel, batch: DataFrame,
+                   background: DataFrame, sampleSize: Int = 500,
+                   seed: Long = 42L): DataFrame = {
+    val bg = backgroundMeans(sampleRows(background, sampleSize, seed),
+      model.coefficients.size)
+    linearShapOn(model, batch, bg)
+      .withColumn("abs_shap", abs(col("shap")))
       .orderBy(col("row_id"), col("abs_shap").desc, col("feature_idx"))
       .drop("abs_shap")
   }

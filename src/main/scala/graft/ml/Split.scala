@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions._
   * per-stratum balance fundamentally needs the rank (documented trade-off). */
 object Split {
 
-  /** Stratified train/test split: exact per-stratum test fraction. */
+  /** Stratified train/test split: exact per-stratum test fraction.
+    *
+    * The ranked relation is materialized (localCheckpoint) BEFORE the two
+    * complementary filters: `rand(seed)` is seeded per-partition by row
+    * order, which is not stable across jobs after a shuffle, and train and
+    * test each trigger their own job — unmaterialized, the two filters
+    * would evaluate two INDEPENDENT rankings, letting a row land in both
+    * splits (label leakage) or in neither. Pinning one ranking makes the
+    * partition provably exact. */
   def stratified(df: DataFrame, labelCol: String, testSize: Double, seed: Long)
       : (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
@@ -24,6 +32,7 @@ object Split {
     val ranked = df
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(cnt))
+      .localCheckpoint(true)
     val test = ranked.filter(col("__rn") <= col("__n") * testSize).drop("__rn", "__n")
     val train = ranked.filter(col("__rn") > col("__n") * testSize).drop("__rn", "__n")
     (train, test)

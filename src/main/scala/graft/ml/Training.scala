@@ -87,6 +87,13 @@ object Training {
     val folded = Split.foldAssign(train.select("features", "label"), "label", cvFolds, seed)
       .cache()
     val nTrain = folded.count()
+    // regParam = 1/(C·n) must use the rows each fit actually sees: a fold
+    // fit trains on (k-1)/k of the data, so passing the FULL count would
+    // regularize fold models ~k/(k-1) harder than the sklearn C being
+    // swept — CV would score a different effective hyperparameter than
+    // the one selected. One cheap count per fold over the cached relation.
+    val nPerFold: Map[Int, Long] = (0 until cvFolds).map(f =>
+      f -> folded.filter(col("fold") =!= f).count()).toMap
     val combos = gridCombos(grid)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, combos.size * cvFolds)))
@@ -94,7 +101,7 @@ object Training {
     val results =
       try {
         val futures = for (params <- combos; f <- 0 until cvFolds) yield Future {
-          val fit = build(name, params, nTrain)
+          val fit = build(name, params, nPerFold(f))
             .fit(folded.filter(col("fold") =!= f))
             .asInstanceOf[Model[_]]
           (params, f) -> f1Score(fit, folded.filter(col("fold") === f))
@@ -103,7 +110,12 @@ object Training {
         combos.map(params => CvResult(params,
           (0 until cvFolds).map(f => scored((params, f))).sum / cvFolds))
       } finally pool.shutdown()
-    val best = results.maxBy(r => (r.meanScore, -r.params.hashCode))
+    // ties resolve to the FIRST max in grid order — the reference's
+    // GridSearchCV rule (an exact tie is common: min_samples_split binds
+    // to no MLlib knob, so its grid values always score identically).
+    // maxBy on params.hashCode was arbitrary and JVM-version-fragile.
+    val best = results.zipWithIndex
+      .maxBy { case (r, i) => (r.meanScore, -i) }._1
     val refit = build(name, best.params, nTrain).fit(folded).asInstanceOf[Model[_]]
     folded.unpersist()
     (TrainedModel(name, best.params, best.meanScore, refit), results)

@@ -167,6 +167,45 @@ object Metrics {
     else (rankSum - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))
   }
 
+  /** Exact tie-aware AUC (midranks) — what sklearn's `roc_auc_score`
+    * computes: tied scores contribute the AVERAGE of their rank range, so
+    * the statistic depends only on the score distribution, never on row
+    * layout. [[aucDistributed]]'s unique-key form is correct when a real
+    * tie-break key exists (the declared queries rank by (price, orderkey));
+    * for MODEL probabilities there is no semantic tie-break — tree
+    * ensembles tie heavily and an arbitrary id key would bias the metric
+    * with physical row order.
+    *
+    * Scale shape: one (score)-keyed aggregate (distinct-score cardinality),
+    * range-repartition by score (ties co-locate — range boundaries fall
+    * between distinct values), per-partition group walk, driver combine
+    * with cumulative offsets. No single-partition stage. */
+  def aucDistributedMidrank(labeled: DataFrame, partitions: Int = 32): Double = {
+    import org.apache.spark.sql.Row
+    val grouped = labeled.groupBy(col("o_totalprice").as("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y").cast("long")).as("p"))
+    val sorted = grouped.repartitionByRange(partitions, col("s"))
+      .sortWithinPartitions(col("s"))
+    val perPart: Array[(Int, Long, Long, Double)] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; var nPos = 0L; var local = 0.0
+        it.foreach { r: Row =>
+          val c = r.getLong(1); val p = r.getLong(2)
+          // midrank of this score group = rows-before + (c + 1)/2
+          local += p.toDouble * (n.toDouble + (c.toDouble + 1.0) / 2.0)
+          n += c; nPos += p
+        }
+        Iterator.single((pid, n, nPos, local))
+      }.collect().sortBy(_._1)
+    var offset = 0L; var rankSum = 0.0; var n1 = 0.0; var n = 0.0
+    perPart.foreach { case (_, cnt, nPos, localSum) =>
+      rankSum += localSum + offset.toDouble * nPos
+      n1 += nPos; n += cnt; offset += cnt
+    }
+    if (n1 == 0.0 || n1 == n) 0.0
+    else (rankSum - n1 * (n1 + 1.0) / 2.0) / (n1 * (n - n1))
+  }
+
   /** M15 extension — per-segment ROC-AUC: the Mann-Whitney rank statistic
     * computed INSIDE each group (window partitioned by segment), the
     * "evaluate every model slice at once" shape. Zero-division (a segment

@@ -111,7 +111,13 @@ object StreamMonitor {
   /** File-source ingestion: stream the events table from a parquet
     * directory (the production entry — new files appearing under `dir` are
     * picked up incrementally). Handles the TIMESTAMP(NANOS) column the
-    * same way as the batch path (`Tables.eventsTs`). */
+    * same way as the batch path (`Tables.eventsTs`).
+    *
+    * Session-conf caveat: `nanosAsLong` is a legacy session flag (Spark has
+    * no per-reader option for it), so setting it here affects every later
+    * parquet read of a TIMESTAMP(NANOS) column in this session — the same
+    * contract `Tables.eventsRaw` already establishes for the batch path;
+    * this dataset's sessions opt into it globally. */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -196,4 +196,21 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(imp.sameElements(imp.sortBy(-_)))       // sorted desc (test_explainability.py:60-77)
     assert(imp.forall(_ >= 0.0))
   }
+
+  test("E4: explainBatch attributes a 1-row batch against the background, not itself") {
+    val (feat, _) = FeaturePipeline.fit(DataGen.generate(spark, 1000, 42L))
+    val data = feat.select("features", "label")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(50).fit(data)
+    val one = data.limit(1)
+    val out = Shap.explainBatch(lr, one, background = data, sampleSize = 200)
+      .collect()
+    assert(out.length == lr.coefficients.size)
+    // self-background made every attribution exactly 0 for a 1-row batch;
+    // against a real background the row must have signal somewhere
+    assert(out.map(r => math.abs(r.getAs[Double]("shap"))).sum > 0.0)
+    // per-row sort contract: |shap| descending
+    val abss = out.map(r => math.abs(r.getAs[Double]("shap")))
+    assert(abss.sameElements(abss.sortBy(-(_: Double))))
+  }
 }

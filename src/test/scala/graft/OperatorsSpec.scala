@@ -144,6 +144,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Metrics.aucRank(anti).collect()(0).getDouble(0) == 0.0)
   }
 
+  test("M15: midrank AUC — ties average (layout-independent), unique scores match the rank form") {
+    import spark.implicits._
+    // every score identical → AUC must be exactly 0.5 regardless of layout
+    val allTied = Seq((1, 0, 5.0), (0, 0, 5.0), (1, 0, 5.0), (0, 0, 5.0))
+      .toDF("y", "yhat", "o_totalprice")
+    assert(Metrics.aucDistributedMidrank(allTied) == 0.5)
+    // hand-computed tie case: scores [1,1,2], y [0,1,1];
+    // midranks: score 1 → 1.5, score 2 → 3; AUC = (1.5+3 − 2·3/2)/(2·1) = 0.75
+    val mixed = Seq((0, 0, 1.0), (1, 0, 1.0), (1, 0, 2.0))
+      .toDF("y", "yhat", "o_totalprice")
+    assert(Metrics.aucDistributedMidrank(mixed) == 0.75)
+    // unique scores (deduped so no accidental price ties): midrank form
+    // ≡ unique-key rank form
+    val labeled = Metrics.labeledOrders(ord).dropDuplicates("o_totalprice")
+    val viaRank = Metrics.aucDistributed(labeled)
+    val viaMid = Metrics.aucDistributedMidrank(labeled)
+    assert(math.abs(viaRank - viaMid) < 1e-12, s"$viaRank vs $viaMid")
+  }
+
   test("M15: distributed AUC equals the windowed rank AUC exactly") {
     val labeled = Metrics.labeledOrders(ord)
     val windowed = Metrics.aucRank(labeled).collect()(0).getDouble(0)
