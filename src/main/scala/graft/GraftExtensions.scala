@@ -52,7 +52,19 @@ object GraftExtensions {
           "funcName" -> s"`$fn`",
           "paramName" -> s"`$param`",
           "paramType" -> "\"INT\""))
-      case v: Number => v.intValue
+      case v: Number =>
+        // Number.intValue silently WRAPS a Long outside Int range —
+        // winnow_fingerprints(text, 2^32 + 4, 4) would run with k = 4 and
+        // return plausible-but-wrong fingerprints; range-check instead
+        val l = v.longValue
+        if (l < Int.MinValue || l > Int.MaxValue)
+          throw new AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> s"`$fn`",
+              "paramName" -> s"`$param`",
+              "paramType" -> "\"INT\""))
+        l.toInt
     }
   }
 

@@ -148,12 +148,16 @@ object SparkEntry {
       Preprocess.robustScale(cust(s, d), "c_acctbal", "rs")
         .select(col("c_custkey"), Features.pround(col("rs"), 6).as("acctbal_rs"))
         .orderBy(col("c_custkey"))),
-    "m4_onehot" -> ((s, d) =>
-      Preprocess.oneHotDropFirst(cust(s, d), "c_mktsegment")
-        .select(col("c_custkey") +: cust(s, d).select("c_mktsegment").distinct()
-          .collect().map(_.getString(0)).sorted.drop(1).toSeq
-          .map(cat => col(s"c_mktsegment_$cat")): _*)
-        .orderBy(col("c_custkey"))),
+    "m4_onehot" -> ((s, d) => {
+      // indicator columns by set-diff against the input (same rule as
+      // Preprocess.columnTransform) — re-collecting the vocabulary here
+      // duplicated the encoder's fit pass and was null-unsafe
+      val base = cust(s, d)
+      val encoded = Preprocess.oneHotDropFirst(base, "c_mktsegment")
+      val hot = encoded.columns.filterNot(base.columns.toSet).sorted
+      encoded.select(col("c_custkey") +: hot.toSeq.map(col): _*)
+        .orderBy(col("c_custkey"))
+    }),
     "m6_stratified_split" -> ((s, d) =>
       Preprocess.stratifiedSplitByKey(cust(s, d), "c_custkey")
         .groupBy(col("c_mktsegment"), col("split"))
@@ -504,16 +508,16 @@ object SparkEntry {
 
     "m1_standard_scale" ->
       ("WITH s AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd FROM customer) " +
-        "SELECT c_custkey, " + pr("(c_acctbal - m) / sd", 6) + " AS acctbal_z " +
+        "SELECT c_custkey, " + pr("CASE WHEN sd = 0 THEN 0.0 ELSE (c_acctbal - m) / sd END", 6) + " AS acctbal_z " +
         "FROM customer, s ORDER BY c_custkey"),
     "m2_minmax_scale" ->
       ("WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
-        "SELECT o_orderkey, " + pr("(o_totalprice - mn) / (mx - mn)", 6) + " AS price_mm " +
+        "SELECT o_orderkey, " + pr("CASE WHEN mx = mn THEN 0.0 ELSE (o_totalprice - mn) / (mx - mn) END", 6) + " AS price_mm " +
         "FROM orders, s ORDER BY o_orderkey"),
     "m3_robust_scale" ->
       ("WITH s AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.5) AS med, " +
         "quantile_cont(c_acctbal, 0.75) AS q3 FROM customer) " +
-        "SELECT c_custkey, " + pr("(c_acctbal - med) / (q3 - q1)", 6) + " AS acctbal_rs " +
+        "SELECT c_custkey, " + pr("CASE WHEN q3 = q1 THEN 0.0 ELSE (c_acctbal - med) / (q3 - q1) END", 6) + " AS acctbal_rs " +
         "FROM customer, s ORDER BY c_custkey"),
     "m4_onehot" ->
       ("SELECT c_custkey, " +

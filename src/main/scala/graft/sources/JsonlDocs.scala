@@ -29,7 +29,12 @@ object JsonlDocs {
 
   /** PERMISSIVE read with corrupt-record quarantine (default) or FAILFAST.
     * Callers split the result on `_corrupt_record IS NULL` into the clean
-    * relation and the quarantine relation. */
+    * relation and the quarantine relation.
+    *
+    * Caveat (Spark restriction): a query that references ONLY the
+    * corrupt-record column of a raw JSON scan raises AnalysisException —
+    * `.cache()` the returned relation (or select a data column alongside)
+    * before filtering on `_corrupt_record` alone, as SourcesSpec does. */
   def read(spark: SparkSession, path: String, failFast: Boolean = false): DataFrame =
     spark.read.schema(schema)
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")

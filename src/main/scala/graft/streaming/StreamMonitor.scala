@@ -126,7 +126,7 @@ object StreamMonitor {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr(graft.Tables.nsToUsFloor)))
   }
 
   /** Exactly-once parquet file sink — the durable end of the streaming

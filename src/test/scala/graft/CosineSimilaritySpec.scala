@@ -30,6 +30,23 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("mismatched vector lengths yield null (codegen and interpreted)") {
+    // codegen path (DataFrame projection)
+    val r = emb.limit(1)
+      .select(expr("cosine_sim(embedding, slice(embedding, 1, 3))").as("c"))
+      .collect()(0)
+    assert(r.isNullAt(0), "codegen path must not score a truncated prefix")
+    // interpreted path (direct eval)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def arr(fs: Float*) = Literal.create(
+      ArrayData.toArrayData(fs.toArray), ArrayType(FloatType, containsNull = false))
+    val out = graft.functions.CosineSimilarity(
+      arr(1.0f, 2.0f, 3.0f), arr(1.0f, 2.0f)).eval(null)
+    assert(out == null, "interpreted path must not score a truncated prefix")
+  }
+
   test("self-similarity is 1.0; plan stays in whole-stage codegen") {
     val self = emb.limit(100).select(expr("cosine_sim(embedding, embedding)").as("c"))
     assert(self.filter(abs(col("c") - 1.0) > 1e-12).count() == 0)
