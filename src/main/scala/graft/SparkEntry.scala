@@ -173,6 +173,8 @@ object SparkEntry {
       li(s, d), "l_shipdate", "1995-06-01", Validation.defaultPsiWidths)),
     "d39_lang_confusion" -> ((s, d) =>
       TextOps.langConfusion(Tables.documents(s, d))),
+    "d40_domain_mix" -> ((s, d) => TextOps.domainMix(Tables.documents(s, d),
+      Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -340,6 +342,15 @@ object SparkEntry {
         s"SELECT true_lang, CASE $cases ELSE 'und' END AS pred_lang, " +
         "CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2"
     },
+    "d40_domain_mix" ->
+      // CASE order mirrors domainMixKeep's sorted-source fold
+      ("WITH k AS (SELECT source, n_chars, (doc_id % 1000) < " +
+        "(CASE WHEN source = 'src1' THEN 0.5 WHEN source = 'src2' THEN 0.25 " +
+        "WHEN source = 'src3' THEN 0.1 ELSE 1.0 END) * 1000 AS keep FROM documents) " +
+        "SELECT source, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+        "CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
+        "FROM k GROUP BY 1 ORDER BY 1"),
 
     "f1_conditional_ratio" ->
       ("SELECT l_orderkey, l_linenumber, floor((CASE WHEN l_quantity > 25 " +

@@ -371,4 +371,33 @@ object TextOps {
       .groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("true_lang"), col("pred_lang"))
+
+  /** D1/D5 — deterministic domain mixing: the keep predicate for
+    * downsampling each `source` to its configured rate via the key-modulus
+    * rule `pmod(doc_id, m) < rate·m` — the data-mixing step that
+    * rebalances a corpus's source composition before training. RNG-free,
+    * so the mix is reproducible run-to-run AND oracle-able; if ids
+    * correlate with content at production scale, substitute
+    * `xxhash64(doc_id)` for the raw key (same shape, engine-local hash). */
+  def domainMixKeep(rates: Map[String, Double], defaultRate: Double = 1.0,
+                    m: Int = 1000): org.apache.spark.sql.Column = {
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate)) {
+      case ((s, r), acc) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    pmod(col("doc_id"), lit(m.toLong)) < rate * m
+  }
+
+  /** D1/D5 — domain-mix audit: per-source total/kept doc counts and kept
+    * char mass under [[domainMixKeep]] — the view a pipeline checks before
+    * materializing the mix (`docs.filter(domainMixKeep(...))`). One scan,
+    * one #sources-key aggregate. */
+  def domainMix(docs: DataFrame, rates: Map[String, Double],
+                defaultRate: Double = 1.0, m: Int = 1000): DataFrame =
+    docs.select(col("source"), col("n_chars"),
+        domainMixKeep(rates, defaultRate, m).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
 }

@@ -341,6 +341,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sortBy(identity)))
   }
 
+  test("D1/D5 domain mix: rates 1/0 keep all/none, fractional rates are deterministic and ~proportional") {
+    import spark.implicits._
+    val planted = (0L until 1000L).map(i =>
+      (i, s"doc $i", "en", if (i % 2 == 0) "keep_all" else "keep_none", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = TextOps.domainMix(planted,
+        Map("keep_all" -> 1.0, "keep_none" -> 0.0)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_keep"), r.getAs[Long]("kept_chars"))).toMap
+    assert(res("keep_all") == ((500L, 500L, 5000L)))
+    assert(res("keep_none") == ((500L, 0L, 0L)))
+    // real corpus: deterministic across runs, keep <= total, default keeps all
+    val r1 = TextOps.domainMix(docs, Map("src1" -> 0.5)).collect()
+    val r2 = TextOps.domainMix(docs, Map("src1" -> 0.5)).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    r1.foreach { r =>
+      val (total, keep) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_keep"))
+      assert(keep <= total)
+      if (r.getAs[String]("source") != "src1") assert(keep == total)
+    }
+  }
+
   test("D5 lexical diversity: exact ratios, all-unique = 1, all-same = 1/n") {
     import spark.implicits._
     val df = Seq((0L, "a b c d"), (1L, "x x x x"), (2L, "y")).toDF("doc_id", "text")
