@@ -163,6 +163,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.toSet == Set((10L, 0L)), hits)
   }
 
+  test("slidingRates: an event lands in every overlapping 1h/15m window; driftAlerts fires only past the sigma gate") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamMonitor.slidingRates(
+        input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("sr").outputMode("complete").start()
+    // one event at minute 40 → exactly 4 sliding windows (slide 15m) cover it
+    input.addData((1L, ts(40), 1L, "a", 1.0))
+    q.processAllAvailable()
+    val wins = spark.table("sr").collect()
+    assert(wins.length == 4, wins.mkString(", "))
+    assert(wins.forall(_.getAs[Long]("n") == 1L))
+    q.stop()
+    // driftAlerts: baseline mean 10, sigma 1, 3σ gate → hourly mean 10.5
+    // stays silent, mean 20 alerts
+    val input2 = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q2 = StreamMonitor.driftAlerts(
+        input2.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        baselineMean = 10.0, baselineStd = 1.0)
+      .writeStream.format("memory").queryName("da").outputMode("complete").start()
+    input2.addData((1L, ts(0), 1L, "quiet", 10.5), (2L, ts(1), 1L, "quiet", 10.5),
+      (3L, ts(2), 2L, "loud", 20.0), (4L, ts(3), 2L, "loud", 20.0))
+    q2.processAllAvailable()
+    val alerts = spark.table("da").select("event_type").collect().map(_.getString(0))
+    assert(alerts.toSeq == Seq("loud"), alerts.mkString(", "))
+    q2.stop()
+  }
+
   test("parquet sink lifecycle: checkpoint restart is exactly-once across runs") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("graft_sink_in")
