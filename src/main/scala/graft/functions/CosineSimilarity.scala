@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * oracle's `list_dot_product`): elements widened to double, sequential
   * left-to-right accumulation, `dot / (sqrt(na)·sqrt(nb))` — so swapping
   * the implementations never changes a result bit. Mismatched vector
-  * lengths yield NULL, also matching the composed `zip_with` form (whose
-  * null-padded products poison the aggregate) — truncating to the shared
-  * prefix would silently score malformed embeddings. */
+  * lengths and NULL ELEMENTS both yield NULL, also matching the composed
+  * `zip_with` form (whose null-padded/null-element products poison the
+  * aggregate) — truncating to the shared prefix or reading a null slot as
+  * 0.0 would silently score malformed embeddings. */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -49,6 +50,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xi = x.getFloat(i).toDouble
         val yi = y.getFloat(i).toDouble
         dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -64,18 +66,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -11,11 +11,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * the LSH path — with L tables × b planes the composed form walks L·b
   * lambda-closure passes and allocates L·b product arrays per row; this is
   * one fused loop nest over a broadcast-referenced plane matrix.
-  * Up to 64 planes (one long of sign bits). */
-case class HyperplaneBits(child: Expression, planes: Array[Array[Double]])
+  * Up to 64 planes (one long of sign bits).
+  *
+  * A vector whose length differs from the plane dimension, or with a null
+  * element, yields NULL — truncating to the shared prefix would silently
+  * bucket malformed embeddings into wrong LSH tables (recall loss with no
+  * error anywhere), the same contract as [[CosineSimilarity]].
+  *
+  * `planes` is a Seq-of-Seq so the case class gets STRUCTURAL equality —
+  * an Array field compares by reference, which would defeat
+  * `semanticEquals`, subexpression elimination, and plan-fragment reuse
+  * for identical plane matrices. The hot loop reads a private
+  * pre-converted primitive matrix. */
+case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
   extends UnaryExpression {
 
   require(planes.nonEmpty && planes.length <= 64, "1..64 hyperplanes")
+  require(planes.forall(_.length == planes.head.length),
+    "all hyperplanes must share one dimension")
+
+  // primitive matrix for the eval/codegen hot loop (not a case field —
+  // equality stays structural on `planes`)
+  @transient private lazy val matrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  private def dim: Int = planes.head.length
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -27,14 +48,19 @@ case class HyperplaneBits(child: Expression, planes: Array[Array[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
     var bits = 0L
     var p = 0
-    while (p < planes.length) {
-      val w = planes(p)
-      val n = math.min(x.numElements(), w.length)
+    while (p < matrix.length) {
+      val w = matrix(p)
       var acc = 0.0
-      var i = 0
-      while (i < n) { acc += x.getFloat(i).toDouble * w(i); i += 1 }
+      i = 0
+      while (i < dim) { acc += x.getFloat(i).toDouble * w(i); i += 1 }
       if (acc >= 0.0) bits |= (1L << p)
       p += 1
     }
@@ -43,22 +69,33 @@ case class HyperplaneBits(child: Expression, planes: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
-      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val planesRef = ctx.addReferenceObj("planes", matrix, "double[][]")
       val bits = ctx.freshName("bits"); val p = ctx.freshName("p")
       val w = ctx.freshName("w"); val acc = ctx.freshName("acc")
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val bad = ctx.freshName("bad")
       s"""
-         |long $bits = 0L;
-         |for (int $p = 0; $p < $planesRef.length; $p++) {
-         |  double[] $w = $planesRef[$p];
-         |  int $n = java.lang.Math.min($x.numElements(), $w.length);
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += ((double) $x.getFloat($i)) * $w[$i];
+         |if ($x.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($x.isNullAt($i)) { $bad = true; break; }
          |  }
-         |  if ($acc >= 0.0) $bits |= (1L << $p);
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $bits = 0L;
+         |    for (int $p = 0; $p < $planesRef.length; $p++) {
+         |      double[] $w = $planesRef[$p];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $acc += ((double) $x.getFloat($i)) * $w[$i];
+         |      }
+         |      if ($acc >= 0.0) $bits |= (1L << $p);
+         |    }
+         |    ${ev.value} = $bits;
+         |  }
          |}
-         |${ev.value} = $bits;
        """.stripMargin
     })
 

@@ -9,7 +9,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Native MinHash signature over pre-hashed shingles (array<long>): slot k
   * is min over shingles of xxhash64(shingle_hash, seed=k). One fused loop
   * nest per row — the composed form ran n `array_min(transform(...))`
-  * columns, each allocating an intermediate array per row. */
+  * columns, each allocating an intermediate array per row.
+  *
+  * Null elements are SKIPPED (treated as absent shingles): reading a null
+  * slot as 0L would inject xxhash64(0, k) minima into every affected
+  * signature, making all documents with a null shingle spuriously collide
+  * in the LSH bands. The repo's shingle pipelines never produce null
+  * elements; the skip is defensive. */
 case class MinhashSignature(child: Expression, n: Int) extends UnaryExpression {
 
   require(n > 0 && n <= 512, "1..512 signature slots")
@@ -28,12 +34,14 @@ case class MinhashSignature(child: Expression, n: Int) extends UnaryExpression {
     var i = 0
     val len = hs.numElements()
     while (i < len) {
-      val h = hs.getLong(i)
-      var k = 0
-      while (k < n) {
-        val v = XXH64.hashLong(h, k.toLong)
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var k = 0
+        while (k < n) {
+          val v = XXH64.hashLong(h, k.toLong)
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
@@ -51,6 +59,7 @@ case class MinhashSignature(child: Expression, n: Int) extends UnaryExpression {
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |int $len = $hs.numElements();
          |for (int $i = 0; $i < $len; $i++) {
+         |  if ($hs.isNullAt($i)) continue;
          |  long $h = $hs.getLong($i);
          |  for (int $k = 0; $k < $n; $k++) {
          |    long $v = $hasher.hashLong($h, (long) $k);

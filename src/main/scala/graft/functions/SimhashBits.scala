@@ -10,7 +10,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * majority vote of the token hashes, one fused loop per row. Replaces the
   * explode → 64-column groupBy formulation, which shuffles one row per
   * (doc, token) and aggregates 64 sums — this is a narrow projection with
-  * no shuffle at all. */
+  * no shuffle at all. Null elements are SKIPPED (absent tokens): reading
+  * a null slot as 0L would vote 0 on all 64 bits and skew the signature;
+  * the repo's token pipelines never produce null hashes — defensive. */
 case class SimhashBits(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -27,11 +29,13 @@ case class SimhashBits(child: Expression) extends UnaryExpression {
     var i = 0
     val n = hs.numElements()
     while (i < n) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -50,6 +54,7 @@ case class SimhashBits(child: Expression) extends UnaryExpression {
          |int[] $counts = new int[64];
          |int $n = $hs.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($hs.isNullAt($i)) continue;
          |  long $h = $hs.getLong($i);
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;

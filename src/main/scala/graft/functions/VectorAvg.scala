@@ -17,44 +17,54 @@ import org.apache.spark.sql.expressions.Aggregator
   * Overflow headroom: 10⁶-scaled unit-ish values × ~10¹² rows per group
   * before approaching 2⁶³.
   *
-  * The finish mean is `pround(sum / n / 10⁶, 6)` per element — one exact
-  * integer division path, same contract as the repo's other float outputs.
-  */
-object VectorAvg extends Aggregator[Seq[Float], (Array[Long], Long), Seq[Double]] {
+  * The buffer carries a PER-SLOT count alongside the per-slot sum, so a
+  * ragged group (one truncated embedding) averages each index over the
+  * rows that actually have it — exactly what the documented composed
+  * equivalent computes; dividing every slot by the total row count would
+  * silently shrink all trailing elements instead.
+  *
+  * The finish mean is `pround(sum / count / 10⁶, 6)` per element — one
+  * exact integer division path, same contract as the repo's other float
+  * outputs. */
+object VectorAvg extends Aggregator[Seq[Float], (Array[Long], Array[Long]), Seq[Double]] {
 
-  override def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
+  override def zero: (Array[Long], Array[Long]) =
+    (Array.emptyLongArray, Array.emptyLongArray)
 
   private def quantize(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
 
-  override def reduce(b: (Array[Long], Long), a: Seq[Float]): (Array[Long], Long) = {
+  override def reduce(b: (Array[Long], Array[Long]), a: Seq[Float]): (Array[Long], Array[Long]) = {
     if (a == null) return b
-    val (sums, n) = b
+    val (sums, counts) = b
     val s = if (sums.length >= a.length) sums else java.util.Arrays.copyOf(sums, a.length)
+    val c = if (counts.length >= a.length) counts else java.util.Arrays.copyOf(counts, a.length)
     var i = 0
-    while (i < a.length) { s(i) += quantize(a(i)); i += 1 }
-    (s, n + 1)
+    while (i < a.length) { s(i) += quantize(a(i)); c(i) += 1L; i += 1 }
+    (s, c)
   }
 
-  override def merge(b1: (Array[Long], Long), b2: (Array[Long], Long)): (Array[Long], Long) = {
-    val (short, long) =
-      if (b1._1.length <= b2._1.length) (b1._1, b2._1) else (b2._1, b1._1)
-    val s = java.util.Arrays.copyOf(long, long.length)
+  private def addPadded(short: Array[Long], long: Array[Long]): Array[Long] = {
+    val out = java.util.Arrays.copyOf(long, long.length)
     var i = 0
-    while (i < short.length) { s(i) += short(i); i += 1 }
-    (s, b1._2 + b2._2)
+    while (i < short.length) { out(i) += short(i); i += 1 }
+    out
   }
 
-  override def finish(r: (Array[Long], Long)): Seq[Double] = {
-    val (sums, n) = r
-    if (n == 0L) Seq.empty
-    else sums.toSeq.map { s =>
-      val mean = s.toDouble / n.toDouble / 1e6
+  override def merge(b1: (Array[Long], Array[Long]), b2: (Array[Long], Array[Long])): (Array[Long], Array[Long]) = {
+    val (a, b) = if (b1._1.length <= b2._1.length) (b1, b2) else (b2, b1)
+    (addPadded(a._1, b._1), addPadded(a._2, b._2))
+  }
+
+  override def finish(r: (Array[Long], Array[Long])): Seq[Double] = {
+    val (sums, counts) = r
+    sums.indices.map { i =>
+      val mean = sums(i).toDouble / counts(i).toDouble / 1e6
       math.floor(mean * 1e6 + 0.5) / 1e6
     }
   }
 
-  override def bufferEncoder: Encoder[(Array[Long], Long)] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+  override def bufferEncoder: Encoder[(Array[Long], Array[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }

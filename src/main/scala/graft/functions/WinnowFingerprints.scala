@@ -17,8 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * one multiply-add per byte) → XXH64 finalizer (the raw polynomial hash is
   * poorly distributed in its low bits, and winnowing selects minima, which
   * amplifies distribution bias) → per window of `w` consecutive k-gram
-  * hashes keep the RIGHTMOST minimum (the paper's robust-winnowing
-  * tie-break) → distinct selected hashes, sorted for deterministic output.
+  * hashes keep the RIGHTMOST minimum (the paper's BASIC winnowing
+  * tie-break; robust winnowing would instead re-select the previous pick
+  * on ties — a different, equally valid scheme, so any compatible
+  * fingerprinter must use rightmost-min to match this kernel) → distinct
+  * selected hashes, sorted for deterministic output.
   *
   * Guarantee (paper §2): any substring match of length ≥ w + k − 1 shares
   * at least one fingerprint; no match shorter than k is detected.
@@ -45,20 +48,32 @@ object WinnowKernel {
       grams(i) = XXH64.hashLong(h, Seed)
       i += 1
     }
-    // winnow: rightmost minimum per window, record on position change
+    // winnow: rightmost minimum per window via a monotonic deque — O(n)
+    // total, not O(n·w) per-window rescans. Popping from the back on `>=`
+    // keeps the LATER of equal values, reproducing the rightmost tie-break
+    // of the naive scan exactly (property-tested against it).
     val nWin = math.max(n - w + 1, 1)
     val winLen = math.min(w, n)
     val picked = new java.util.TreeSet[java.lang.Long]()
+    val dq = new Array[Int](n) // index deque; values strictly increase head→tail
+    var head = 0; var tail = 0
     var prevPos = -1
+    var p = 0
+    while (p < winLen) { // prime the first window
+      while (tail > head && grams(dq(tail - 1)) >= grams(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      p += 1
+    }
     var s = 0
     while (s < nWin) {
-      var minPos = s
-      var p = s + 1
-      while (p < s + winLen) {
-        if (grams(p) <= grams(minPos)) minPos = p
-        p += 1
-      }
+      while (dq(head) < s) head += 1 // evict indices left of the window
+      val minPos = dq(head)
       if (minPos != prevPos) { picked.add(grams(minPos)); prevPos = minPos }
+      val np = s + winLen // extend for the next window
+      if (np < n) {
+        while (tail > head && grams(dq(tail - 1)) >= grams(np)) tail -= 1
+        dq(tail) = np; tail += 1
+      }
       s += 1
     }
     val out = new Array[Long](picked.size())

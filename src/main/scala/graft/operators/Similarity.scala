@@ -33,9 +33,12 @@ object Similarity {
     * double precision. Uses the native [[graft.functions.CosineSimilarity]]
     * codegen expression when the session has graft extensions registered
     * (one fused loop, no allocation); otherwise the composed higher-order
-    * form. Both produce bit-identical doubles (same accumulation order). */
+    * form. Both produce bit-identical doubles (same accumulation order,
+    * null on length mismatch or null element).
+    * Resolves the ACTIVE session — a hard-coded None here used to make the
+    * native branch unreachable from this public entry point. */
   def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
-    cosineExprIn(None, a, b)
+    cosineExprIn(org.apache.spark.sql.SparkSession.getActiveSession, a, b)
 
   private def cosineExprIn(spark: Option[org.apache.spark.sql.SparkSession],
                            a: String, b: String): org.apache.spark.sql.Column = {
@@ -101,10 +104,10 @@ object Similarity {
     // per row (graft.functions.HyperplaneBits), then cheap bit-slicing into
     // per-table bucket ids and one explode
     require(nTables * nPlanes <= 64, "hyperplane signature limited to 64 bits")
-    val allPlanes: Array[Array[Double]] = (0 until nTables).flatMap { t =>
+    val allPlanes: Seq[Seq[Double]] = (0 until nTables).flatMap { t =>
       val rng = new scala.util.Random(42L + t)
-      Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-    }.toArray
+      Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+    }
     val bitsCol = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.HyperplaneBits(
         org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),

@@ -176,6 +176,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow deque kernel equals the naive rightmost-min rescan on random inputs") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // naive reference: the O(n·w) per-window rescan the deque replaced
+    def naive(bytes: Array[Byte], k: Int, w: Int): Seq[Long] = {
+      val n = bytes.length - k + 1
+      if (n <= 0) return Seq.empty
+      val grams = new Array[Long](n)
+      var pow = 1L
+      (1 until k).foreach(_ => pow *= 257L)
+      var h = 0L
+      (0 until k).foreach(i => h = h * 257L + (bytes(i) & 0xffL))
+      grams(0) = XXH64.hashLong(h, 0x9747b28c9747b28cL)
+      (1 until n).foreach { i =>
+        h = (h - (bytes(i - 1) & 0xffL) * pow) * 257L + (bytes(i + k - 1) & 0xffL)
+        grams(i) = XXH64.hashLong(h, 0x9747b28c9747b28cL)
+      }
+      val nWin = math.max(n - w + 1, 1); val winLen = math.min(w, n)
+      val picked = scala.collection.mutable.SortedSet.empty[Long]
+      var prevPos = -1
+      (0 until nWin).foreach { s =>
+        var minPos = s
+        ((s + 1) until (s + winLen)).foreach { p =>
+          if (grams(p) <= grams(minPos)) minPos = p
+        }
+        if (minPos != prevPos) { picked += grams(minPos); prevPos = minPos }
+      }
+      picked.toSeq
+    }
+    // small alphabet forces heavy gram-hash ties — the tie-break hot spot
+    val gen = for {
+      len <- Gen.chooseNum(0, 120)
+      bs <- Gen.listOfN(len, Gen.oneOf('a'.toByte, 'b'.toByte, 'c'.toByte))
+      k <- Gen.chooseNum(2, 8)
+      w <- Gen.chooseNum(1, 12)
+    } yield (bs.toArray, k, w)
+    samples(gen, 150).foreach { case (bytes, k, w) =>
+      val fast = graft.functions.WinnowKernel.winnow(bytes, k, w).toSeq
+      val slow = naive(bytes, k, w)
+      assert(fast == slow, s"len=${bytes.length} k=$k w=$w")
+    }
+  }
+
   test("winnow guarantee holds for random docs with a random planted substring") {
     val k = 8; val w = 4
     (0 until 8).foreach { i =>
