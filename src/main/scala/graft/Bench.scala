@@ -27,7 +27,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: every localCheckpoint emits a lineage-truncation
+    // WARN that sbt routes to [error], flooding the driver's captured tail
+    // and risking the printed JSON line falling off it
+    spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // untimed full warmup at the smallest SF sharing the parquet layout:
@@ -67,7 +70,7 @@ object Bench {
       val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     } catch {
-      case e: java.io.IOException =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_DETAIL.json not written: ${e.getMessage}")
     }
     val slowest = results.sortBy(-_._2).take(25)

@@ -55,9 +55,11 @@ object GraftExtensions {
       case v: Number =>
         // Number.intValue silently WRAPS a Long outside Int range —
         // winnow_fingerprints(text, 2^32 + 4, 4) would run with k = 4 and
-        // return plausible-but-wrong fingerprints; range-check instead
+        // return plausible-but-wrong fingerprints; range-check instead.
+        // A fractional literal (4.7) would likewise truncate via longValue,
+        // so non-integral values are rejected the same way.
         val l = v.longValue
-        if (l < Int.MinValue || l > Int.MaxValue)
+        if (v.doubleValue != l.toDouble || l < Int.MinValue || l > Int.MaxValue)
           throw new AnalysisException(
             errorClass = "NON_FOLDABLE_ARGUMENT",
             messageParameters = Map(

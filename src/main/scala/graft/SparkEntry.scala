@@ -182,7 +182,7 @@ object SparkEntry {
     "m17_champion_select" -> ((s, d) =>
       Metrics.championBySegment(ord(s, d), cust(s, d), 0.05)),
     "m18_auc_rank" -> ((s, d) =>
-      Metrics.aucRank(Metrics.labeledOrders(ord(s, d)))),
+      Metrics.aucRankDistributed(Metrics.labeledOrders(ord(s, d)))),
     "m19_segment_auc" -> ((s, d) =>
       Metrics.segmentAuc(ord(s, d), cust(s, d))),
     "m20_calibration_bins" -> ((s, d) =>
@@ -303,14 +303,18 @@ object SparkEntry {
           "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))", 6) + " AS psi_term " +
         "FROM c CROSS JOIN t ORDER BY bin"),
     "v10_psi_by_column" -> {
-      // widths rendered from the SAME map the Spark query uses —
-      // Double.toString round-trips, so both sides see identical values
+      // widths AND nBins rendered from the SAME constants the Spark query
+      // uses (Double.toString round-trips; the bin clamp and Laplace
+      // smoothing below derive from defaultPsiBins, so a changed bin count
+      // moves both engines together)
+      val nb = operators.Validation.defaultPsiBins
       val watched = operators.Validation.defaultPsiWidths.toSeq.sortBy(_._1)
         .map { case (c, w) => c -> java.lang.Double.toString(w) }
       val branches = watched.map { case (c, w) =>
         s"SELECT '$c' AS column_name, " +
-          s"CAST(least(floor($c / CAST($w AS DOUBLE)), 9) AS BIGINT) AS bin, " +
-          "(CAST(l_shipdate AS DATE) < DATE '1995-06-01') AS early FROM lineitem"
+          s"CAST(least(floor($c / CAST($w AS DOUBLE)), ${nb - 1}) AS BIGINT) AS bin, " +
+          "(CAST(l_shipdate AS DATE) < DATE '1995-06-01') AS early " +
+          s"FROM lineitem WHERE $c IS NOT NULL"
       }.mkString(" UNION ALL ")
       s"WITH f AS ($branches), " +
         "c AS (SELECT column_name, bin, " +
@@ -320,10 +324,10 @@ object SparkEntry {
         "t AS (SELECT column_name, CAST(sum(n_a) AS BIGINT) AS ta, " +
         "CAST(sum(n_b) AS BIGINT) AS tb FROM c GROUP BY 1) " +
         "SELECT c.column_name, bin, n_a, n_b, " +
-        pr("((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) - " +
-          "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))) * " +
-          "ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)) / " +
-          "(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))", 6) + " AS psi_term " +
+        pr(s"((CAST(n_a + 1 AS DOUBLE) / CAST(ta + $nb AS DOUBLE)) - " +
+          s"(CAST(n_b + 1 AS DOUBLE) / CAST(tb + $nb AS DOUBLE))) * " +
+          s"ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + $nb AS DOUBLE)) / " +
+          s"(CAST(n_b + 1 AS DOUBLE) / CAST(tb + $nb AS DOUBLE)))", 6) + " AS psi_term " +
         "FROM c JOIN t ON c.column_name = t.column_name " +
         "ORDER BY c.column_name, bin"
     },
@@ -343,8 +347,11 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2"
     },
     "d40_domain_mix" ->
-      // CASE order mirrors domainMixKeep's sorted-source fold
-      ("WITH k AS (SELECT source, n_chars, (doc_id % 1000) < " +
+      // CASE order mirrors domainMixKeep's sorted-source fold; the double
+      // modulus mirrors Spark's pmod (always non-negative) — DuckDB's %
+      // follows the dividend's sign, so a negative doc_id would otherwise
+      // silently keep different rows in the two engines
+      ("WITH k AS (SELECT source, n_chars, (((doc_id % 1000) + 1000) % 1000) < " +
         "(CASE WHEN source = 'src1' THEN 0.5 WHEN source = 'src2' THEN 0.25 " +
         "WHEN source = 'src3' THEN 0.1 ELSE 1.0 END) * 1000 AS keep FROM documents) " +
         "SELECT source, count(*) AS n_total, " +

@@ -16,7 +16,9 @@ object Verify {
       // schema matches DuckDB's TIMESTAMP in the driver's compare
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: checkpoint lineage-truncation WARNs would flood the driver's
+    // captured output tail (same rationale as Bench)
+    spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

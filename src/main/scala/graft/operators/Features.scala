@@ -35,13 +35,19 @@ object Features {
   }
 
   /** F3 — exact quantile threshold flag (ref `feature_engineering.py:83`,
-    * `monthly_charges > quantile(0.75)`). Spark `percentile` is the exact
-    * interpolated quantile, matching NumPy/pandas default (and DuckDB
-    * `quantile_cont`). The 1-row stats DF is broadcast. */
-  def quantileFlag(df: DataFrame, c: String, q: Double): DataFrame = {
-    val stats = df.agg(expr(s"percentile($c, $q)").as("q_thresh"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("flag", (col(c) > col("q_thresh")).cast("int"))
+    * `monthly_charges > quantile(0.75)`). The threshold comes from
+    * [[Metrics.exactPercentile]] — bounded-memory two-pass order-statistic
+    * fetch, bit-identical to Spark's exact `percentile` aggregate (NumPy/
+    * pandas default interpolation, and DuckDB `quantile_cont`) — and enters
+    * the plan as a LITERAL, so the transform pass is one codegen'd scan.
+    * The previous in-plan `percentile(c, q)` buffered every value in ONE
+    * aggregation buffer: the exact scale-killer class `exactMedian` was
+    * built to remove (same fix as m17). */
+  def quantileFlag(df: DataFrame, c: String, q: Double,
+                   partitions: Int = 32): DataFrame = {
+    val thresh = Metrics.exactPercentile(df, c, q, partitions)
+    df.withColumn("q_thresh", lit(thresh))
+      .withColumn("flag", (col(c) > lit(thresh)).cast("int"))
   }
 
   /** F5 — z-score clip to mean ± 3·sample-std (ref

@@ -17,18 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  /** Exact global median with bounded memory — the 100 TB replacement for
-    * a single-buffer `percentile(x, 0.5)` aggregate (which materializes
+  /** Exact global percentile with bounded memory — the 100 TB replacement
+    * for a single-buffer `percentile(x, q)` aggregate (which materializes
     * every value in ONE aggregation buffer). Same two-pass shape as
     * [[aucDistributed]]: range-repartition by value, count each partition,
-    * locate the global rank(s) of the middle element(s), then fetch exactly
-    * those order statistics from their partitions. Interpolation matches
-    * Spark's `Percentile` formula `(1−f)·lower + f·higher` with f = 0.5,
-    * so the result is bit-identical to the windowed/aggregate form
-    * (asserted in tests) — no task ever holds more than its sorted
+    * locate the global rank(s) of the straddling order statistics, then
+    * fetch exactly those from their partitions. The interpolation is
+    * literally Spark's `Percentile.getPercentile` formula — position
+    * `(n−1)·q`, result `(higher−pos)·lo + (pos−lower)·hi`, with the value
+    * returned directly when the position is integral — so the result is
+    * bit-identical to the in-plan aggregate at ANY q (asserted in tests
+    * across partition counts). No task ever holds more than its sorted
     * partition slice. */
-  def exactMedian(df: DataFrame, valueCol: String, partitions: Int = 32): Double = {
+  def exactPercentile(df: DataFrame, valueCol: String, q: Double,
+                      partitions: Int = 32): Double = {
     import org.apache.spark.sql.Row
+    require(q >= 0.0 && q <= 1.0, s"percentile q out of [0,1]: $q")
     val vals = df.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .repartitionByRange(partitions, col("__v"))
@@ -40,11 +44,12 @@ object Metrics {
         Iterator.single((pid, it.size.toLong))
       }.collect().sortBy(_._1)
     val n = counts.map(_._2).sum
-    require(n > 0, s"exactMedian over empty relation ($valueCol)")
-    // 0-based global ranks of the two middle order statistics (equal when
-    // n is odd): position = 0.5 * (n - 1)
-    val lowerRank = (n - 1) / 2
-    val upperRank = n / 2
+    require(n > 0, s"exactPercentile over empty relation ($valueCol)")
+    // 0-based global position of the exact percentile and the two
+    // straddling order statistics (Spark Percentile.getPercentile)
+    val pos = (n - 1) * q
+    val lowerRank = math.floor(pos).toLong
+    val upperRank = math.ceil(pos).toLong
     // map each target rank to (partition, local 0-based offset)
     val offsets = counts.scanLeft(0L)(_ + _._2)
     def locate(rank: Long): (Int, Long) = {
@@ -67,9 +72,16 @@ object Metrics {
         }
       }.collect().toMap
     val lo = byPart(locate(lowerRank))
-    val hi = byPart(locate(upperRank))
-    0.5 * lo + 0.5 * hi
+    if (upperRank == lowerRank) lo
+    else {
+      val hi = byPart(locate(upperRank))
+      (upperRank - pos) * lo + (pos - lowerRank) * hi
+    }
   }
+
+  /** Exact global median — [[exactPercentile]] at q = 0.5. */
+  def exactMedian(df: DataFrame, valueCol: String, partitions: Int = 32): Double =
+    exactPercentile(df, valueCol, 0.5, partitions)
 
   /** Attach binary label + rule-based prediction to orders: y = (status='F'),
     * yhat = price > global median. The median comes from [[exactMedian]]
@@ -136,6 +148,20 @@ object Metrics {
         when(denom === 0.0, 0.0).otherwise(
           (col("sum_rank").cast("double") - n1 * (n1 + 1.0) / 2.0) / denom), 6)
         .as("auc"))
+  }
+
+  /** M18 declared form — the SAME 1-row `auc` relation as [[aucRank]],
+    * computed by [[aucDistributed]]'s partition-offset aggregation: no
+    * `Window.orderBy` over the whole relation anywhere in the plan (the
+    * lint in PlanLintSpec now enforces this for m18 too). The windowed
+    * [[aucRank]] stays as the ScalaTest cross-check and mirrors the DuckDB
+    * oracle's SQL; the two are bit-equal (asserted across partition
+    * counts). Rounding is the identical IEEE pround(6) formula applied in
+    * driver scalar arithmetic. */
+  def aucRankDistributed(labeled: DataFrame, partitions: Int = 32): DataFrame = {
+    val v = aucDistributed(labeled, partitions)
+    val rounded = math.floor(v * 1e6 + 0.5) / 1e6
+    labeled.sparkSession.range(1).select(lit(rounded).as("auc"))
   }
 
   /** Exact AUC without a global window — the 100 TB path. Range-repartition

@@ -137,19 +137,29 @@ object Temporal {
       .withColumn("__carry", last(col("__u"), ignoreNulls = true).over(wCarry))
       .filter(col("__kind") === 0)
       .select(col("__k"), col("__b"), col("__carry"))
-    // (3) in-bucket exact resolution + merge with the carry
+    // (3) in-bucket exact resolution + merge with the carry. Both right
+    // sides are RENAMED (__r*/__c*) before joining: `carry` descends from
+    // `lid`, so `lid("__b") === carry("__b")` resolves both sides to the
+    // SAME attribute and Spark only rescues it via analyzer dedup after
+    // WARNing "trivially true equals predicate" — correctness by luck.
+    // Disjoint names make every predicate structurally unambiguous.
+    val rbJ = rb.select(col("__k").as("__rk"), col("__b").as("__rb"),
+      col("__t").as("__rt"), col("__tie").as("__rtie"), col("__p").as("__rp"))
     val inBucket = lid
-      .join(rb,
-        lid(key) === rb("__k") && lid("__b") === rb("__b") &&
-          rb("__t") <= lid(leftT),
+      .join(rbJ,
+        col(key) === col("__rk") && col("__b") === col("__rb") &&
+          col("__rt") <= col(leftT),
         "left")
       .groupBy(col("__lid"))
       .agg(max_by(
-        when(col("__t").isNotNull, struct(col("__t"), col("__tie"), col("__p"))),
-        when(col("__t").isNotNull, struct(col("__t"), col("__tie")))).as("__w"))
+        when(col("__rt").isNotNull,
+          struct(col("__rt").as("__t"), col("__rtie").as("__tie"), col("__rp").as("__p"))),
+        when(col("__rt").isNotNull, struct(col("__rt"), col("__rtie")))).as("__w"))
+    val carryJ = carry.select(col("__k").as("__ck"), col("__b").as("__cb"),
+      col("__carry"))
     lid
       .join(inBucket, "__lid")
-      .join(carry, lid(key) === carry("__k") && lid("__b") === carry("__b"), "left")
+      .join(carryJ, col(key) === col("__ck") && col("__b") === col("__cb"), "left")
       .select(leftCols.map(col) :+
         coalesce(col("__w.__p"), col("__carry.__p")).as("__asof"): _*)
   }

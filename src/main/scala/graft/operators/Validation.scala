@@ -134,8 +134,14 @@ object Validation {
     "l_quantity" -> 5.0, "l_extendedprice" -> 10000.0,
     "l_discount" -> 0.01, "l_tax" -> 0.01)
 
+  /** Bin count of the DECLARED v10 sweep — shared with the oracle SQL
+    * renderer (the `least(..., nBins−1)` clamp and `+nBins` Laplace
+    * smoothing must agree between engines, so both render from here). */
+  val defaultPsiBins: Int = 10
+
   def psiByColumn(df: DataFrame, timeCol: String, splitValue: String,
-                  binWidths: Map[String, Double], nBins: Int = 10): DataFrame = {
+                  binWidths: Map[String, Double],
+                  nBins: Int = defaultPsiBins): DataFrame = {
     // localCheckpoint: counts feeds BOTH the per-column totals and the final
     // join — materializing this ≤ nCols·nBins-row relation keeps the table
     // scan single-pass (no CSE across DataFrame reuse; plan-asserted)
@@ -167,6 +173,11 @@ object Validation {
     df.select(explode(pairs).as("cb"),
         (col(timeCol).cast("date") < lit(splitValue).cast("date")).as("early"))
       .select(col("cb.column_name"), col("cb.bin"), col("early"))
+      // null watched values produce a NULL bin, and Spark's orderBy sorts
+      // nulls first while DuckDB's sorts them last — drop them on BOTH
+      // sides (the oracle branches carry IS NOT NULL) instead of binning
+      // unmeasurable rows
+      .filter(col("bin").isNotNull)
       .groupBy(col("column_name"), col("bin"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))

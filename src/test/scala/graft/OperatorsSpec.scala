@@ -422,6 +422,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Metrics.exactMedian(dup, "v", 2) == 2.0)
   }
 
+  test("F3: bounded-memory exactPercentile is bit-identical to the percentile aggregate at any q") {
+    import spark.implicits._
+    Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0).foreach { q =>
+      val viaAgg = ord.agg(expr(s"percentile(o_totalprice, $q)"))
+        .collect()(0).getDouble(0)
+      Seq(1, 3, 7, 32).foreach { p =>
+        assert(Metrics.exactPercentile(ord, "o_totalprice", q, p) == viaAgg,
+          s"q=$q partitions=$p")
+      }
+    }
+    // non-integral interpolation position on a synthetic set:
+    // pos = 4·0.6 = 2.4 → 0.6·v[2] + 0.4·v[3] on sorted [1,2,3,4,5]
+    val syn = Seq(5.0, 1.0, 4.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val viaAggSyn = syn.agg(expr("percentile(v, 0.6)")).collect()(0).getDouble(0)
+    assert(Metrics.exactPercentile(syn, "v", 0.6, 3) == viaAggSyn)
+  }
+
+  test("M18: declared distributed AUC form equals the windowed oracle form; plan has no window") {
+    val labeled = Metrics.labeledOrders(ord)
+    val declared = Metrics.aucRankDistributed(labeled, partitions = 7)
+    val windowed = Metrics.aucRank(labeled).collect()(0).getDouble(0)
+    assert(declared.collect()(0).getDouble(0) == windowed)
+    assert(!declared.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("x32: EXISTS plans as a semi join, no row multiplication") {
     val res = RelationalExt.existsBigSpenders(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString

@@ -18,12 +18,13 @@ class PlanLintSpec extends AnyFunSuite {
 
   /** Queries whose plan legitimately contains a GLOBAL (unpartitioned)
     * window — the single-task stage every other query must avoid:
-    *  - m18_auc_rank: the declared oracle form; `Metrics.aucDistributed`
-    *    is the scale path (bit-equal, tested);
     *  - x16_moving_avg: window over the pre-aggregated MONTHLY series —
-    *    input rows = #months, bounded by time span, not data volume. */
+    *    input rows = #months, bounded by time span, not data volume.
+    * m18 is deliberately NOT here anymore: its declared plan is now the
+    * partition-offset `aucRankDistributed` (the windowed `aucRank` stays
+    * test-only as the oracle cross-check). */
   private val globalWindowAllowed: Set[String] = Set(
-    "m18_auc_rank", "x16_moving_avg")
+    "x16_moving_avg")
 
   // matches only when the FIRST comma-separated element of the spec is
   // already an order spec (no partition columns before it)
@@ -87,7 +88,6 @@ class PlanLintSpec extends AnyFunSuite {
     "d14_cosine_topk" -> Set("embeddings"),
     "d16_lsh_topk" -> Set("embeddings"),
     "d21_embedding_neardups" -> Set("embeddings"),
-    "f3_quantile_flag" -> Set("orders"),
     "f5_zscore_clip" -> Set("orders"),
     "m1_standard_scale" -> Set("customer"),
     "m2_minmax_scale" -> Set("orders"),
