@@ -175,6 +175,9 @@ object SparkEntry {
       TextOps.langConfusion(Tables.documents(s, d))),
     "d40_domain_mix" -> ((s, d) => TextOps.domainMix(Tables.documents(s, d),
       Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
+    "d41_packed_sequences" -> ((s, d) =>
+      TextOps.packChunks(TextOps.chunkDocs(Tables.documents(s, d)))),
+    "d42_pii_scrub" -> ((s, d) => TextOps.piiScrub(Tables.documents(s, d))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -358,6 +361,46 @@ object SparkEntry {
         "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
         "CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
         "FROM k GROUP BY 1 ORDER BY 1"),
+    "d41_packed_sequences" ->
+      // chunking CTEs mirror d33; the recursive CTE walks each pack group's
+      // chunks in (doc_id, chunk_id) order applying the same next-fit rule
+      // as packChunks' aggregate fold (base case = first chunk opens seq 0)
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t), " +
+        "c AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e), " +
+        "g AS (SELECT doc_id // 50 AS grp, doc_id, chunk_id, n, " +
+        "row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id, chunk_id) AS rn FROM c), " +
+        "pack(grp, rn, doc_id, chunk_id, n, seq, fill) AS (" +
+        "SELECT grp, rn, doc_id, chunk_id, n, CAST(0 AS BIGINT), n FROM g WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT g.grp, g.rn, g.doc_id, g.chunk_id, g.n, " +
+        "CASE WHEN p.fill + g.n > 512 THEN p.seq + 1 ELSE p.seq END, " +
+        "CASE WHEN p.fill + g.n > 512 THEN g.n ELSE p.fill + g.n END " +
+        "FROM pack p JOIN g ON g.grp = p.grp AND g.rn = p.rn + 1) " +
+        "SELECT CAST(grp * 1000000 + seq AS BIGINT) AS seq_id, " +
+        "CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "string_agg(doc_id || ':' || chunk_id, ',' ORDER BY doc_id, chunk_id) AS chunk_ids, " +
+        "CAST(sum(n) AS BIGINT) AS total_tokens, " +
+        pr("CAST(sum(n) AS DOUBLE) / CAST(512 AS DOUBLE)", 6) + " AS fill_ratio " +
+        "FROM pack GROUP BY grp, seq ORDER BY seq_id"),
+    "d42_pii_scrub" ->
+      // fixed scrub order email → phone → IP, each class counted on the
+      // text state it is applied to — mirrors piiScrub exactly; patterns
+      // use only syntax with identical Java-regex/RE2 semantics
+      ("WITH a AS (SELECT doc_id, text, " +
+        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, text, t1, " +
+        "regexp_replace(t1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t2 FROM a), " +
+        "c AS (SELECT doc_id, text, t1, t2, " +
+        "regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t3 FROM b) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips, " +
+        "CAST(len(t3) AS BIGINT) AS scrubbed_len, md5(t3) AS scrubbed_hash " +
+        "FROM c ORDER BY doc_id"),
 
     "f1_conditional_ratio" ->
       ("SELECT l_orderkey, l_linenumber, floor((CASE WHEN l_quantity > 25 " +

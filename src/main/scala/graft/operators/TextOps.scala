@@ -329,6 +329,95 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** D5 — sequence packing: assemble [[chunkDocs]] chunks into
+    * fixed-token-budget training sequences — the materialization that turns
+    * chunks into what a trainer actually consumes. The rule is
+    * deterministic and RNG-free (oracle-expressible): chunks are packed in
+    * (doc_id, chunk_id) order with NEXT-FIT — a chunk joins the current
+    * sequence if it fits, else starts a new one. Sequences never cross
+    * PACK GROUPS (`floor(doc_id / docsPerGroup)`), which is what makes the
+    * operator distributed: each group packs independently in one task, so
+    * parallelism = #groups and per-task memory is bounded by the group's
+    * chunk count (docsPerGroup is the knob). seq_id = grp·seqStride +
+    * per-group dense sequence index.
+    *
+    * Preconditions: doc_id ≥ 0; every chunk's token count ≥ 1 and ≤ budget
+    * (chunkDocs emits ≤ chunkTokens tokens; an oversize chunk would get a
+    * lone over-budget sequence rather than being split).
+    *
+    * Scale shape: one shuffle to co-locate each group, a per-group linear
+    * fold (`aggregate` higher-order function — stays in the SQL engine, no
+    * UDF), explode back, and one seq-keyed aggregate. At 100 TB the group
+    * width bounds both task memory and the fold length; groups are
+    * id-ranged so the output is reproducible under any parallelism. */
+  def packChunks(chunks: DataFrame, budget: Int = 512, docsPerGroup: Int = 50,
+                 seqStride: Long = 1000000L): DataFrame = {
+    require(budget >= 1 && docsPerGroup >= 1, "budget and docsPerGroup must be >= 1")
+    chunks.select(
+        floor(col("doc_id") / docsPerGroup).cast("long").as("grp"),
+        col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("chunk_id"),
+        col("n_chunk_tokens").as("n")))).as("cs"))
+      // next-fit fold: fill starts AT budget so the first chunk always
+      // "overflows" into seq 0 — keeps the numbering dense without a
+      // special first-element case
+      .select(col("grp"), explode(expr(
+        s"""aggregate(cs,
+             named_struct(
+               'out', cast(array() as array<struct<doc_id:bigint,chunk_id:bigint,n:bigint,seq:bigint>>),
+               'fill', cast($budget as bigint),
+               'seq', cast(-1 as bigint)),
+             (acc, x) -> named_struct(
+               'out', array_append(acc.out, named_struct(
+                 'doc_id', x.doc_id, 'chunk_id', x.chunk_id, 'n', x.n,
+                 'seq', if(acc.fill + x.n > $budget, acc.seq + 1, acc.seq))),
+               'fill', if(acc.fill + x.n > $budget, x.n, acc.fill + x.n),
+               'seq', if(acc.fill + x.n > $budget, acc.seq + 1, acc.seq))
+           ).out""")).as("c"))
+      .select((col("grp") * seqStride + col("c.seq")).as("seq_id"),
+        col("c.doc_id").as("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n").as("n"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        array_join(expr("transform(sort_array(collect_list(struct(doc_id, chunk_id))), " +
+          "s -> concat(cast(s.doc_id as string), ':', cast(s.chunk_id as string)))"), ",")
+          .as("chunk_ids"),
+        sum(col("n")).as("total_tokens"))
+      .select(col("seq_id"), col("n_chunks"), col("chunk_ids"), col("total_tokens"),
+        Features.pround(col("total_tokens").cast("double") / budget, 6).as("fill_ratio"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** D5 — PII/pattern scrub (the C4-style cleanup pass): redact emails,
+    * phone numbers, and dotted-quad IPs with class tokens, emitting per-doc
+    * redaction counts plus the scrubbed text's hash and length — the audit
+    * a pipeline materializes before training. Patterns are restricted to
+    * syntax with identical semantics in Java regex and RE2 (character
+    * classes, `\\d`, `\\b`, bounded repetition), and the scrub is applied
+    * in a FIXED order (email → phone → IP) with each class counted on the
+    * text state it is applied to, so both engines walk the same string.
+    * Replacement tokens contain no digits or '@', so later passes can
+    * never match inside an earlier redaction.
+    *
+    * Scale: one scan, per-row regexp built-ins only (codegen'd), no
+    * shuffle — scan-bound at any corpus size. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val afterEmail = regexp_replace(col("text"), email, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phone, "<PHONE>")
+    val scrubbed = regexp_replace(afterPhone, ip, "<IP>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(phone)).cast("long").as("n_phones"),
+      regexp_count(afterPhone, lit(ip)).cast("long").as("n_ips"),
+      length(scrubbed).cast("long").as("scrubbed_len"),
+      md5(scrubbed.cast("binary")).as("scrubbed_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Marker lexicons for [[languageId]] — single source of truth for both
     * the Spark classifier and the declared oracle SQL (SparkEntry builds
     * the DuckDB CASE chain from this map). */

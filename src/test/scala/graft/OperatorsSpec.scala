@@ -392,6 +392,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(doc8.length == 1 && doc8(0).getAs[Long]("n_chunk_tokens") == 1L)
   }
 
+  test("D5 packing: hand case — next-fit boundaries, dense seq ids, oversize-alone") {
+    import spark.implicits._
+    val chunks = Seq(
+      (0L, 0L, 4L), (0L, 1L, 4L), (1L, 0L, 4L), (1L, 1L, 4L),
+      (2L, 0L, 9L), (3L, 0L, 2L), (3L, 1L, 10L))
+      .toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    val res = TextOps.packChunks(chunks, budget = 10, docsPerGroup = 100)
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_chunks"),
+        r.getAs[String]("chunk_ids"), r.getAs[Long]("total_tokens")))
+    assert(res.toSeq == Seq(
+      (0L, 2L, "0:0,0:1", 8L),   // 4+4, next 4 overflows
+      (1L, 2L, "1:0,1:1", 8L),
+      (2L, 1L, "2:0", 9L),       // 9+2 overflows
+      (3L, 1L, "3:0", 2L),       // 2+10 overflows
+      (4L, 1L, "3:1", 10L)))     // exactly at budget
+  }
+
+  test("D5 packing: no chunk lost, no sequence over budget, fill floor, group isolation, determinism") {
+    val chunks = TextOps.chunkDocs(docs)
+    val nChunks = chunks.count()
+    val packed = TextOps.packChunks(chunks).collect()
+    // every chunk lands in exactly one sequence
+    assert(packed.map(_.getAs[Long]("n_chunks")).sum == nChunks)
+    val allRefs = packed.flatMap(_.getAs[String]("chunk_ids").split(","))
+    assert(allRefs.length == nChunks && allRefs.distinct.length == nChunks)
+    // chunk tokens are <= 50 <= budget, so no sequence may exceed budget
+    assert(packed.forall(_.getAs[Long]("total_tokens") <= 512L))
+    // fill floor: every sequence except the LAST of its group must be too
+    // full to accept the next chunk (<= 50 tokens) — next-fit guarantee
+    packed.groupBy(_.getAs[Long]("seq_id") / 1000000L).values.foreach { g =>
+      g.sortBy(_.getAs[Long]("seq_id")).dropRight(1).foreach { r =>
+        assert(r.getAs[Long]("total_tokens") > 512L - 50L, r)
+      }
+    }
+    // sequences never cross pack groups: all chunk doc_ids within a
+    // sequence fall in the sequence's group id range
+    packed.foreach { r =>
+      val grp = r.getAs[Long]("seq_id") / 1000000L
+      r.getAs[String]("chunk_ids").split(",").map(_.split(":")(0).toLong)
+        .foreach(d => assert(d / 50 == grp, r))
+    }
+    // layout-independence: packing a repartitioned input is identical
+    val shuffled = TextOps.packChunks(chunks.repartition(13)).collect()
+    assert(shuffled.map(_.toString).toSeq == packed.map(_.toString).toSeq)
+  }
+
+  test("D5 PII scrub: planted email/phone/IP are counted and redacted; clean docs hash unchanged") {
+    import spark.implicits._
+    val dirty = "contact bob.smith+x@corp-mail.co.uk or 555-123-4567 at 10.0.255.1 now"
+    val clean = "no pii here just text"
+    val df = Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text")
+    val res = TextOps.piiScrub(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = res(1L)
+    assert(r1.getAs[Long]("n_emails") == 1L)
+    assert(r1.getAs[Long]("n_phones") == 1L)
+    assert(r1.getAs[Long]("n_ips") == 1L)
+    val expectScrubbed = "contact <EMAIL> or <PHONE> at <IP> now"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r1.getAs[Long]("scrubbed_len") == expectScrubbed.length.toLong)
+    assert(r1.getAs[String]("scrubbed_hash") == hex(expectScrubbed))
+    val r2 = res(2L)
+    assert(r2.getAs[Long]("n_emails") == 0L && r2.getAs[Long]("n_phones") == 0L &&
+      r2.getAs[Long]("n_ips") == 0L)
+    assert(r2.getAs[String]("scrubbed_hash") == hex(clean))
+  }
+
   test("M20 calibration: bins partition all rows, mean_score within bin bounds, monotone") {
     val res = Metrics.calibrationBins(ord).collect()
     assert(res.map(_.getAs[Long]("n")).sum == ord.count())
