@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus pipeline — the "documents in, training sequences out"
+  * flagship materialization: quality filter → shingle-based near-dup
+  * components (keep each component's min-id winner) → deterministic domain
+  * mix → context-window chunking → fixed-budget sequence packing, composed
+  * as ONE dataflow with no driver round-trips between stages (the only
+  * driver loop is connected components' label-propagation convergence,
+  * identical to the standalone d35 operator).
+  *
+  * Near-dup criterion (oracle-expressible, unlike MinHash): two documents
+  * are near-dups iff they share at least one exact k-token shingle whose
+  * corpus document frequency is in [2, maxDf]. The df cap is the same
+  * stop-fingerprint idea as winnowing's maxDf (Schleimer et al., SIGMOD'03
+  * §5): boilerplate shingles shared by half the corpus carry no dup signal
+  * but would blow the bucket join up quadratically — capping df bounds
+  * per-shingle join fan-out at C(maxDf, 2) pairs, which is what makes the
+  * edge join scale-right. Shingle identity is md5 of the space-joined
+  * token window — engine-portable, so the whole chain is SQL-checkable.
+  *
+  * Scale shape: quality filter is one codegen'd scan; the kept relation is
+  * materialized ONCE (localCheckpoint — production would write a parquet
+  * stage) and every later stage derives from it, so the base table is
+  * scanned exactly once. Shingling explodes O(tokens) rows, the df cap is
+  * one map-side-combined aggregate, edges are an equijoin on the shingle
+  * hash (bounded fan-out per key), components shuffle one (id, comp) pair
+  * per doc per round, and chunk+pack reuse the audited d33/d41 shapes.
+  * At 100 TB replace the exact shingle set with winnowed fingerprints
+  * (d28) for a ~1/w density reduction at the same join shape.
+  */
+object Corpus {
+
+  /** Training-sequence materialization over `docs0` (schema: doc_id, text,
+    * lang, source, n_chars). Output = [[TextOps.packChunks]] schema. */
+  def trainingSequences(docs0: DataFrame,
+                        rates: Map[String, Double],
+                        shingleK: Int = 12, maxDf: Int = 20,
+                        chunkTokens: Int = 50, stride: Int = 40,
+                        budget: Int = 512, docsPerGroup: Int = 50): DataFrame = {
+    require(shingleK >= 1 && maxDf >= 2, "shingleK >= 1, maxDf >= 2")
+    // one base-table scan, materialized: feeds shingling, the winner join,
+    // and chunking (three consumers — without this the scan would re-run
+    // per consumer; pre-checkpoint shape is plan-asserted in CorpusSpec)
+    val kept = docs0.filter(TextOps.qualityKeep)
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(true)
+    // k-token shingles, md5-hashed; distinct per (doc, shingle) so a
+    // phrase repeated within one doc counts once toward df
+    val sh = kept
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= shingleK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $shingleK), " +
+          s"i -> md5(cast(concat_ws(' ', slice(t, i + 1, $shingleK)) as binary)))"))
+        .as("sh"))
+      .distinct()
+      .localCheckpoint(true) // feeds the df aggregate AND both join sides
+    val informative = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("sh"))
+    val shc = sh.join(informative, "sh").localCheckpoint(true)
+    val edges = shc.select(col("sh"), col("doc_id").as("id_a"))
+      .join(shc.select(col("sh").as("__sh2"), col("doc_id").as("id_b")),
+        col("sh") === col("__sh2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val labels = Dedup.connectedComponents(
+      kept.select(col("doc_id").as("id")), edges)
+    // min-label propagation labels each component with its min id, so the
+    // canonical winner is exactly the row whose id equals its label
+    val winners = labels.filter(col("id") === col("comp")).select(col("id"))
+    val mixed = kept
+      .join(winners, kept("doc_id") === winners("id"), "left_semi")
+      .filter(TextOps.domainMixKeep(rates))
+      .select(col("doc_id"), col("text"))
+    TextOps.packChunks(
+      TextOps.chunkDocs(mixed, chunkTokens, stride), budget, docsPerGroup)
+  }
+}

@@ -156,16 +156,23 @@ object TextOps {
     * the materialization a pipeline acts on. All predicates are exact
     * integer ratios (IEEE division of integers, deterministic in any
     * engine); one scan, one bounded-key aggregate. */
-  def qualityFilter(docs: DataFrame): DataFrame = {
+  /** The C4/Gopher-style keep predicate of [[qualityFilter]], exposed for
+    * composition (the corpus pipeline filters by it directly): ≥ 10 tokens,
+    * mean token length in [2, 15], punctuation mass ≤ 10% of characters.
+    * All exact integer ratios — deterministic in any engine. */
+  def qualityKeep: org.apache.spark.sql.Column = {
     val nTok = tokenCount("text")
     val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
-    val keep = (nTok >= 10) &&
+    (nTok >= 10) &&
       (nonSpace.cast("double") / nTok.cast("double") >= 2.0) &&
       (nonSpace.cast("double") / nTok.cast("double") <= 15.0) &&
       (nPunct.cast("double") / length(col("text")).cast("double") <= 0.1)
-    docs.select(col("lang"), col("n_chars"), keep.as("keep"))
+  }
+
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    docs.select(col("lang"), col("n_chars"), qualityKeep.as("keep"))
       .groupBy(col("lang"))
       .agg(
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** End-to-end corpus pipeline (d43): planted-fixture semantics for each
+  * stage boundary plus the no-rescan plan shape. The DuckDB oracle
+  * (selfcheck) is the independent full-chain correctness check. */
+class CorpusSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  test("planted: near-dups collapse to min-id winner, quality junk dropped, rest packed") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val tailA = (0 until 8).map(i => s"aye$i").mkString(" ")
+    val tailB = (0 until 8).map(i => s"bee$i").mkString(" ")
+    val uniq = (0 until 20).map(i => s"solo$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$shared $tailA", "en", "srcX", 1L), // near-dup pair: one
+      (11L, s"$shared $tailB", "en", "srcX", 1L), //   shared 12-shingle
+      (12L, uniq, "en", "srcX", 1L),              // unrelated, kept
+      (13L, "too short", "en", "srcX", 1L))       // fails quality (<10 tokens)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Corpus.trainingSequences(docs, Map.empty)
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[String]("chunk_ids"),
+        r.getAs[Long]("total_tokens")))
+    // winner 10 (20 tokens) + doc 12 (20 tokens) pack into one sequence;
+    // 11 lost to dedup, 13 to quality
+    assert(res.toSeq == Seq((0L, "10:0,12:0", 40L)))
+  }
+
+  test("df cap: a boilerplate shingle shared corpus-wide creates no edges") {
+    import spark.implicits._
+    val boiler = (0 until 12).map(i => s"b$i").mkString(" ")
+    // 25 docs all share one shingle; df = 25 > maxDf = 20 → no edges, all kept
+    val docs = (0L until 25L).map(i =>
+      (i, s"$boiler unique${i}a unique${i}b unique${i}c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val res = Corpus.trainingSequences(docs, Map.empty)
+    val refs = res.collect().flatMap(_.getAs[String]("chunk_ids").split(","))
+    assert(refs.map(_.split(":")(0).toLong).distinct.sorted.toSeq == (0L until 25L))
+  }
+
+  test("declared d43 plan: everything derives from checkpoints — zero downstream file scans") {
+    val plan = SparkEntry.queries("d43_training_sequences")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"), "base table re-scanned downstream")
+  }
+}
