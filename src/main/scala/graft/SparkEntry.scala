@@ -180,6 +180,13 @@ object SparkEntry {
     "d42_pii_scrub" -> ((s, d) => TextOps.piiScrub(Tables.documents(s, d))),
     "d43_training_sequences" -> ((s, d) => Corpus.trainingSequences(
       Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
+    // k=4 exercises the path on synthetic text (k=12 finds zero overlap
+    // in this corpus); production decontamination uses k ≈ 8–13
+    "d44_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.decontaminate(docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), shingleK = 4)
+    }),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -448,6 +455,19 @@ object SparkEntry {
         "CAST(sum(n) AS BIGINT) AS total_tokens, " +
         pr("CAST(sum(n) AS DOUBLE) / CAST(512 AS DOUBLE)", 6) + " AS fill_ratio " +
         "FROM pack GROUP BY grp, seq ORDER BY seq_id"),
+    "d44_decontaminate" ->
+      // pmod mirror for the train/bench split; shingle CTEs mirror d43's
+      // (k=4 → slice p..p+3, range end len(toks)-2)
+      ("WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+        "WHERE ((doc_id % 97) + 97) % 97 <> 0), " +
+        "be AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+        "WHERE ((doc_id % 97) + 97) % 97 = 0), " +
+        "tsp AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 2, 1))) AS p, toks FROM tr), " +
+        "ts AS (SELECT DISTINCT doc_id, md5(array_to_string(list_slice(toks, p, p + 3), ' ')) AS sh FROM tsp), " +
+        "bsp AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 2, 1))) AS p, toks FROM be), " +
+        "bs AS (SELECT DISTINCT md5(array_to_string(list_slice(toks, p, p + 3), ' ')) AS sh FROM bsp) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles " +
+        "FROM ts JOIN bs USING(sh) GROUP BY doc_id ORDER BY doc_id"),
 
     "f1_conditional_ratio" ->
       ("SELECT l_orderkey, l_linenumber, floor((CASE WHEN l_quantity > 25 " +

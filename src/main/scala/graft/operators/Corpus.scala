@@ -79,4 +79,38 @@ object Corpus {
     TextOps.packChunks(
       TextOps.chunkDocs(mixed, chunkTokens, stride), budget, docsPerGroup)
   }
+
+  /** Benchmark decontamination audit — the training-set hygiene step: a
+    * training document is CONTAMINATED iff it shares at least one exact
+    * k-token shingle with any benchmark document (the n-gram-overlap
+    * decontamination rule used for LLM training corpora; production
+    * settings use k ≈ 8–13). Emits one row per contaminated doc with its
+    * distinct matched-shingle count — the relation a pipeline anti-joins
+    * the training set against.
+    *
+    * Scale shape: both sides shingle in one scan each (explode O(tokens),
+    * distinct per (id, shingle)); the benchmark's distinct-shingle
+    * relation is orders of magnitude smaller than the corpus, so the
+    * equijoin broadcasts it under AQE when it fits (no hint — a forced
+    * broadcast would OOM on a large benchmark suite); one doc-keyed count
+    * aggregate. Nothing is ever all-pairs. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    shingleK: Int = 8): DataFrame = {
+    require(shingleK >= 1, "shingleK >= 1")
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= shingleK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $shingleK), " +
+          s"i -> md5(cast(concat_ws(' ', slice(t, i + 1, $shingleK)) as binary)))"))
+        .as("sh"))
+      .distinct()
+    val bs = shingles(benchmark).select(col("sh")).distinct()
+    shingles(train).join(bs, "sh")
+      .groupBy(col("doc_id"))
+      // (doc_id, sh) is distinct on both join inputs → plain count is the
+      // distinct matched-shingle count
+      .agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -28,7 +28,10 @@ import graft.{GraftExtensions, SparkEntry}
   *    operand owns its (filter-pushed) scan, a set-op semantics demo
   *    like x24;
   *  - x34: two-level bucketed as-of resolution (exists to hash-verify
-  *    the hot-key rewrite; see SURVEY §7.5). */
+  *    the hot-key rewrite; see SURVEY §7.5);
+  *  - d44: documents read in two ROLES — train corpus vs benchmark suite
+  *    (id-split proxy here; distinct tables in production), each side
+  *    shingled from its own filter-pushed scan. */
 object ScanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -43,6 +43,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(refs.map(_.split(":")(0).toLong).distinct.sorted.toSeq == (0L until 25L))
   }
 
+  test("decontaminate: planted benchmark overlap flagged with exact hit count, clean docs absent") {
+    import spark.implicits._
+    val leak = (0 until 9).map(i => s"q$i").mkString(" ") // 9 tokens → two 8-shingles
+    val bench = Seq((100L, s"$leak padA padB padC")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"intro words here $leak trailing stuff"), // contains both leaked 8-shingles
+      (2L, (0 until 20).map(i => s"c$i").mkString(" ")))   // clean
+      .toDF("doc_id", "text")
+    val res = Corpus.decontaminate(train, bench, shingleK = 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_shingles")).toMap
+    assert(res == Map(1L -> 2L))
+  }
+
   test("declared d43 plan: everything derives from checkpoints — zero downstream file scans") {
     val plan = SparkEntry.queries("d43_training_sequences")(spark, sfDir)
       .queryExecution.executedPlan.toString

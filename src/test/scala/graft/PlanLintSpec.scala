@@ -86,6 +86,9 @@ class PlanLintSpec extends AnyFunSuite {
   private val multiScanAllowed: Map[String, Set[String]] = Map(
     "d13_jaccard_pairs" -> Set("documents"),
     "d14_cosine_topk" -> Set("embeddings"),
+    // two ROLES of the same file: train corpus vs benchmark suite (id-split
+    // here; distinct tables in production) — each side needs its own scan
+    "d44_decontaminate" -> Set("documents"),
     "d16_lsh_topk" -> Set("embeddings"),
     "d21_embedding_neardups" -> Set("embeddings"),
     "f5_zscore_clip" -> Set("orders"),
