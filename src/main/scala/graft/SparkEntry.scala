@@ -194,7 +194,7 @@ object SparkEntry {
     "m17_champion_select" -> ((s, d) =>
       Metrics.championBySegment(ord(s, d), cust(s, d), 0.05)),
     "m18_auc_rank" -> ((s, d) =>
-      Metrics.aucRankDistributed(Metrics.labeledOrders(ord(s, d)))),
+      Metrics.aucRankDistributed(Metrics.rankLabeledOrders(ord(s, d)))),
     "m19_segment_auc" -> ((s, d) =>
       Metrics.segmentAuc(ord(s, d), cust(s, d))),
     "m20_calibration_bins" -> ((s, d) =>

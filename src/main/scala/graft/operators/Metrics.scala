@@ -94,6 +94,15 @@ object Metrics {
       col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** Label-and-score relation for the AUC family: AUC ranks by SCORE only,
+    * so unlike [[labeledOrders]] this never computes the median-threshold
+    * `yhat` — using labeledOrders for m18 would spend two driver-side
+    * order-statistic passes on a column the statistic ignores. */
+  def rankLabeledOrders(orders: DataFrame): DataFrame =
+    orders.select(
+      when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
+      col("o_totalprice"), col("o_orderkey"))
+
   /** M16 — confusion matrix as grouped counts. */
   def confusionMatrix(labeled: DataFrame): DataFrame =
     labeled.groupBy(col("y"), col("yhat"))
