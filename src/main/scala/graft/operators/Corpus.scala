@@ -48,8 +48,13 @@ object Corpus {
       .select(col("doc_id"), col("text"), col("source"))
       .localCheckpoint(true)
     // k-token shingles, md5-hashed; distinct per (doc, shingle) so a
-    // phrase repeated within one doc counts once toward df
-    val sh = kept
+    // phrase repeated within one doc counts once toward df. The df cap is
+    // a count-over-window partitioned by shingle — one shuffle computes
+    // df AND keeps the rows (the groupBy-then-rejoin formulation costs a
+    // second shuffle plus a second checkpoint); rows with df outside
+    // [2, maxDf] are dropped before any pairing.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val shc = kept
       .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
       .filter(size(col("t")) >= shingleK)
       .select(col("doc_id"), explode(expr(
@@ -57,12 +62,10 @@ object Corpus {
           s"i -> md5(cast(concat_ws(' ', slice(t, i + 1, $shingleK)) as binary)))"))
         .as("sh"))
       .distinct()
-      .localCheckpoint(true) // feeds the df aggregate AND both join sides
-    val informative = sh.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("sh"))
-    val shc = sh.join(informative, "sh").localCheckpoint(true)
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(true) // feeds both sides of the pair join
     val edges = shc.select(col("sh"), col("doc_id").as("id_a"))
       .join(shc.select(col("sh").as("__sh2"), col("doc_id").as("id_b")),
         col("sh") === col("__sh2") && col("id_a") < col("id_b"))

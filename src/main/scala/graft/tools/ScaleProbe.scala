@@ -24,11 +24,13 @@ import graft.{GraftExtensions, SparkEntry}
   * real SF with these same shapes. There is no constant worth chasing at
   * test SF.
   *
-  * d43 (corpus pipeline, the slowest bench entry at ~3.5 s): 2.37 s →
-  * 4.14 s across 100× data (1.7×). The ~2.4 s floor is the eager job
-  * chain — three checkpoints plus the component loop's per-round
-  * count+checkpoint (≥ 2 rounds even on an edgeless graph) — i.e. the
-  * same fixed scheduling overhead, not data work.
+  * d43 (corpus pipeline, the slowest bench entry): 1.52 s → 2.74 s
+  * across 100× data (1.8×). The ~1.5 s floor is the eager job chain —
+  * two checkpoints plus the component loop's per-round count+checkpoint
+  * (≥ 2 rounds even on an edgeless graph) — i.e. the same fixed
+  * scheduling overhead, not data work. (Replacing the df-cap
+  * groupBy+rejoin with a count-over-window cut the round-5 initial
+  * 2.4 s floor / 4.1 s sf0.1 figure to this.)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
