@@ -51,6 +51,15 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("round-5 ops on empty relations return empty, not errors") {
+    assert(TextOps.packChunks(
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "chunk_id", "n_chunk_tokens"))
+      .count() == 0)
+    assert(TextOps.piiScrub(emptyDocs).count() == 0)
+    assert(Corpus.decontaminate(emptyDocs, emptyDocs).count() == 0)
+    assert(Corpus.trainingSequences(emptyDocs, Map.empty).count() == 0)
+  }
+
   test("exactMedian raises its documented precondition on an empty relation") {
     val e = intercept[IllegalArgumentException] {
       Metrics.exactMedian(Seq.empty[Double].map(Tuple1(_)).toDF("v"), "v")
