@@ -187,6 +187,8 @@ object SparkEntry {
       Corpus.decontaminate(docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
         docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), shingleK = 4)
     }),
+    "d45_pipeline_audit" -> ((s, d) => Corpus.pipelineAudit(
+      Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -468,6 +470,61 @@ object SparkEntry {
         "bs AS (SELECT DISTINCT md5(array_to_string(list_slice(toks, p, p + 3), ' ')) AS sh FROM bsp) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles " +
         "FROM ts JOIN bs USING(sh) GROUP BY doc_id ORDER BY doc_id"),
+    "d45_pipeline_audit" ->
+      // d43's CTE chain with the winner join split out (k2) so each stage
+      // can be counted; 05's token mass equals 04's by the no-chunk-lost
+      // invariant the audit exists to surface
+      ("WITH RECURSIVE " +
+        "q AS (SELECT doc_id, text, source FROM documents WHERE " +
+        "len(string_split(text, ' ')) >= 10 " +
+        "AND CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) >= 2.0 " +
+        "AND CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) <= 15.0 " +
+        "AND CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / len(text) <= 0.1), " +
+        "tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM q), " +
+        "shp AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 10, 1))) AS p, toks FROM tk), " +
+        "shg AS (SELECT DISTINCT doc_id, md5(array_to_string(list_slice(toks, p, p + 11), ' ')) AS sh FROM shp), " +
+        "fr AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shg GROUP BY sh) WHERE df >= 2 AND df <= 20), " +
+        "shc AS (SELECT s.doc_id, s.sh FROM shg s JOIN fr USING(sh)), " +
+        "ed AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+        "sym AS (SELECT id_a AS src, id_b AS dst FROM ed UNION ALL SELECT id_b, id_a FROM ed), " +
+        "reach(id, comp) AS (SELECT doc_id, doc_id FROM q " +
+        "UNION SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id), " +
+        "lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id), " +
+        "k2 AS (SELECT q.doc_id, q.text, q.source FROM q JOIN lab ON q.doc_id = lab.id " +
+        "WHERE lab.id = lab.comp), " +
+        "k3 AS (SELECT doc_id, text FROM k2 " +
+        "WHERE (((doc_id % 1000) + 1000) % 1000) < " +
+        "(CASE WHEN source = 'src1' THEN 0.5 WHEN source = 'src2' THEN 0.25 " +
+        "WHEN source = 'src3' THEN 0.1 ELSE 1.0 END) * 1000), " +
+        "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM k3), " +
+        "e2 AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t2), " +
+        "c2 AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e2), " +
+        "g2 AS (SELECT doc_id // 50 AS grp, doc_id, chunk_id, n, " +
+        "row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id, chunk_id) AS rn FROM c2), " +
+        "pack(grp, rn, doc_id, chunk_id, n, seq, fill) AS (" +
+        "SELECT grp, rn, doc_id, chunk_id, n, CAST(0 AS BIGINT), n FROM g2 WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT g2.grp, g2.rn, g2.doc_id, g2.chunk_id, g2.n, " +
+        "CASE WHEN p.fill + g2.n > 512 THEN p.seq + 1 ELSE p.seq END, " +
+        "CASE WHEN p.fill + g2.n > 512 THEN g2.n ELSE p.fill + g2.n END " +
+        "FROM pack p JOIN g2 ON g2.grp = p.grp AND g2.rn = p.rn + 1) " +
+        "SELECT * FROM (" +
+        "SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens FROM documents " +
+        "UNION ALL SELECT '01_quality', CAST(count(*) AS BIGINT), " +
+        "CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM q " +
+        "UNION ALL SELECT '02_dedup', CAST(count(*) AS BIGINT), " +
+        "CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM k2 " +
+        "UNION ALL SELECT '03_mixed', CAST(count(*) AS BIGINT), " +
+        "CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM k3 " +
+        "UNION ALL SELECT '04_chunks', CAST(count(*) AS BIGINT), " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) FROM c2 " +
+        "UNION ALL SELECT '05_sequences', " +
+        "CAST((SELECT count(*) FROM (SELECT DISTINCT grp, seq FROM pack)) AS BIGINT), " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) FROM pack" +
+        ") ORDER BY stage"),
 
     "f1_conditional_ratio" ->
       ("SELECT l_orderkey, l_linenumber, floor((CASE WHEN l_quantity > 25 " +

@@ -33,13 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** The pipeline's stage intermediates — [[trainingSequences]] returns
+    * `packed`; [[pipelineAudit]] counts every stage. All descend from the
+    * single checkpointed base scan. */
+  private[graft] case class Stages(kept: DataFrame, deduped: DataFrame,
+                                   mixed: DataFrame, chunks: DataFrame,
+                                   packed: DataFrame)
+
   /** Training-sequence materialization over `docs0` (schema: doc_id, text,
     * lang, source, n_chars). Output = [[TextOps.packChunks]] schema. */
   def trainingSequences(docs0: DataFrame,
                         rates: Map[String, Double],
                         shingleK: Int = 12, maxDf: Int = 20,
                         chunkTokens: Int = 50, stride: Int = 40,
-                        budget: Int = 512, docsPerGroup: Int = 50): DataFrame = {
+                        budget: Int = 512, docsPerGroup: Int = 50): DataFrame =
+    stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
+      budget, docsPerGroup).packed
+
+  private[graft] def stages(docs0: DataFrame,
+                            rates: Map[String, Double],
+                            shingleK: Int = 12, maxDf: Int = 20,
+                            chunkTokens: Int = 50, stride: Int = 40,
+                            budget: Int = 512, docsPerGroup: Int = 50): Stages = {
     require(shingleK >= 1 && maxDf >= 2, "shingleK >= 1, maxDf >= 2")
     // one base-table scan, materialized: feeds shingling, the winner join,
     // and chunking (three consumers — without this the scan would re-run
@@ -75,12 +90,46 @@ object Corpus {
     // min-label propagation labels each component with its min id, so the
     // canonical winner is exactly the row whose id equals its label
     val winners = labels.filter(col("id") === col("comp")).select(col("id"))
-    val mixed = kept
+    val deduped = kept
       .join(winners, kept("doc_id") === winners("id"), "left_semi")
+    val mixed = deduped
       .filter(TextOps.domainMixKeep(rates))
       .select(col("doc_id"), col("text"))
-    TextOps.packChunks(
-      TextOps.chunkDocs(mixed, chunkTokens, stride), budget, docsPerGroup)
+    val chunks = TextOps.chunkDocs(mixed, chunkTokens, stride)
+    Stages(kept, deduped, mixed, chunks,
+      TextOps.packChunks(chunks, budget, docsPerGroup))
+  }
+
+  /** Stage-attrition audit — the observability view every production
+    * pipeline materializes next to its output: per stage, the surviving
+    * row count and whitespace-token mass (raw documents → quality-kept →
+    * dedup winners → domain-mixed → chunks → packed sequences). The
+    * chunk and sequence token masses are equal by construction (packing
+    * loses no chunk) — the audit makes that invariant visible.
+    *
+    * Scale: each row is one aggregate over a relation the pipeline
+    * already materialized (the checkpointed stages); the raw row is the
+    * only base-table scan. Six 1-row aggregates unioned — negligible next
+    * to the pipeline itself. */
+  def pipelineAudit(docs0: DataFrame,
+                    rates: Map[String, Double],
+                    shingleK: Int = 12, maxDf: Int = 20,
+                    chunkTokens: Int = 50, stride: Int = 40,
+                    budget: Int = 512, docsPerGroup: Int = 50): DataFrame = {
+    val s = stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
+      budget, docsPerGroup)
+    def row(stage: String, df: DataFrame,
+            tok: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(tok), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_rows"), col("n_tokens"))
+    row("00_raw", docs0, TextOps.tokenCount("text"))
+      .unionByName(row("01_quality", s.kept, TextOps.tokenCount("text")))
+      .unionByName(row("02_dedup", s.deduped, TextOps.tokenCount("text")))
+      .unionByName(row("03_mixed", s.mixed, TextOps.tokenCount("text")))
+      .unionByName(row("04_chunks", s.chunks, col("n_chunk_tokens")))
+      .unionByName(row("05_sequences", s.packed, col("total_tokens")))
+      .orderBy(col("stage"))
   }
 
   /** Benchmark decontamination audit — the training-set hygiene step: a

@@ -56,6 +56,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(res == Map(1L -> 2L))
   }
 
+  test("pipeline audit: monotone attrition, chunk==sequence token mass, matches d43 output") {
+    val rates = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+    val docs = Tables.documents(spark, sfDir)
+    val audit = Corpus.pipelineAudit(docs, rates).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"), r.getAs[Long]("n_tokens"))).toMap
+    assert(audit.keySet == Set("00_raw", "01_quality", "02_dedup", "03_mixed",
+      "04_chunks", "05_sequences"))
+    assert(audit("00_raw")._1 >= audit("01_quality")._1)
+    assert(audit("01_quality")._1 >= audit("02_dedup")._1)
+    assert(audit("02_dedup")._1 >= audit("03_mixed")._1)
+    // packing loses no chunk: token mass identical across the two stages
+    assert(audit("04_chunks")._2 == audit("05_sequences")._2)
+    // audit agrees with the declared materialization it describes
+    assert(audit("05_sequences")._1 ==
+      SparkEntry.queries("d43_training_sequences")(spark, sfDir).count())
+  }
+
   test("declared d43 plan: everything derives from checkpoints — zero downstream file scans") {
     val plan = SparkEntry.queries("d43_training_sequences")(spark, sfDir)
       .queryExecution.executedPlan.toString
