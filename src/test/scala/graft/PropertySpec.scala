@@ -85,6 +85,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packChunks: equals the driver-side next-fit reference on random chunk multisets") {
+    val budget = 20; val docsPerGroup = 5; val stride = 1000000L
+    (0 until 6).foreach { trial =>
+      val nDocs = samples(Gen.chooseNum(1, 12), 6)(trial)
+      val chunks: Seq[(Long, Long, Long)] = (0 until nDocs).flatMap { d =>
+        val nc = samples(Gen.chooseNum(1, 4), nDocs * 6 + 1)(d)
+        (0 until nc).map { c =>
+          val n = samples(Gen.chooseNum(1, budget), 200)(trial * 31 + d * 7 + c)
+          (d.toLong, c.toLong, n.toLong)
+        }
+      }
+      // reference next-fit, sequential per group in (doc, chunk) order
+      val expected = chunks.groupBy(_._1 / docsPerGroup).toSeq.flatMap { case (g, cs) =>
+        var seq = -1L; var fill = budget.toLong
+        cs.sortBy(t => (t._1, t._2)).map { case (d, c, n) =>
+          if (fill + n > budget) { seq += 1; fill = n } else fill += n
+          (g * stride + seq, s"$d:$c", n)
+        }
+      }
+      val expBySeq = expected.groupBy(_._1).map { case (sid, rs) =>
+        sid -> (rs.size.toLong, rs.map(_._2).mkString(","), rs.map(_._3).sum)
+      }
+      val got = graft.operators.TextOps
+        .packChunks(chunks.toDF("doc_id", "chunk_id", "n_chunk_tokens"),
+          budget, docsPerGroup)
+        .collect().map(r => r.getAs[Long]("seq_id") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[String]("chunk_ids"),
+            r.getAs[Long]("total_tokens"))).toMap
+      assert(got == expBySeq, s"trial=$trial chunks=$chunks")
+    }
+  }
+
   test("chunkDocs: full token coverage and correct window count for random geometries") {
     val geoms = for {
       chunk <- Seq(3, 7, 50)
