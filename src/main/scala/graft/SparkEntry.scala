@@ -189,6 +189,11 @@ object SparkEntry {
     }),
     "d45_pipeline_audit" -> ((s, d) => Corpus.pipelineAudit(
       Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
+    // rows-only: the BPE merge loop (iterative global argmax over pair
+    // counts) is not SQL-expressible; determinism + hand-computed merges
+    // are ScalaTest-verified in VocabSpec
+    "d46_bpe_merges" -> ((s, d) =>
+      Vocab.bpeMerges(Tables.documents(s, d), numMerges = 50)),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>

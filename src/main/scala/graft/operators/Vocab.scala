@@ -1,0 +1,138 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary induction (Sennrich et al., ACL 2016) — the tokenizer-
+  * training step of an LLM data pipeline, in the standard two-phase shape
+  * production trainers use:
+  *
+  *  1. DISTRIBUTED corpus pass: whitespace word-frequency aggregate,
+  *     capped to the top `maxWordTypes` types by (count desc, word asc) —
+  *     a deterministic total order, so the cap is reproducible under any
+  *     parallelism. This is the only pass that touches the corpus; its
+  *     output is bounded regardless of corpus size.
+  *  2. DRIVER merge loop over the bounded word-frequency table: count
+  *     adjacent symbol pairs weighted by word frequency, merge the
+  *     argmax pair (ties: max count, then lexicographically smallest
+  *     pair), repeat `numMerges` times. O(maxWordTypes · wordLen) per
+  *     round over aggregated counts — never over the corpus. This is how
+  *     real BPE trainers work (counting distributed, merges centralized
+  *     over aggregate state); the loop is not expressible as a Spark plan
+  *     and does not need to be.
+  *
+  * Encoding applies learned merges rank-greedily per word (lowest-rank
+  * applicable pair first) — per-row irreducible JVM work, so it runs in
+  * `mapPartitions` with the merge table broadcast by closure, the same
+  * category as TreeSHAP traversal and media decode.
+  */
+object Vocab {
+
+  /** Distributed word-frequency table, deterministically capped. */
+  def wordCounts(docs: DataFrame, maxWordTypes: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxWordTypes)
+
+  private def mergeOnce(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learned merge table as plain data: (rank, left, right, pair_count).
+    * Deterministic given the corpus; stops early when no pair remains. */
+  def bpeTrainMerges(docs: DataFrame, numMerges: Int,
+                     maxWordTypes: Int = 10000): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1 && maxWordTypes >= 1, "numMerges and maxWordTypes >= 1")
+    var words: Array[(Array[String], Long)] = wordCounts(docs, maxWordTypes)
+      .collect().map { r: Row =>
+        (r.getString(0).map(_.toString).toArray, r.getLong(1))
+      }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, l, r, cnt))
+        words = words.map { case (syms, n) => (mergeOnce(syms, l, r), n) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Declared-query form: the merge table as a DataFrame. */
+  def bpeMerges(docs: DataFrame, numMerges: Int,
+                maxWordTypes: Int = 10000): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeTrainMerges(docs, numMerges, maxWordTypes)
+      .toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  /** Encode one word rank-greedily: repeatedly merge the lowest-rank
+    * applicable pair until none applies. */
+  private[graft] def encodeWord(word: String,
+                                ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var continue = syms.length > 1
+    while (continue) {
+      var best = Int.MaxValue; var bestAt = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < best) { best = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) continue = false
+      else syms = mergeOnce(syms, syms(bestAt), syms(bestAt + 1))
+    }
+    syms
+  }
+
+  /** Per-doc BPE token counts under a learned merge table — the corpus
+    * tokenization statistic (chars collapse toward words as merges grow).
+    * mapPartitions with the bounded merge table in closure; one scan. */
+  def bpeTokenCounts(docs: DataFrame,
+                     merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.map { case (r, l, rt, _) => (l, rt) -> r }.toMap
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.split(" ", -1).iterator.filter(_.nonEmpty)
+            .map(w => encodeWord(w, ranks).length.toLong).sum
+          (id, n)
+        }
+      }
+      .toDF("doc_id", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
+  }
+}

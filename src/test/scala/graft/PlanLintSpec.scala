@@ -135,7 +135,9 @@ class PlanLintSpec extends AnyFunSuite {
     val documented = Set(
       "d15_minhash_neardups", "d16_lsh_topk", "d17_simhash_neardups",
       "d19_approx_distinct", "d22_ivf_topk", "d28_winnow_neardups",
-      "d30_decode_stats", "d38_incremental_neardups")
+      "d30_decode_stats", "d38_incremental_neardups",
+      // BPE merge loop = iterative global argmax, not SQL-expressible
+      "d46_bpe_merges")
     assert(rowsOnly == documented,
       s"undocumented rows-only: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
   }

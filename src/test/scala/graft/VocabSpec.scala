@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Vocab
+
+/** BPE vocabulary induction: hand-computed merge sequences, determinism
+  * under repartitioning, encode/train consistency, cap behavior. */
+class VocabSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+  import spark.implicits._
+
+  test("hand case: merges follow weighted pair counts with deterministic tie-break") {
+    // corpus: aaab ×2, ab ×1
+    // r0: (a,a)=4 beats (a,b)=3 → merge "aa" (count 4)
+    // r1: aaab=[aa,a,b] → pairs (aa,a)=2, (a,b)=3 → merge "ab" (count 3)
+    // r2: aaab=[aa,ab], ab=[ab] → (aa,ab)=2 → merge "aaab" (count 2)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrainMerges(docs, numMerges = 10)
+    assert(merges == Seq((0, "a", "a", 4L), (1, "a", "b", 3L), (2, "aa", "ab", 2L)))
+    // numMerges larger than available pairs → early stop, no junk merges
+    assert(merges.length == 3)
+  }
+
+  test("determinism: identical merges from a repartitioned corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Vocab.bpeTrainMerges(docs, numMerges = 20, maxWordTypes = 500)
+    val b = Vocab.bpeTrainMerges(docs.repartition(13), numMerges = 20, maxWordTypes = 500)
+    assert(a == b)
+    assert(a.length == 20)
+    // pair counts never increase with rank-progression on this corpus's
+    // monotone argmax (counts can tie; must not grow)
+    assert(a.map(_._4).zip(a.tail.map(_._4)).forall { case (x, y) => y <= x })
+  }
+
+  test("encode: trained merges reproduce the trainer's segmentation; counts shrink with merges") {
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrainMerges(docs, numMerges = 10)
+    val ranks = merges.map { case (r, l, rt, _) => (l, rt) -> r }.toMap
+    // full merge table collapses aaab to one token, ab to one token
+    assert(Vocab.encodeWord("aaab", ranks).toSeq == Seq("aaab"))
+    assert(Vocab.encodeWord("ab", ranks).toSeq == Seq("ab"))
+    // unseen word degrades gracefully to learned subwords/chars
+    assert(Vocab.encodeWord("aabc", ranks).toSeq == Seq("aa", "b", "c"))
+    val counts = Vocab.bpeTokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L)) // aaab + aaab + ab → one token each
+    // zero merges = character tokenization
+    val charCounts = Vocab.bpeTokenCounts(docs, Seq.empty).collect()(0).getLong(1)
+    assert(charCounts == 10L) // 4 + 4 + 2 chars
+  }
+
+  test("declared d46 runs on real data: dense ranks, positive counts") {
+    val res = SparkEntry.queries("d46_bpe_merges")(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getAs[Long]("rank")).toSeq == res.indices.map(_.toLong))
+    assert(res.forall(_.getAs[Long]("pair_count") > 0L))
+  }
+}
