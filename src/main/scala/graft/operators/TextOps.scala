@@ -354,9 +354,12 @@ object TextOps {
     *
     * Scale shape: one shuffle to co-locate each group, a per-group linear
     * fold (`aggregate` higher-order function — stays in the SQL engine, no
-    * UDF), explode back, and one seq-keyed aggregate. At 100 TB the group
-    * width bounds both task memory and the fold length; groups are
-    * id-ranged so the output is reproducible under any parallelism. */
+    * UDF), explode back, and one seq-keyed aggregate. The fold's
+    * `array_append` copies its accumulator, so per-group cost is
+    * O(chunks²) in the worst case — docsPerGroup is the knob that bounds
+    * it (50 docs ≈ hundreds of chunks ≈ 10⁵ element copies, trivial);
+    * groups are id-ranged so the output is reproducible under any
+    * parallelism. */
   def packChunks(chunks: DataFrame, budget: Int = 512, docsPerGroup: Int = 50,
                  seqStride: Long = 1000000L): DataFrame = {
     require(budget >= 1 && docsPerGroup >= 1, "budget and docsPerGroup must be >= 1")

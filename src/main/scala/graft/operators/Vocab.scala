@@ -38,6 +38,12 @@ object Vocab {
       .orderBy(col("n").desc, col("word"))
       .limit(maxWordTypes)
 
+  /** Initial symbol split by CODE POINT, not UTF-16 char — a `Char` split
+    * would cut astral-plane text (emoji, rare CJK) into unpaired
+    * surrogates that can never re-merge into valid strings. */
+  private def splitSymbols(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   private def mergeOnce(syms: Array[String], l: String, r: String): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -55,9 +61,7 @@ object Vocab {
                      maxWordTypes: Int = 10000): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1 && maxWordTypes >= 1, "numMerges and maxWordTypes >= 1")
     var words: Array[(Array[String], Long)] = wordCounts(docs, maxWordTypes)
-      .collect().map { r: Row =>
-        (r.getString(0).map(_.toString).toArray, r.getLong(1))
-      }
+      .collect().map { r: Row => (splitSymbols(r.getString(0)), r.getLong(1)) }
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = false
@@ -98,7 +102,7 @@ object Vocab {
     * applicable pair until none applies. */
   private[graft] def encodeWord(word: String,
                                 ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = splitSymbols(word)
     var continue = syms.length > 1
     while (continue) {
       var best = Int.MaxValue; var bestAt = -1

@@ -50,6 +50,23 @@ class VocabSpec extends AnyFunSuite {
     assert(charCounts == 10L) // 4 + 4 + 2 chars
   }
 
+  test("astral-plane text: symbols split by code point, merges stay valid strings") {
+    val rocket = new String(Character.toChars(0x1F680)) // non-BMP, 2 UTF-16 chars
+    val docs = Seq((1L, s"$rocket$rocket$rocket $rocket$rocket$rocket")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrainMerges(docs, numMerges = 5)
+    // pairs are (rocket, rocket) — never unpaired surrogates
+    assert(merges.head._2 == rocket && merges.head._3 == rocket)
+    merges.foreach { case (_, l, r, _) =>
+      // whole-code-point round-trip: fails on any unpaired surrogate
+      Seq(l, r).foreach { s =>
+        val cps = s.codePoints().toArray
+        assert(new String(cps, 0, cps.length) == s, s"invalid symbol: $s")
+      }
+    }
+    val ranks = merges.map { case (r, l, rt, _) => (l, rt) -> r }.toMap
+    assert(Vocab.encodeWord(rocket * 3, ranks).length == 1)
+  }
+
   test("declared d46 runs on real data: dense ranks, positive counts") {
     val res = SparkEntry.queries("d46_bpe_merges")(spark, sfDir).collect()
     assert(res.nonEmpty)
