@@ -19,8 +19,10 @@ import graft.{GraftExtensions, SparkEntry}
   *  - d14/d16: the repeated "scans" are id-pruned query-side reads
   *    (PushedFilters: vec_id < nQueries) + ONE full bucket/verify pass each —
   *    re-fetching embeddings by scan beats shuffling vectors through distinct;
-  *  - f3/f5/m1–m3: fit + transform — the two-pass sklearn contract
-  *    (fit statistics, then apply), inherent to the semantics;
+  *  - f5/m1–m3: fit + transform — the two-pass sklearn contract
+  *    (fit statistics, then apply), inherent to the semantics (f3 left
+  *    this list in round 5: its threshold now enters as a literal from
+  *    the bounded-memory exactPercentile pass);
   *  - x21: scalar-subquery SQL surface (the subquery owns its scan);
   *  - x24: union-vs-union-all semantics demo, multi-branch by design;
   *  - x28: nation joined in two roles (cust-side + supp-side);
