@@ -194,6 +194,12 @@ object SparkEntry {
     // are ScalaTest-verified in VocabSpec
     "d46_bpe_merges" -> ((s, d) =>
       Vocab.bpeMerges(Tables.documents(s, d), numMerges = 50)),
+    // rows-only: winnowing's hash family is engine-local (d28's rationale);
+    // agreement with the oracle-checked exact-shingle pipeline on planted
+    // dups is ScalaTest-verified
+    "d47_training_sequences_winnowed" -> ((s, d) =>
+      Corpus.trainingSequencesWinnowed(Tables.documents(s, d),
+        Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>

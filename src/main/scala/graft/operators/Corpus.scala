@@ -54,20 +54,20 @@ object Corpus {
                             rates: Map[String, Double],
                             shingleK: Int = 12, maxDf: Int = 20,
                             chunkTokens: Int = 50, stride: Int = 40,
-                            budget: Int = 512, docsPerGroup: Int = 50): Stages = {
+                            budget: Int = 512, docsPerGroup: Int = 50): Stages =
+    stagesWithEdges(docs0, rates, exactShingleEdges(_, shingleK, maxDf),
+      chunkTokens, stride, budget, docsPerGroup)
+
+  /** Exact-shingle near-dup evidence (the oracle-expressible default):
+    * k-token shingles, md5-hashed; distinct per (doc, shingle) so a
+    * phrase repeated within one doc counts once toward df. The df cap is
+    * a count-over-window partitioned by shingle — one shuffle computes
+    * df AND keeps the rows (the groupBy-then-rejoin formulation costs a
+    * second shuffle plus a second checkpoint); rows with df outside
+    * [2, maxDf] are dropped before any pairing. */
+  private def exactShingleEdges(kept: DataFrame, shingleK: Int,
+                                maxDf: Int): DataFrame = {
     require(shingleK >= 1 && maxDf >= 2, "shingleK >= 1, maxDf >= 2")
-    // one base-table scan, materialized: feeds shingling, the winner join,
-    // and chunking (three consumers — without this the scan would re-run
-    // per consumer; pre-checkpoint shape is plan-asserted in CorpusSpec)
-    val kept = docs0.filter(TextOps.qualityKeep)
-      .select(col("doc_id"), col("text"), col("source"))
-      .localCheckpoint(true)
-    // k-token shingles, md5-hashed; distinct per (doc, shingle) so a
-    // phrase repeated within one doc counts once toward df. The df cap is
-    // a count-over-window partitioned by shingle — one shuffle computes
-    // df AND keeps the rows (the groupBy-then-rejoin formulation costs a
-    // second shuffle plus a second checkpoint); rows with df outside
-    // [2, maxDf] are dropped before any pairing.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     val shc = kept
       .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
@@ -81,10 +81,25 @@ object Corpus {
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select(col("doc_id"), col("sh"))
       .localCheckpoint(true) // feeds both sides of the pair join
-    val edges = shc.select(col("sh"), col("doc_id").as("id_a"))
+    shc.select(col("sh"), col("doc_id").as("id_a"))
       .join(shc.select(col("sh").as("__sh2"), col("doc_id").as("id_b")),
         col("sh") === col("__sh2") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  private[graft] def stagesWithEdges(docs0: DataFrame,
+                                     rates: Map[String, Double],
+                                     edgesOf: DataFrame => DataFrame,
+                                     chunkTokens: Int = 50, stride: Int = 40,
+                                     budget: Int = 512,
+                                     docsPerGroup: Int = 50): Stages = {
+    // one base-table scan, materialized: feeds the edge evidence, the
+    // winner join, and chunking (three consumers — without this the scan
+    // would re-run per consumer; plan-asserted in CorpusSpec)
+    val kept = docs0.filter(TextOps.qualityKeep)
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(true)
+    val edges = edgesOf(kept)
     val labels = Dedup.connectedComponents(
       kept.select(col("doc_id").as("id")), edges)
     // min-label propagation labels each component with its min id, so the
@@ -131,6 +146,28 @@ object Corpus {
       .unionByName(row("05_sequences", s.packed, col("total_tokens")))
       .orderBy(col("stage"))
   }
+
+  /** The 100 TB scale path for [[trainingSequences]]: identical pipeline
+    * with WINNOWED substring fingerprints as the near-dup evidence
+    * ([[Dedup.winnowNearDups]] — Schleimer et al. SIGMOD'03) instead of
+    * the exact shingle set. Winnowing keeps ~2/(w+1) of the k-gram
+    * fingerprints with the detection guarantee intact (any shared run of
+    * w+k−1 chars still collides), so the same fp-keyed equijoin ships a
+    * fraction of the rows — exactly the substitution the exact-shingle
+    * scaladoc promises. Engine-local hash family → rows-only; agreement
+    * with the exact-shingle pipeline on planted strong dups is asserted
+    * in CorpusSpec. `minShared` is the evidence threshold (d28's knob). */
+  def trainingSequencesWinnowed(docs0: DataFrame,
+                                rates: Map[String, Double],
+                                minShared: Int = 2, k: Int = 8, w: Int = 4,
+                                maxDf: Int = 50,
+                                chunkTokens: Int = 50, stride: Int = 40,
+                                budget: Int = 512,
+                                docsPerGroup: Int = 50): DataFrame =
+    stagesWithEdges(docs0, rates,
+      kept => Dedup.winnowNearDups(kept, minShared, k, w, maxDf)
+        .select(col("id_a"), col("id_b")),
+      chunkTokens, stride, budget, docsPerGroup).packed
 
   /** Benchmark decontamination audit — the training-set hygiene step: a
     * training document is CONTAMINATED iff it shares at least one exact

@@ -56,6 +56,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(res == Map(1L -> 2L))
   }
 
+  test("winnowed scale path agrees with the exact-shingle pipeline on planted strong dups") {
+    import spark.implicits._
+    val shared = (0 until 30).map(i => s"common$i").mkString(" ") // long shared run
+    val tailA = (0 until 8).map(i => s"aye$i").mkString(" ")
+    val tailB = (0 until 8).map(i => s"bee$i").mkString(" ")
+    val uniq = (0 until 20).map(i => s"solo$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$shared $tailA", "en", "srcX", 1L),
+      (11L, s"$shared $tailB", "en", "srcX", 1L),
+      (12L, uniq, "en", "srcX", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def winners(res: Array[org.apache.spark.sql.Row]): Set[Long] =
+      res.flatMap(_.getAs[String]("chunk_ids").split(","))
+        .map(_.split(":")(0).toLong).toSet
+    val exact = winners(Corpus.trainingSequences(docs, Map.empty).collect())
+    val winnowed = winners(
+      Corpus.trainingSequencesWinnowed(docs, Map.empty).collect())
+    assert(exact == Set(10L, 12L))
+    assert(winnowed == exact)
+  }
+
   test("pipeline audit: monotone attrition, chunk==sequence token mass, matches d43 output") {
     val rates = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
     val docs = Tables.documents(spark, sfDir)

@@ -137,7 +137,9 @@ class PlanLintSpec extends AnyFunSuite {
       "d19_approx_distinct", "d22_ivf_topk", "d28_winnow_neardups",
       "d30_decode_stats", "d38_incremental_neardups",
       // BPE merge loop = iterative global argmax, not SQL-expressible
-      "d46_bpe_merges")
+      "d46_bpe_merges",
+      // winnowing hash family is engine-local (same rationale as d28)
+      "d47_training_sequences_winnowed")
     assert(rowsOnly == documented,
       s"undocumented rows-only: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
   }
