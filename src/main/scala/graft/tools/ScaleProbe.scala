@@ -31,6 +31,14 @@ import graft.{GraftExtensions, SparkEntry}
   * scheduling overhead, not data work. (Replacing the df-cap
   * groupBy+rejoin with a count-over-window cut the round-5 initial
   * 2.4 s floor / 4.1 s sf0.1 figure to this.)
+  *
+  * Corpus-pipeline family (round-5 close): d45 1.4 s → 2.6 s (1.8×,
+  * same chain as d43 plus stage aggregates); d47 (winnowed evidence)
+  * ~1.8 s → ~3.7 s steady-state (≈2×; single loaded-run outliers up to
+  * 6 s are host noise — re-measured 3.7 s); d44 0.29 s → 0.95 s — the
+  * one entry with a VISIBLE data term (3.3× per 100×, still strongly
+  * sublinear): the train-side shingle relation genuinely grows with the
+  * corpus, and the equijoin is the right shape for that growth.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -41,7 +49,9 @@ object ScaleProbe {
     GraftExtensions.register(spark)
     val qs = Seq("d15_minhash_neardups", "d17_simhash_neardups", "d28_winnow_neardups",
       "x25_shipping_priority", "x28_nation_pair_volume",
-      "x30_asof_last_order", "x34_asof_bucketed", "d43_training_sequences")
+      "x30_asof_last_order", "x34_asof_bucketed", "d43_training_sequences",
+      "d44_decontaminate", "d45_pipeline_audit",
+      "d47_training_sequences_winnowed")
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
          q <- qs) {
       SparkEntry.queries(q)(spark, sf).count() // warm: codegen + JIT
