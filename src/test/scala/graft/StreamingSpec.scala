@@ -163,6 +163,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.toSet == Set((10L, 0L)), hits)
   }
 
+  test("streaming corpus hygiene: per-batch quality filter + PII scrub via foreachBatch") {
+    import graft.operators.TextOps
+    implicit val ctx = spark.sqlContext
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the same operators the batch pipeline declares, per micro-batch:
+        // keep only quality docs, then scrub + audit what survives
+        val scrubbed = TextOps.piiScrub(batch.filter(TextOps.qualityKeep)).collect()
+        out.synchronized {
+          out ++= scrubbed.map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips")))
+        }
+        ()
+      }
+      .start()
+    val goodDirty = "please contact us at ops@example.com or visit node 10.0.0.7 " +
+      "for the full onboarding process details this week"
+    input.addData((20L, goodDirty), (21L, "too short")) // 21 fails quality
+    q.processAllAvailable()
+    input.addData((22L, "a perfectly ordinary clean document with plenty of words " +
+      "and no sensitive content at all in it"))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.toSet == Set((20L, 1L, 1L), (22L, 0L, 0L)), out)
+  }
+
   test("slidingRates: an event lands in every overlapping 1h/15m window; driftAlerts fires only past the sigma gate") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
