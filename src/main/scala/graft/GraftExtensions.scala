@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
-import graft.functions.{CosineSimilarity, WinnowFingerprints}
+import graft.functions.{CosineSimilarity, ShingleMd5s, WinnowFingerprints}
 
 /** Engine extensions — registered either at session build time
   * (`.withExtensions(new GraftExtensions)`) or onto a live session via
-  * [[GraftExtensions.register]]. Currently: the native `cosine_sim` and
-  * `winnow_fingerprints` expressions (SURVEY.md §7.3 — the places a custom
-  * Catalyst Expression beats composed built-ins on a hot path). */
+  * [[GraftExtensions.register]]. Currently: the native `cosine_sim`,
+  * `winnow_fingerprints`, and `shingle_md5s` expressions (SURVEY.md §7.3 —
+  * the places a custom Catalyst Expression beats composed built-ins on a
+  * hot path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.descriptors.foreach(ext.injectFunction)
@@ -85,6 +86,12 @@ object GraftExtensions {
         WinnowFingerprints(children(0),
           intLit("winnow_fingerprints", "k", children(1)),
           intLit("winnow_fingerprints", "w", children(2)))
+      }),
+    (FunctionIdentifier("shingle_md5s"),
+      new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
+      (children: Seq[Expression]) => {
+        checkArity("shingle_md5s", children, 2)
+        ShingleMd5s(children(0), intLit("shingle_md5s", "k", children(1)))
       }))
 
   /** Register on an already-built session (tests, notebooks). */

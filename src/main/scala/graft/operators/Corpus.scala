@@ -69,13 +69,12 @@ object Corpus {
                                 maxDf: Int): DataFrame = {
     require(shingleK >= 1 && maxDf >= 2, "shingleK >= 1, maxDf >= 2")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    // native shingle_md5s: bit-identical to the composed split/transform/
+    // slice/concat_ws/md5 chain (asserted in ShingleMd5sSpec) with zero
+    // per-window allocation beyond the hex output
     val shc = kept
-      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
-      .filter(size(col("t")) >= shingleK)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t) - $shingleK), " +
-          s"i -> md5(cast(concat_ws(' ', slice(t, i + 1, $shingleK)) as binary)))"))
-        .as("sh"))
+      .select(col("doc_id"),
+        explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
       .distinct()
       .withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
@@ -187,12 +186,8 @@ object Corpus {
                     shingleK: Int = 8): DataFrame = {
     require(shingleK >= 1, "shingleK >= 1")
     def shingles(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
-      .filter(size(col("t")) >= shingleK)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t) - $shingleK), " +
-          s"i -> md5(cast(concat_ws(' ', slice(t, i + 1, $shingleK)) as binary)))"))
-        .as("sh"))
+      .select(col("doc_id"),
+        explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
       .distinct()
     val bs = shingles(benchmark).select(col("sh")).distinct()
     shingles(train).join(bs, "sh")

@@ -32,13 +32,16 @@ import graft.{GraftExtensions, SparkEntry}
   * groupBy+rejoin with a count-over-window cut the round-5 initial
   * 2.4 s floor / 4.1 s sf0.1 figure to this.)
   *
-  * Corpus-pipeline family (round-5 close): d45 1.4 s → 2.6 s (1.8×,
-  * same chain as d43 plus stage aggregates); d47 (winnowed evidence)
-  * ~1.8 s → ~3.7 s steady-state (≈2×; single loaded-run outliers up to
-  * 6 s are host noise — re-measured 3.7 s); d44 0.29 s → 0.95 s — the
-  * one entry with a VISIBLE data term (3.3× per 100×, still strongly
-  * sublinear): the train-side shingle relation genuinely grows with the
-  * corpus, and the equijoin is the right shape for that growth.
+  * Corpus-pipeline family (after the native `shingle_md5s` expression
+  * replaced the composed split/transform/slice/concat_ws/md5 chain —
+  * each k-token window is a contiguous byte span, so the kernel hashes
+  * in place with zero per-window allocation): d43 1.12 s → 1.57 s
+  * (1.4×), d45 1.31 s → 1.79 s (1.4×), d47 1.37 s → 2.59 s (1.9×),
+  * d44 0.22 s → 0.50 s — the one entry with a visible data term (2.3×
+  * per 100× data, strongly sublinear; the train-side shingle relation
+  * genuinely grows with the corpus and the equijoin is the right shape
+  * for that growth). Versus the composed form the native expression cut
+  * sf0.1 d43 2.74→1.57 s, d44 0.95→0.50 s, d45 2.58→1.79 s.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
