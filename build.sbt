@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through UNPREFIXED: the bench/verify drivers
+// parse the process's final stdout line as JSON, and sbt's default
+// LoggedOutput would wrap it as "[info] {...}" (and route the child's
+// stderr through "[error]", polluting captured tails).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

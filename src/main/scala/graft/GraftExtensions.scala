@@ -71,6 +71,25 @@ object GraftExtensions {
     }
   }
 
+  /** [[intLit]] plus a range check, so an out-of-range literal (e.g.
+    * `shingle_md5s(text, 2000)`) surfaces as an AnalysisException at
+    * analysis time like every other argument validation here — not as the
+    * expression body's require() IllegalArgumentException. The PATTERN
+    * subclass renders as "The value of parameter(s) `<param>` in `<fn>` is
+    * invalid: <value>." — the free-text slot carries the range. */
+  private def intLitInRange(fn: String, param: String, e: Expression,
+                            lo: Int, hi: Int): Int = {
+    val v = intLit(fn, param, e)
+    if (v < lo || v > hi)
+      throw new AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+        messageParameters = Map(
+          "functionName" -> s"`$fn`",
+          "parameter" -> s"`$param`",
+          "value" -> s"expects an integer in [$lo, $hi], but got $v"))
+    v
+  }
+
   private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -84,14 +103,15 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         checkArity("winnow_fingerprints", children, 3)
         WinnowFingerprints(children(0),
-          intLit("winnow_fingerprints", "k", children(1)),
-          intLit("winnow_fingerprints", "w", children(2)))
+          intLitInRange("winnow_fingerprints", "k", children(1), 2, 64),
+          intLitInRange("winnow_fingerprints", "w", children(2), 1, 64))
       }),
     (FunctionIdentifier("shingle_md5s"),
       new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
       (children: Seq[Expression]) => {
         checkArity("shingle_md5s", children, 2)
-        ShingleMd5s(children(0), intLit("shingle_md5s", "k", children(1)))
+        ShingleMd5s(children(0),
+          intLitInRange("shingle_md5s", "k", children(1), 1, 1024))
       }))
 
   /** Register on an already-built session (tests, notebooks). */

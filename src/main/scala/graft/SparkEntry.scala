@@ -22,6 +22,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.revenueByNation(spark, "/root/testdata/sf0.001")
 
+  /** d43/d45's edge-evidence threshold, rendered into BOTH the Spark call
+    * and the oracle SQL's HAVING so the precision knob moves the two
+    * engines together (1 = one shared rare shingle suffices, the historic
+    * behavior; the planted-fixture precision test exercises 2). */
+  private val corpusMinShared = 1
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
@@ -179,7 +185,8 @@ object SparkEntry {
       TextOps.packChunks(TextOps.chunkDocs(Tables.documents(s, d)))),
     "d42_pii_scrub" -> ((s, d) => TextOps.piiScrub(Tables.documents(s, d))),
     "d43_training_sequences" -> ((s, d) => Corpus.trainingSequences(
-      Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
+      Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+      minShared = corpusMinShared)),
     // k=4 exercises the path on synthetic text (k=12 finds zero overlap
     // in this corpus); production decontamination uses k ≈ 8–13
     "d44_decontaminate" -> ((s, d) => {
@@ -188,7 +195,8 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), shingleK = 4)
     }),
     "d45_pipeline_audit" -> ((s, d) => Corpus.pipelineAudit(
-      Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
+      Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+      minShared = corpusMinShared)),
     // rows-only: the BPE merge loop (iterative global argmax over pair
     // counts) is not SQL-expressible; determinism + hand-computed merges
     // are ScalaTest-verified in VocabSpec
@@ -200,6 +208,22 @@ object SparkEntry {
     "d47_training_sequences_winnowed" -> ((s, d) =>
       Corpus.trainingSequencesWinnowed(Tables.documents(s, d),
         Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
+    // rows-only: per-doc token counts under the d46 merge table (the encode
+    // side of BPE); monotone-shrinkage and hand-computed encodings are
+    // ScalaTest-verified in VocabSpec
+    "d48_bpe_token_counts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Vocab.bpeTokenCounts(docs, Vocab.bpeTrainMerges(docs, numMerges = 50))
+    }),
+    // rows-only: winnowing's hash family is engine-local (d28's rationale);
+    // agreement with the oracle-checked exact-shingle d44 on planted leaks
+    // is ScalaTest-verified. Same pmod train/bench split as d44.
+    "d49_decontaminate_winnowed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.decontaminateWinnowed(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L))
+    }),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -439,8 +463,9 @@ object SparkEntry {
         "shg AS (SELECT DISTINCT doc_id, md5(array_to_string(list_slice(toks, p, p + 11), ' ')) AS sh FROM shp), " +
         "fr AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shg GROUP BY sh) WHERE df >= 2 AND df <= 20), " +
         "shc AS (SELECT s.doc_id, s.sh FROM shg s JOIN fr USING(sh)), " +
-        "ed AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
-        "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+        "ed AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        s"GROUP BY 1, 2 HAVING count(*) >= $corpusMinShared), " +
         "sym AS (SELECT id_a AS src, id_b AS dst FROM ed UNION ALL SELECT id_b, id_a FROM ed), " +
         "reach(id, comp) AS (SELECT doc_id, doc_id FROM q " +
         "UNION SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id), " +
@@ -496,8 +521,9 @@ object SparkEntry {
         "shg AS (SELECT DISTINCT doc_id, md5(array_to_string(list_slice(toks, p, p + 11), ' ')) AS sh FROM shp), " +
         "fr AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shg GROUP BY sh) WHERE df >= 2 AND df <= 20), " +
         "shc AS (SELECT s.doc_id, s.sh FROM shg s JOIN fr USING(sh)), " +
-        "ed AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
-        "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+        "ed AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        s"GROUP BY 1, 2 HAVING count(*) >= $corpusMinShared), " +
         "sym AS (SELECT id_a AS src, id_b AS dst FROM ed UNION ALL SELECT id_b, id_a FROM ed), " +
         "reach(id, comp) AS (SELECT doc_id, doc_id FROM q " +
         "UNION SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id), " +

@@ -10,11 +10,15 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Shared shingle-hashing kernel, called by both the interpreted and the
   * generated code path of [[ShingleMd5s]].
   *
-  * Semantics are bit-identical to the composed form
-  * `transform(sequence(0, size(t)-k), i -> md5(cast(concat_ws(' ',
-  * slice(t, i+1, k)) as binary)))` over `t = split(text, ' ', -1)` —
-  * the shape the corpus operators declare and the DuckDB oracle mirrors —
-  * but with none of its per-window allocation: because the tokenizer
+  * Semantics are bit-identical to the GUARDED composed form
+  * `CASE WHEN size(t) >= k THEN transform(sequence(0, size(t)-k),
+  * i -> md5(cast(concat_ws(' ', slice(t, i+1, k)) as binary)))
+  * ELSE array() END` over `t = split(text, ' ', -1)` — the shape the
+  * corpus operators declare and the DuckDB oracle mirrors. (The guard is
+  * part of the contract: fewer than k tokens yields an EMPTY array, where
+  * the unguarded `sequence(0, negative)` would produce a descending range
+  * and hash nonsense windows.) The win over that form is zero per-window
+  * allocation: because the tokenizer
   * splits on SINGLE spaces and the joiner re-joins with single spaces,
   * every k-token window is a CONTIGUOUS byte span of the original UTF-8
   * string (a space is one byte and never occurs inside a multi-byte

@@ -46,45 +46,73 @@ object Corpus {
                         rates: Map[String, Double],
                         shingleK: Int = 12, maxDf: Int = 20,
                         chunkTokens: Int = 50, stride: Int = 40,
-                        budget: Int = 512, docsPerGroup: Int = 50): DataFrame =
+                        budget: Int = 512, docsPerGroup: Int = 50,
+                        minShared: Int = 1): DataFrame =
     stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
-      budget, docsPerGroup).packed
+      budget, docsPerGroup, minShared).packed
 
   private[graft] def stages(docs0: DataFrame,
                             rates: Map[String, Double],
                             shingleK: Int = 12, maxDf: Int = 20,
                             chunkTokens: Int = 50, stride: Int = 40,
-                            budget: Int = 512, docsPerGroup: Int = 50): Stages =
-    stagesWithEdges(docs0, rates, exactShingleEdges(_, shingleK, maxDf),
+                            budget: Int = 512, docsPerGroup: Int = 50,
+                            minShared: Int = 1): Stages =
+    stagesWithEdges(docs0, rates,
+      exactShingleEdges(_, shingleK, maxDf, minShared),
       chunkTokens, stride, budget, docsPerGroup)
 
   /** Exact-shingle near-dup evidence (the oracle-expressible default):
     * k-token shingles, md5-hashed; distinct per (doc, shingle) so a
     * phrase repeated within one doc counts once toward df. The df cap is
-    * a count-over-window partitioned by shingle — one shuffle computes
-    * df AND keeps the rows (the groupBy-then-rejoin formulation costs a
-    * second shuffle plus a second checkpoint); rows with df outside
-    * [2, maxDf] are dropped before any pairing. */
-  private def exactShingleEdges(kept: DataFrame, shingleK: Int,
-                                maxDf: Int): DataFrame = {
-    require(shingleK >= 1 && maxDf >= 2, "shingleK >= 1, maxDf >= 2")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    * a groupBy aggregate (map-side partial_count before the exchange) plus
+    * a join back on the surviving [2, maxDf] shingles — NOT a
+    * count-over-window: a window partition must be buffered by a single
+    * task (AQE splits skewed join partitions, never window partitions), so
+    * at corpus scale a boilerplate shingle shared by half the docs would
+    * pin one task to its entire row set just to count and discard it. The
+    * partial agg combines the hot key map-side instead, and AQE broadcasts
+    * the survivor list when it fits.
+    *
+    * `minShared` is the edge-evidence threshold (the precision knob the
+    * winnowed path exposes as d28's n_shared): at 1 (default) a single
+    * shared rare shingle is enough — a quoted sentence can merge two
+    * otherwise-distinct docs; at ≥ 2 an edge needs independent evidence.
+    * The pair join emits one row per shared surviving shingle, so the
+    * threshold is a plain pair-count filter. */
+  private[graft] def exactShingleEdges(kept: DataFrame, shingleK: Int,
+                                       maxDf: Int, minShared: Int = 1): DataFrame = {
+    require(shingleK >= 1 && maxDf >= 2 && minShared >= 1,
+      "shingleK >= 1, maxDf >= 2, minShared >= 1")
     // native shingle_md5s: bit-identical to the composed split/transform/
     // slice/concat_ws/md5 chain (asserted in ShingleMd5sSpec) with zero
     // per-window allocation beyond the hex output
-    val shc = kept
+    val sh0 = kept
       .select(col("doc_id"),
         explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
       .distinct()
-      .withColumn("__df", count(lit(1)).over(w))
-      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .localCheckpoint(true) // feeds the df aggregate AND the survivor join
+    val shc = sh0.join(shingleDfSurvivors(sh0, maxDf), "sh")
       .select(col("doc_id"), col("sh"))
       .localCheckpoint(true) // feeds both sides of the pair join
     shc.select(col("sh"), col("doc_id").as("id_a"))
       .join(shc.select(col("sh").as("__sh2"), col("doc_id").as("id_b")),
         col("sh") === col("__sh2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__n_shared"))
+      .filter(col("__n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
   }
+
+  /** Shingles with corpus df in [2, maxDf] — the dup-signal band: df = 1
+    * can't pair, df > maxDf is boilerplate (no signal, quadratic fan-out).
+    * A groupBy on purpose: partial_count combines the hot key map-side
+    * before the exchange (plan-asserted in CorpusSpec), where a window
+    * over `sh` would buffer the hottest shingle's entire row set in one
+    * task. */
+  private[graft] def shingleDfSurvivors(sh0: DataFrame, maxDf: Int): DataFrame =
+    sh0.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("sh"))
 
   private[graft] def stagesWithEdges(docs0: DataFrame,
                                      rates: Map[String, Double],
@@ -129,9 +157,10 @@ object Corpus {
                     rates: Map[String, Double],
                     shingleK: Int = 12, maxDf: Int = 20,
                     chunkTokens: Int = 50, stride: Int = 40,
-                    budget: Int = 512, docsPerGroup: Int = 50): DataFrame = {
+                    budget: Int = 512, docsPerGroup: Int = 50,
+                    minShared: Int = 1): DataFrame = {
     val s = stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
-      budget, docsPerGroup)
+      budget, docsPerGroup, minShared)
     def row(stage: String, df: DataFrame,
             tok: org.apache.spark.sql.Column): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
@@ -195,6 +224,35 @@ object Corpus {
       // (doc_id, sh) is distinct on both join inputs → plain count is the
       // distinct matched-shingle count
       .agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The 100 TB scale path for [[decontaminate]]: identical shape with
+    * WINNOWED substring fingerprints ([[Dedup.winnowFingerprints]] —
+    * Schleimer et al. SIGMOD'03) as the overlap evidence instead of the
+    * exact k-token shingle set — the same substitution
+    * [[trainingSequencesWinnowed]] makes for the dedup stage. Winnowing
+    * keeps ~2/(w+1) of the k-grams with the guarantee intact (any shared
+    * run of w+k−1 chars still produces ≥ 1 shared fingerprint), so the
+    * corpus side ships a fraction of the join rows; the benchmark's
+    * distinct-fingerprint relation stays orders of magnitude smaller and
+    * AQE-broadcastable. Engine-local hash family → rows-only; agreement
+    * with the oracle-checked exact form on planted leaks is asserted in
+    * CorpusSpec. Emits (doc_id, n_hit_fps) — a count of winnowed
+    * fingerprints, not shingles, so the magnitude differs from
+    * [[decontaminate]]'s by design; the CONTAMINATED/clean verdict is what
+    * the two forms agree on. */
+  def decontaminateWinnowed(train: DataFrame, benchmark: DataFrame,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    // `fps` is already the distinct per-doc fingerprint set (WinnowKernel
+    // dedups), so the exploded relation is distinct per (doc_id, fp) with
+    // no extra shuffle; only the benchmark side needs a global distinct
+    def fps(df: DataFrame): DataFrame = Dedup.winnowFingerprints(df, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val bf = fps(benchmark).select(col("fp")).distinct()
+    fps(train).join(bf, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_fps"))
       .orderBy(col("doc_id"))
   }
 }

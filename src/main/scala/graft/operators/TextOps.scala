@@ -346,7 +346,8 @@ object TextOps {
     * operator distributed: each group packs independently in one task, so
     * parallelism = #groups and per-task memory is bounded by the group's
     * chunk count (docsPerGroup is the knob). seq_id = grp·seqStride +
-    * per-group dense sequence index.
+    * per-group dense sequence index; a group that packs ≥ seqStride
+    * sequences raises rather than colliding into the next group's ids.
     *
     * Preconditions: doc_id ≥ 0; every chunk's token count ≥ 1 and ≤ budget
     * (chunkDocs emits ≤ chunkTokens tokens; an oversize chunk would get a
@@ -363,6 +364,17 @@ object TextOps {
   def packChunks(chunks: DataFrame, budget: Int = 512, docsPerGroup: Int = 50,
                  seqStride: Long = 1000000L): DataFrame = {
     require(budget >= 1 && docsPerGroup >= 1, "budget and docsPerGroup must be >= 1")
+    // seq_id = grp·seqStride + seq is collision-free only while every
+    // group's sequence count stays below seqStride; a pathological group
+    // (one ~40M-token doc → >1e6 chunks at the defaults) must fail loudly
+    // here, not silently bleed seq_ids into the next group's id space. The
+    // guard lives INSIDE the seq_id expression so the optimizer can never
+    // prune it as an unused column.
+    def checkedSeq = when(col("c.seq") < seqStride, col("c.seq"))
+      .otherwise(raise_error(concat(
+        lit(s"packChunks: per-group sequence index reached seqStride ($seqStride) in grp "),
+        col("grp").cast("string"),
+        lit(" — raise seqStride or lower docsPerGroup"))))
     chunks.select(
         floor(col("doc_id") / docsPerGroup).cast("long").as("grp"),
         col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
@@ -385,7 +397,7 @@ object TextOps {
                'fill', if(acc.fill + x.n > $budget, x.n, acc.fill + x.n),
                'seq', if(acc.fill + x.n > $budget, acc.seq + 1, acc.seq))
            ).out""")).as("c"))
-      .select((col("grp") * seqStride + col("c.seq")).as("seq_id"),
+      .select((col("grp") * seqStride + checkedSeq).as("seq_id"),
         col("c.doc_id").as("doc_id"), col("c.chunk_id").as("chunk_id"),
         col("c.n").as("n"))
       .groupBy(col("seq_id"))

@@ -409,6 +409,24 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 1L, "3:1", 10L)))     // exactly at budget
   }
 
+  test("D5 packing: a group exceeding seqStride sequences fails loudly instead of colliding seq_ids") {
+    import spark.implicits._
+    // one group, 3 chunks, each filling a whole sequence → seq indexes
+    // 0,1,2; seqStride = 2 means seq 2 would collide into grp 1's id space
+    val chunks = Seq((0L, 0L, 10L), (0L, 1L, 10L), (0L, 2L, 10L))
+      .toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    val e = intercept[Exception] {
+      TextOps.packChunks(chunks, budget = 10, docsPerGroup = 100, seqStride = 2L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("seqStride")), e.toString)
+    // and the same data is fine one notch up
+    assert(TextOps.packChunks(chunks, budget = 10, docsPerGroup = 100,
+      seqStride = 3L).count() == 3L)
+  }
+
   test("D5 packing: no chunk lost, no sequence over budget, fill floor, group isolation, determinism") {
     val chunks = TextOps.chunkDocs(docs)
     val nChunks = chunks.count()

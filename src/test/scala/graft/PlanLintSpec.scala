@@ -31,7 +31,26 @@ class PlanLintSpec extends AnyFunSuite {
   private val globalWindowRe =
     "windowspecdefinition\\(([^,()]+) (ASC|DESC)".r
 
-  test("no declared query plans an unexpected CartesianProduct or global window") {
+  /** Column names that are derived from document CONTENT (shingle/
+    * fingerprint/band hashes, tokens): their cardinality and skew follow
+    * the data, so a window partitioned by one buffers a content-determined
+    * row set in a single task — a boilerplate shingle shared by half the
+    * corpus pins one task to half the exploded rows (AQE can split skewed
+    * JOIN partitions, never window partitions). df-style counts over such
+    * keys must be groupBy partial aggregates (the r5 verdict's d43 fix). */
+  private val contentDerivedCols = Set(
+    "sh", "__sh2", "fp", "bh", "word", "token", "term", "shingle", "bigram")
+
+  // partition-column prefix of a windowspecdefinition: the elements before
+  // the first order spec (col ASC/DESC) or the frame
+  private def windowPartitionCols(plan: String): Set[String] =
+    "windowspecdefinition\\(([^()]*)".r.findAllMatchIn(plan).flatMap { m =>
+      m.group(1).split(", ").toSeq
+        .takeWhile(e => !e.contains(" ASC") && !e.contains(" DESC"))
+        .map(_.trim.takeWhile(_ != '#'))
+    }.toSet
+
+  test("no declared query plans an unexpected CartesianProduct, global window, or content-keyed window") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -43,7 +62,14 @@ class PlanLintSpec extends AnyFunSuite {
         val glob =
           if (globalWindowRe.findFirstIn(plan).isDefined && !globalWindowAllowed(name))
             Seq(name -> "global (unpartitioned) window") else Seq.empty
-        cart ++ glob
+        // no allowlist: a window partitioned by a content-derived key is
+        // unsplittable under data skew, never legitimate in this catalog
+        val contentKeyed = windowPartitionCols(plan) intersect contentDerivedCols
+        val ck =
+          if (contentKeyed.nonEmpty)
+            Seq(name -> s"window partitioned by content-derived $contentKeyed")
+          else Seq.empty
+        cart ++ glob ++ ck
       } catch {
         case e: Throwable => Seq(name -> s"plan build failed: ${e.getMessage}")
       }
@@ -89,6 +115,7 @@ class PlanLintSpec extends AnyFunSuite {
     // two ROLES of the same file: train corpus vs benchmark suite (id-split
     // here; distinct tables in production) — each side needs its own scan
     "d44_decontaminate" -> Set("documents"),
+    "d49_decontaminate_winnowed" -> Set("documents"),
     "d16_lsh_topk" -> Set("embeddings"),
     "d21_embedding_neardups" -> Set("embeddings"),
     "f5_zscore_clip" -> Set("orders"),
@@ -139,7 +166,11 @@ class PlanLintSpec extends AnyFunSuite {
       // BPE merge loop = iterative global argmax, not SQL-expressible
       "d46_bpe_merges",
       // winnowing hash family is engine-local (same rationale as d28)
-      "d47_training_sequences_winnowed")
+      "d47_training_sequences_winnowed",
+      // encode side of the BPE merge loop (same rationale as d46)
+      "d48_bpe_token_counts",
+      // winnowed decontamination (same rationale as d47)
+      "d49_decontaminate_winnowed")
     assert(rowsOnly == documented,
       s"undocumented rows-only: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
   }

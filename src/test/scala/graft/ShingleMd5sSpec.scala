@@ -73,4 +73,17 @@ class ShingleMd5sSpec extends AnyFunSuite {
     intercept[AnalysisException] { df.selectExpr("shingle_md5s(text, id)").collect() }
     intercept[AnalysisException] { df.selectExpr("shingle_md5s(text, 2.5)").collect() }
   }
+
+  test("out-of-range k is an analysis error, not the case-class require's IllegalArgumentException") {
+    import org.apache.spark.sql.AnalysisException
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val e = intercept[AnalysisException] {
+      df.selectExpr("shingle_md5s(text, 2000)").collect()
+    }
+    assert(e.getMessage.contains("[1, 1024]") && e.getMessage.contains("2000"))
+    intercept[AnalysisException] { df.selectExpr("shingle_md5s(text, 0)").collect() }
+    // same contract for winnow_fingerprints' k and w
+    intercept[AnalysisException] { df.selectExpr("winnow_fingerprints(text, 65, 4)").collect() }
+    intercept[AnalysisException] { df.selectExpr("winnow_fingerprints(text, 8, 0)").collect() }
+  }
 }

@@ -67,6 +67,28 @@ class VocabSpec extends AnyFunSuite {
     assert(Vocab.encodeWord(rocket * 3, ranks).length == 1)
   }
 
+  test("declared d48: per-doc counts shrink monotonically as merges grow, one row per doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Vocab.bpeTrainMerges(docs, numMerges = 50)
+    def counts(ms: Seq[(Int, String, String, Long)]): Map[Long, Long] =
+      Vocab.bpeTokenCounts(docs, ms).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c0 = counts(Seq.empty)          // character tokenization
+    val c10 = counts(merges.take(10))
+    val c50 = counts(merges)
+    assert(c0.nonEmpty && c0.keySet == c10.keySet && c10.keySet == c50.keySet)
+    // each merge can only collapse adjacent symbols — per-doc counts are
+    // monotonically non-increasing in the merge-table prefix
+    c0.keys.foreach { id =>
+      assert(c0(id) >= c10(id) && c10(id) >= c50(id), s"doc $id not monotone")
+    }
+    assert(c50.values.sum < c0.values.sum, "50 merges collapsed nothing")
+    // the declared query is exactly the 50-merge encode pass
+    val declared = SparkEntry.queries("d48_bpe_token_counts")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(declared == c50)
+  }
+
   test("declared d46 runs on real data: dense ranks, positive counts") {
     val res = SparkEntry.queries("d46_bpe_merges")(spark, sfDir).collect()
     assert(res.nonEmpty)
