@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   * leaked persistent RDDs between timed queries (hygiene; measured cheap),
   * (4) runs TWO timed passes and reports each query's minimum — the
   * steady-state figure, robust to GC pauses and one-off load spikes
-  * (observed run-to-run drift at sf0.1 was ±30% on a loaded host).
+  * (observed run-to-run drift at sf0.1 was ±30% on a loaded host),
+  * (5) emits a load marker — /proc/loadavg before/between/after the timed
+  * passes plus each pass's wall-clock — so a reader can attribute an
+  * inflated figure to host contention (the r6 driver run was 1.36× high
+  * on untouched queries; nothing in the JSON could prove it was load).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,18 +56,43 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> dt
     }.toMap
-    val p1 = timedPass(); val p2 = timedPass()
+    // host-load attribution: r6's driver run was 1.36× inflated on
+    // UNTOUCHED queries (pure host noise) and the JSON carried nothing to
+    // tell drift from regression — so record the 1-minute loadavg around
+    // each timed pass plus each pass's wall-clock. A reader can discount
+    // a run whose loadavg exceeds the worker count or whose two passes
+    // disagree wildly.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def timedPassWithWall(): (Map[String, Double], Double) = {
+      val t0 = System.nanoTime()
+      val p = timedPass()
+      (p, (System.nanoTime() - t0) / 1e9)
+    }
+    val load0 = loadavg()
+    val (p1, wall1) = timedPassWithWall()
+    val load1 = loadavg()
+    val (p2, wall2) = timedPassWithWall()
+    val load2 = loadavg()
+    val passSecs = Seq(wall1, wall2)
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
       }.mkString("{", ",", "}")
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val loadMarker =
+      s""""loadavg":[${num(load0)},${num(load1)},${num(load2)}],""" +
+      s""""pass_secs":[${num(passSecs(0))},${num(passSecs(1))}]"""
     val total = results.map(_._2).sum
     // Full per-query timings go to a file: the driver only keeps the last
     // ~2k chars of stdout, so a 100-query JSON line gets truncated there
     // (BENCH_r1..r3 all show parsed=null). The printed line stays compact —
     // total + the slowest 25 — so it parses from the captured tail.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$loadMarker,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     // best-effort: a read-only or foreign cwd must not discard the ~40 s
     // of measurement behind it — the printed line below is the contract
     try {
@@ -74,7 +103,7 @@ object Bench {
         System.err.println(s"[bench] BENCH_DETAIL.json not written: ${e.getMessage}")
     }
     val slowest = results.sortBy(-_._2).take(25)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$loadMarker,"detail":"BENCH_DETAIL.json","queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * token window — engine-portable, so the whole chain is SQL-checkable.
   *
   * Scale shape: quality filter is one codegen'd scan; the kept relation is
-  * materialized ONCE (localCheckpoint — production would write a parquet
-  * stage) and every later stage derives from it, so the base table is
-  * scanned exactly once. Shingling explodes O(tokens) rows, the df cap is
+  * materialized ONCE ([[Corpus.stageMaterialize]] — localCheckpoint by
+  * default, `persist(DISK_ONLY)` under `spark.graft.stageStorage=disk`
+  * for fault-tolerant cluster runs) and every later stage derives from
+  * it, so the base table is scanned exactly once. Shingling explodes O(tokens) rows, the df cap is
   * one map-side-combined aggregate, edges are an equijoin on the shingle
   * hash (bounded fan-out per key), components shuffle one (id, comp) pair
   * per doc per round, and chunk+pack reuse the audited d33/d41 shapes.
@@ -32,6 +33,37 @@ import org.apache.spark.sql.functions._
   * (d28) for a ~1/w density reduction at the same join shape.
   */
 object Corpus {
+
+  /** Materializes a pipeline-stage intermediate that feeds 2+ consumers,
+    * so the work above it runs exactly once. Two strategies:
+    *
+    *  - default (`spark.graft.stageStorage` unset or `"local"`):
+    *    `localCheckpoint(eager = true)` — blocks live on executors with
+    *    the LINEAGE TRUNCATED. Fastest locally and what every plan
+    *    assertion in the test suite pins (downstream plans show zero file
+    *    scans). The cluster-scale caveats: (a) no fault tolerance — an
+    *    executor lost at hour N of a 100 TB run loses its partitions
+    *    irrecoverably and fails the job instead of recomputing; (b) the
+    *    stored relation here is the UNCAPPED exploded shingle/fingerprint
+    *    set (≈ corpus size × k before the df cap), so it must fit the
+    *    cluster's aggregate memory+disk block store.
+    *  - `spark.graft.stageStorage=disk`: `persist(DISK_ONLY)` — lineage
+    *    is KEPT (executor loss recomputes the lost partitions from the
+    *    scan) and blocks go to executor-local disk, trading re-read cost
+    *    for fault tolerance. This is the setting a long multi-hour
+    *    cluster run should use; a third option — writing the stage to a
+    *    reliable parquet dir (`spark.sparkContext.setCheckpointDir` +
+    *    `checkpoint()`) — survives even executor-host loss but is an
+    *    orchestration-level choice, deliberately not made inside the
+    *    operator.
+    *
+    * Both strategies yield the same single-scan dataflow; only failure
+    * semantics and storage residence differ. */
+  private[graft] def stageMaterialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.stageStorage")
+          .getOrElse("local") == "disk")
+      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else df.localCheckpoint(true)
 
   /** The pipeline's stage intermediates — [[trainingSequences]] returns
     * `packed`; [[pipelineAudit]] counts every stage. All descend from the
@@ -86,14 +118,16 @@ object Corpus {
     // native shingle_md5s: bit-identical to the composed split/transform/
     // slice/concat_ws/md5 chain (asserted in ShingleMd5sSpec) with zero
     // per-window allocation beyond the hex output
-    val sh0 = kept
+    // feeds the df aggregate AND the survivor join — this is the uncapped
+    // exploded shingle set; see [[stageMaterialize]] for the storage/
+    // fault-tolerance tradeoff at cluster scale
+    val sh0 = stageMaterialize(kept
       .select(col("doc_id"),
         explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
-      .distinct()
-      .localCheckpoint(true) // feeds the df aggregate AND the survivor join
-    val shc = sh0.join(shingleDfSurvivors(sh0, maxDf), "sh")
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint(true) // feeds both sides of the pair join
+      .distinct())
+    // feeds both sides of the pair join
+    val shc = stageMaterialize(sh0.join(shingleDfSurvivors(sh0, maxDf), "sh")
+      .select(col("doc_id"), col("sh")))
     shc.select(col("sh"), col("doc_id").as("id_a"))
       .join(shc.select(col("sh").as("__sh2"), col("doc_id").as("id_b")),
         col("sh") === col("__sh2") && col("id_a") < col("id_b"))
@@ -123,9 +157,8 @@ object Corpus {
     // one base-table scan, materialized: feeds the edge evidence, the
     // winner join, and chunking (three consumers — without this the scan
     // would re-run per consumer; plan-asserted in CorpusSpec)
-    val kept = docs0.filter(TextOps.qualityKeep)
-      .select(col("doc_id"), col("text"), col("source"))
-      .localCheckpoint(true)
+    val kept = stageMaterialize(docs0.filter(TextOps.qualityKeep)
+      .select(col("doc_id"), col("text"), col("source")))
     val edges = edgesOf(kept)
     val labels = Dedup.connectedComponents(
       kept.select(col("doc_id").as("id")), edges)
@@ -236,23 +269,57 @@ object Corpus {
     * run of w+k−1 chars still produces ≥ 1 shared fingerprint), so the
     * corpus side ships a fraction of the join rows; the benchmark's
     * distinct-fingerprint relation stays orders of magnitude smaller and
-    * AQE-broadcastable. Engine-local hash family → rows-only; agreement
-    * with the oracle-checked exact form on planted leaks is asserted in
-    * CorpusSpec. Emits (doc_id, n_hit_fps) — a count of winnowed
-    * fingerprints, not shingles, so the magnitude differs from
-    * [[decontaminate]]'s by design; the CONTAMINATED/clean verdict is what
-    * the two forms agree on. */
+    * AQE-broadcastable.
+    *
+    * Precision contract (the knob set that keeps the verdict meaningful
+    * on natural text, where [[decontaminate]]'s token shingles are rare
+    * but short char k-grams are ubiquitous):
+    *  - `k` defaults to 40 CHARS — the char-equivalent of the exact
+    *    form's 8-token shingle (~5 chars/token) — so a hit needs a shared
+    *    run of w+k−1 = 43 chars, a leaked passage rather than a common
+    *    phrase. At char k=8 every shared 11-char run (any common word
+    *    pair) is a hit and the verdict degenerates to "everything is
+    *    contaminated".
+    *  - `maxDf` drops stop-fingerprints — fps present in more than
+    *    `maxDf` TRAIN docs are corpus boilerplate, not benchmark leakage
+    *    (same cap as [[Dedup.winnowNearDups]]); this also bounds the
+    *    join fan-out per fp, which is what keeps the 100 TB join shape
+    *    safe under boilerplate skew.
+    *  - `minHits` requires that many independent shared fingerprints
+    *    before a doc is flagged (1 = the detection guarantee verbatim).
+    *
+    * Engine-local hash family → rows-only; agreement with the
+    * oracle-checked exact form on planted leaks AND on the real-data
+    * d44 split is asserted in CorpusSpec. Emits (doc_id, n_hit_fps) — a
+    * count of winnowed fingerprints, not shingles, so the magnitude
+    * differs from [[decontaminate]]'s by design; the CONTAMINATED/clean
+    * verdict is what the two forms agree on. */
   def decontaminateWinnowed(train: DataFrame, benchmark: DataFrame,
-                            k: Int = 8, w: Int = 4): DataFrame = {
+                            k: Int = 40, w: Int = 4,
+                            maxDf: Int = 50, minHits: Int = 1): DataFrame = {
+    require(k >= 1 && w >= 1 && maxDf >= 1 && minHits >= 1,
+      "k >= 1, w >= 1, maxDf >= 1, minHits >= 1")
     // `fps` is already the distinct per-doc fingerprint set (WinnowKernel
     // dedups), so the exploded relation is distinct per (doc_id, fp) with
     // no extra shuffle; only the benchmark side needs a global distinct
     def fps(df: DataFrame): DataFrame = Dedup.winnowFingerprints(df, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // materialized once: feeds the stop-fingerprint aggregate AND the hit
+    // join (see the checkpoint-strategy note on [[exactShingleEdges]] for
+    // the cluster-scale persist tradeoff)
+    val tf = stageMaterialize(fps(train))
+    // stop-fingerprints by TRAIN-side df (groupBy → map-side partial
+    // combine on the hot boilerplate keys); the surviving benchmark set is
+    // smaller still, so AQE broadcasts the hit join's right side
+    val stop = tf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("fp"))
     val bf = fps(benchmark).select(col("fp")).distinct()
-    fps(train).join(bf, "fp")
+      .join(stop, Seq("fp"), "left_anti")
+    tf.join(bf, "fp")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_fps"))
+      .filter(col("n_hit_fps") >= minHits)
       .orderBy(col("doc_id"))
   }
 }

@@ -46,15 +46,25 @@ object TextOps {
   /** D1 — the dedup transformation itself: keep the lowest-id copy of each
     * text (deterministic winner under any parallelism). This is what a
     * training-data pipeline actually materializes; `dedupGroups` is its
-    * audit view. */
-  def dedupDocuments(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text")).orderBy(col("doc_id"))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    * audit view.
+    *
+    * Shape: ONE scan, one groupBy on md5(text) with `min_by` carrying the
+    * winner's whole row — NOT a row_number window partitioned by text: a
+    * window partition is buffered by a single task (AQE splits skewed
+    * join partitions, never window partitions), so a hot exact duplicate
+    * — boilerplate replicated across half the corpus — would pin one task
+    * to its entire copy set. min_by partially aggregates, so the hot
+    * text-hash combines map-side before the exchange, and only 16-byte
+    * keys + winner structs shuffle. PlanLintSpec bans content-keyed
+    * windows catalog-wide. */
+  def dedupDocuments(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("__h"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")).as("__w"))
+      .select(col("__w.doc_id"), col("__w.lang"), col("__w.source"),
+        col("__w.n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   /** D1 — dedup summary per language: unique vs total texts. */
   def dedupStats(docs: DataFrame): DataFrame =

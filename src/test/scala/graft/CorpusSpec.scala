@@ -109,11 +109,12 @@ class CorpusSpec extends AnyFunSuite {
 
   test("winnowed decontamination agrees with exact d44 on planted leaks") {
     import spark.implicits._
-    // a verbatim 12-token benchmark passage planted mid-document: exact
-    // shingle overlap (k=8 tokens) and winnowed char-fingerprint overlap
-    // (k=8, w=4 → any shared run of ≥ 11 chars collides) must both flag
-    // doc 1 and only doc 1 — the CONTAMINATED verdict is the agreement
-    // surface; hit magnitudes differ by design (shingles vs fingerprints)
+    // a verbatim 12-token benchmark passage (~121 chars) planted
+    // mid-document: exact shingle overlap (k=8 tokens) and winnowed
+    // char-fingerprint overlap (k=40, w=4 → any shared run of ≥ 43 chars
+    // collides) must both flag doc 1 and only doc 1 — the CONTAMINATED
+    // verdict is the agreement surface; hit magnitudes differ by design
+    // (shingles vs fingerprints)
     val leak = (0 until 12).map(i => s"leakword$i").mkString(" ")
     val bench = Seq((100L, s"$leak benchpad0 benchpad1")).toDF("doc_id", "text")
     val train = Seq(
@@ -130,6 +131,48 @@ class CorpusSpec extends AnyFunSuite {
     val hits = Corpus.decontaminateWinnowed(train, bench).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_fps")).toMap
     assert(hits(1L) >= 1L)
+  }
+
+  test("winnowed decontamination precision: clean docs sharing common short substrings stay clean") {
+    import spark.implicits._
+    // the ADVICE-flagged failure mode: at char k=8 ANY shared 11-char run
+    // (a common word pair like "the model is") flags a doc, so natural
+    // text degenerates to 100% contaminated. The k=40 default requires a
+    // 43-char verbatim run — these docs share several common short
+    // phrases with the benchmark but no long passage, and must stay clean
+    val bench = Seq(
+      (100L, "What is the capital of France? The model should answer Paris here."))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // shares "the capital of" and "the model" — short common phrases
+      (1L, "Berlin is the capital of Germany and the model knows geography facts."),
+      // shares "should answer" and "What is" — still no 43-char run
+      (2L, "What is two plus two? A calculator should answer four every time."),
+      // a verbatim 60-char leak of the benchmark passage → CONTAMINATED
+      (3L, "Prefix words then What is the capital of France? The model should answer Paris and suffix."))
+      .toDF("doc_id", "text")
+    val flagged = Corpus.decontaminateWinnowed(train, bench).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged == Set(3L), s"expected only the planted 60-char leak, got $flagged")
+  }
+
+  test("winnowed decontamination: train-side stop-fingerprint cap drops corpus boilerplate") {
+    import spark.implicits._
+    // a 50-char boilerplate header present in EVERY train doc and also in
+    // the benchmark (license banner shape): with maxDf below the corpus
+    // size its fingerprints are stop-fps — no doc is flagged on the
+    // header alone; a doc with a genuine unique leak is still flagged
+    val header = "Standard corpus license header all documents carry verbatim."
+    val leak = "A unique benchmark passage leaked into exactly one training doc."
+    val bench = Seq((100L, s"$header $leak")).toDF("doc_id", "text")
+    val train = (1L to 10L).map { i =>
+      val body = (0 until 8).map(j => s"body$i-$j").mkString(" ")
+      val txt = if (i == 7L) s"$header $leak $body" else s"$header $body"
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val flagged = Corpus.decontaminateWinnowed(train, bench, maxDf = 5).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged == Set(7L), s"expected only the genuine leak doc, got $flagged")
   }
 
   test("winnowed scale path agrees with the exact-shingle pipeline on planted strong dups") {
@@ -151,6 +194,27 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.trainingSequencesWinnowed(docs, Map.empty).collect())
     assert(exact == Set(10L, 12L))
     assert(winnowed == exact)
+  }
+
+  test("d49 agrees with the oracle-checked d44 on the real sf0.001 train/bench split") {
+    // the declared queries at the declared pmod-97 split, on real testdata
+    // (not a synthetic fixture): d44's k=4-token shingle is the sensitive
+    // criterion, d49's 43-char winnowed run the strict one, so agreement
+    // means (a) d49 never flags a doc d44 cleared, and (b) every doc d44
+    // flags with INDEPENDENT evidence (≥ 2 shared shingles — a leaked
+    // passage, not one incidental 4-token phrase) is also flagged by d49.
+    // At sf0.001 that is: d44 → {50→19, 82→20} + six 1-shingle docs;
+    // d49 → exactly {50, 82}.
+    val d44 = SparkEntry.queries("d44_decontaminate")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_shingles")).toMap
+    val d49 = SparkEntry.queries("d49_decontaminate_winnowed")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(d49.nonEmpty, "agreement is vacuous if the winnowed form flags nothing")
+    val d49Only = d49 -- d44.keySet
+    assert(d49Only.isEmpty, s"d49 flagged docs d44 cleared: $d49Only")
+    val strong = d44.filter(_._2 >= 2).keySet
+    assert(strong.subsetOf(d49),
+      s"d44 strong-evidence docs missing from d49: ${strong -- d49}")
   }
 
   test("pipeline audit: monotone attrition, chunk==sequence token mass, matches d43 output") {

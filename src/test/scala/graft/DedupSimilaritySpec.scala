@@ -282,6 +282,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(g.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
   }
 
+  test("D1 dedupDocuments: winner set equals dedupGroups' keep_ids; no content-keyed window in the plan") {
+    // pins the round-7 migration (text-partitioned row_number window →
+    // single-scan min_by groupBy) to the oracle-checked audit view: the
+    // materialized winners must be exactly dedupGroups' min-id keepers
+    val kept = TextOps.dedupDocuments(docs)
+    val keepIds = TextOps.dedupGroups(docs)
+      .select(col("keep_id")).collect().map(_.getLong(0)).toSet
+    val gotIds = kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gotIds == keepIds)
+    // winner rows carry their own attributes (not another copy's)
+    val orig = docs.select("doc_id", "lang", "source", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    kept.collect().foreach(r => assert(orig(r.getLong(0)) == r.toSeq.tail))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), "window crept back in")
+  }
+
   test("language-id: deterministic and emits known codes") {
     val r1 = TextOps.languageId(docs.limit(50)).select("doc_id", "pred_lang").collect()
     val r2 = TextOps.languageId(docs.limit(50)).select("doc_id", "pred_lang").collect()

@@ -60,6 +60,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.trainingSequences(emptyDocs, Map.empty).count() == 0)
   }
 
+  test("round-6 ops on empty relations return empty, not errors") {
+    val someDocs = Seq((1L, "a real document with some words in it"))
+      .toDF("doc_id", "text")
+    // winnowed decontamination: empty train, empty benchmark, both empty
+    assert(Corpus.decontaminateWinnowed(emptyDocs, someDocs).count() == 0)
+    assert(Corpus.decontaminateWinnowed(someDocs, emptyDocs).count() == 0)
+    assert(Corpus.decontaminateWinnowed(emptyDocs, emptyDocs).count() == 0)
+    // BPE: empty corpus trains an empty merge table; an empty merge table
+    // over a real corpus counts whitespace+punct pre-tokens unchanged;
+    // empty corpus + empty merges is empty
+    val emptyMerges = Vocab.bpeTrainMerges(emptyDocs, numMerges = 10)
+    assert(emptyMerges.isEmpty)
+    assert(Vocab.bpeTokenCounts(emptyDocs, emptyMerges).count() == 0)
+    val unmerged = Vocab.bpeTokenCounts(someDocs, emptyMerges)
+    assert(unmerged.count() == 1)
+    // with zero merges every token stays fully split, so the count is
+    // bounded below by the whitespace token count
+    val n = unmerged.collect()(0).getAs[Long]("n_bpe_tokens")
+    assert(n >= 8L)
+  }
+
   test("exactMedian raises its documented precondition on an empty relation") {
     val e = intercept[IllegalArgumentException] {
       Metrics.exactMedian(Seq.empty[Double].map(Tuple1(_)).toDF("v"), "v")

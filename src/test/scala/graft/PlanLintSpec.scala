@@ -39,16 +39,53 @@ class PlanLintSpec extends AnyFunSuite {
     * JOIN partitions, never window partitions). df-style counts over such
     * keys must be groupBy partial aggregates (the r5 verdict's d43 fix). */
   private val contentDerivedCols = Set(
-    "sh", "__sh2", "fp", "bh", "word", "token", "term", "shingle", "bigram")
+    "sh", "__sh2", "fp", "bh", "word", "token", "term", "shingle", "bigram",
+    "text", "text_hash")
 
-  // partition-column prefix of a windowspecdefinition: the elements before
-  // the first order spec (col ASC/DESC) or the frame
-  private def windowPartitionCols(plan: String): Set[String] =
-    "windowspecdefinition\\(([^()]*)".r.findAllMatchIn(plan).flatMap { m =>
-      m.group(1).split(", ").toSeq
-        .takeWhile(e => !e.contains(" ASC") && !e.contains(" DESC"))
-        .map(_.trim.takeWhile(_ != '#'))
-    }.toSet
+  // matches `<name>#<exprId>` for any content-derived name — catches a
+  // partition element that is an EXPRESSION over a content column (e.g.
+  // lower(sh#1), xxhash64(fp#2)), not just a bare column reference
+  private val contentColRefRe =
+    ("\\b(" + contentDerivedCols.map(java.util.regex.Pattern.quote).mkString("|") + ")#\\d").r
+
+  /** Partition-element text of every windowspecdefinition in the plan:
+    * balanced-paren extraction of the full argument list (the old
+    * `[^()]*` capture stopped at the first nested paren, truncating any
+    * expression-valued element), split on top-level commas, kept up to
+    * the first order spec (`col ASC/DESC`) — i.e. exactly the PARTITION
+    * BY elements. Order columns are deliberately excluded: ordering by a
+    * content column within a safely-partitioned window is fine; it is
+    * partitioning by one that creates the unsplittable task. */
+  private def windowPartitionElems(plan: String): Seq[String] = {
+    val marker = "windowspecdefinition("
+    Iterator.iterate(plan.indexOf(marker))(i => plan.indexOf(marker, i + 1))
+      .takeWhile(_ >= 0).toSeq.flatMap { at =>
+        val start = at + marker.length
+        // walk to the matching close paren
+        var depth = 1; var i = start
+        val elems = scala.collection.mutable.Buffer.empty[String]
+        var elemStart = start
+        while (depth > 0 && i < plan.length) {
+          plan.charAt(i) match {
+            case '(' => depth += 1
+            case ')' =>
+              depth -= 1
+              if (depth == 0) elems += plan.substring(elemStart, i)
+            case ',' if depth == 1 =>
+              elems += plan.substring(elemStart, i); elemStart = i + 1
+            case _ => ()
+          }
+          i += 1
+        }
+        elems.toSeq.map(_.trim)
+          .takeWhile(e => !e.contains(" ASC") && !e.contains(" DESC"))
+      }
+  }
+
+  private def contentKeyedWindowCols(plan: String): Set[String] =
+    windowPartitionElems(plan)
+      .flatMap(e => contentColRefRe.findAllMatchIn(e).map(_.group(1)))
+      .toSet
 
   test("no declared query plans an unexpected CartesianProduct, global window, or content-keyed window") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -64,7 +101,7 @@ class PlanLintSpec extends AnyFunSuite {
             Seq(name -> "global (unpartitioned) window") else Seq.empty
         // no allowlist: a window partitioned by a content-derived key is
         // unsplittable under data skew, never legitimate in this catalog
-        val contentKeyed = windowPartitionCols(plan) intersect contentDerivedCols
+        val contentKeyed = contentKeyedWindowCols(plan)
         val ck =
           if (contentKeyed.nonEmpty)
             Seq(name -> s"window partitioned by content-derived $contentKeyed")
