@@ -112,7 +112,13 @@ object Corpus {
     * The pair join emits one row per shared surviving shingle, so the
     * threshold is a plain pair-count filter. */
   private[graft] def exactShingleEdges(kept: DataFrame, shingleK: Int,
-                                       maxDf: Int, minShared: Int = 1): DataFrame = {
+                                       maxDf: Int, minShared: Int = 1,
+                                       // identity = plan-dump view: stage
+                                       // materialization truncates lineage,
+                                       // hiding the df-cap shape from the
+                                       // final plan (see tools.DumpPlans)
+                                       materialize: DataFrame => DataFrame =
+                                         stageMaterialize): DataFrame = {
     require(shingleK >= 1 && maxDf >= 2 && minShared >= 1,
       "shingleK >= 1, maxDf >= 2, minShared >= 1")
     // native shingle_md5s: bit-identical to the composed split/transform/
@@ -121,12 +127,12 @@ object Corpus {
     // feeds the df aggregate AND the survivor join — this is the uncapped
     // exploded shingle set; see [[stageMaterialize]] for the storage/
     // fault-tolerance tradeoff at cluster scale
-    val sh0 = stageMaterialize(kept
+    val sh0 = materialize(kept
       .select(col("doc_id"),
         explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
       .distinct())
     // feeds both sides of the pair join
-    val shc = stageMaterialize(sh0.join(shingleDfSurvivors(sh0, maxDf), "sh")
+    val shc = materialize(sh0.join(shingleDfSurvivors(sh0, maxDf), "sh")
       .select(col("doc_id"), col("sh")))
     shc.select(col("sh"), col("doc_id").as("id_a"))
       .join(shc.select(col("sh").as("__sh2"), col("doc_id").as("id_b")),
