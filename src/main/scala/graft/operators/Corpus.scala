@@ -249,7 +249,12 @@ object Corpus {
     * relation is orders of magnitude smaller than the corpus, so the
     * equijoin broadcasts it under AQE when it fits (no hint — a forced
     * broadcast would OOM on a large benchmark suite); one doc-keyed count
-    * aggregate. Nothing is ever all-pairs. */
+    * aggregate. Nothing is ever all-pairs. Beyond broadcast size, the
+    * join falls back to shuffle and Spark's runtime bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, default ON —
+    * asserted in CorpusSpec) can build a bloom from the benchmark side to
+    * prune the corpus side map-side before the exchange, so the 100 TB
+    * shuffle never ships shingles that cannot match. */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     shingleK: Int = 8): DataFrame = {
     require(shingleK >= 1, "shingleK >= 1")
@@ -275,7 +280,8 @@ object Corpus {
     * run of w+k−1 chars still produces ≥ 1 shared fingerprint), so the
     * corpus side ships a fraction of the join rows; the benchmark's
     * distinct-fingerprint relation stays orders of magnitude smaller and
-    * AQE-broadcastable.
+    * AQE-broadcastable (beyond broadcast size, see [[decontaminate]]'s
+    * runtime-bloom-filter note — the same fallback applies to this join).
     *
     * Precision contract (the knob set that keeps the verdict meaningful
     * on natural text, where [[decontaminate]]'s token shingles are rare

@@ -42,6 +42,16 @@ import graft.{GraftExtensions, SparkEntry}
   * genuinely grows with the corpus and the equijoin is the right shape
   * for that growth). Versus the composed form the native expression cut
   * sf0.1 d43 2.74→1.57 s, d44 0.95→0.50 s, d45 2.58→1.79 s.
+  *
+  * Round-7 measurement (after the d49 precision contract — k=40,
+  * train-side stop-fp cap, minHits — and the d20 min_by migration):
+  * d49 0.40 s → 1.03 s across 100× data (2.6×, the d44 profile: a real
+  * but strongly sublinear data term — the train fp relation grows with
+  * the corpus and the capped equijoin is the right shape for it);
+  * d20 0.14 s → 0.25 s (1.8×, overhead-bound — the min_by groupBy
+  * shuffles only 16-byte hashes + winner structs). Corpus family
+  * unchanged within noise (d43 2.33 s, d45 3.25 s, d47 3.91 s at
+  * sf0.1 on a moderately loaded probe run).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -54,7 +64,8 @@ object ScaleProbe {
       "x25_shipping_priority", "x28_nation_pair_volume",
       "x30_asof_last_order", "x34_asof_bucketed", "d43_training_sequences",
       "d44_decontaminate", "d45_pipeline_audit",
-      "d47_training_sequences_winnowed")
+      "d47_training_sequences_winnowed", "d49_decontaminate_winnowed",
+      "d20_dedup_docs")
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
          q <- qs) {
       SparkEntry.queries(q)(spark, sf).count() // warm: codegen + JIT

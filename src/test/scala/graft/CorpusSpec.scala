@@ -217,6 +217,17 @@ class CorpusSpec extends AnyFunSuite {
       s"d44 strong-evidence docs missing from d49: ${strong -- d49}")
   }
 
+  test("runtime bloom-filter join pruning is available for the beyond-broadcast decontamination case") {
+    // the decontaminate scaladoc's beyond-broadcast story: when the
+    // benchmark fp relation outgrows AQE's broadcast threshold the join
+    // becomes a shuffle join, and Spark's runtime bloom filter (default
+    // ON, asserted here so an env/config drift is caught) can build a
+    // bloom from the small side to prune the corpus side map-side before
+    // the exchange — the cheap insurance that the 100 TB shuffle never
+    // ships fps that cannot match
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+  }
+
   test("pipeline audit: monotone attrition, chunk==sequence token mass, matches d43 output") {
     val rates = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
     val docs = Tables.documents(spark, sfDir)
