@@ -217,6 +217,30 @@ class CorpusSpec extends AnyFunSuite {
       s"d44 strong-evidence docs missing from d49: ${strong -- d49}")
   }
 
+  test("stageStorage=disk: persist(DISK_ONLY) strategy produces identical output with lineage kept") {
+    import spark.implicits._
+    val shared = (0 until 30).map(i => s"pers$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail one extra words here", "en", "srcX", 1L),
+      (2L, s"$shared tail two other words here", "en", "srcX", 1L),
+      (3L, (0 until 20).map(i => s"solo$i").mkString(" "), "en", "srcX", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = Corpus.trainingSequences(docs, Map.empty).collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.stageStorage", "disk")
+    try {
+      val out = Corpus.trainingSequences(docs, Map.empty)
+      assert(out.collect().map(_.toString).sorted.toSeq == base.toSeq)
+      // lineage KEPT under persist: the plan still reaches the in-memory
+      // relation (localCheckpoint would show a truncated ExistingRDD scan)
+      assert(out.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("runtime bloom-filter join pruning is available for the beyond-broadcast decontamination case") {
     // the decontaminate scaladoc's beyond-broadcast story: when the
     // benchmark fp relation outgrows AQE's broadcast threshold the join
