@@ -261,4 +261,35 @@ class PropertySpec extends AnyFunSuite {
       assert(a.intersect(b).nonEmpty, s"case $i shared='$shared'")
     }
   }
+
+  test("decontaminateWinnowed detection guarantee + precision on random corpora") {
+    // end-to-end form of the kernel guarantee at the operator's declared
+    // defaults (k=40, w=4): a random >= w+k-1 = 43-char benchmark passage
+    // planted into a train doc is ALWAYS flagged; train docs built from a
+    // disjoint alphabet (a-m vs the benchmark's n-z) can share no run at
+    // all and are NEVER flagged.
+    import graft.operators.Corpus
+    val k = 40; val w = 4
+    (0 until 4).foreach { trial =>
+      val benchChars = samples(Gen.choose('n', 'z'), 400 + trial * 37)
+      val benchText = benchChars.mkString
+      // a random in-bounds slice of the benchmark doc, >= 43 chars
+      val start = samples(Gen.chooseNum(0, 300), 1 + trial).last
+      val len = k + w - 1 + samples(Gen.chooseNum(0, 40), 1 + trial).last
+      val leak = benchText.substring(start, math.min(start + len, benchText.length))
+      val trainPre = samples(Gen.choose('a', 'm'), 60 + trial * 11).mkString
+      val trainPost = samples(Gen.choose('a', 'm'), 80 - trial * 9).mkString
+      val clean1 = samples(Gen.choose('a', 'm'), 300).mkString
+      val clean2 = samples(Gen.choose('a', 'm'), 250 + trial * 13).mkString
+      val train = Seq(
+        (1L, s"$trainPre$leak$trainPost"), // contaminated
+        (2L, clean1), (3L, clean2))        // disjoint alphabet → clean
+        .toDF("doc_id", "text")
+      val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+      val flagged = Corpus.decontaminateWinnowed(train, bench, k, w)
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(1L),
+        s"trial $trial: leak len ${leak.length} at $start → flagged $flagged")
+    }
+  }
 }
