@@ -1024,7 +1024,7 @@ object SparkEntry {
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "d1_dedup_groups" ->
-      ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
+      ("SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),
     "d2_dedup_stats" ->
       ("SELECT lang, count(DISTINCT text) AS n_unique, count(*) AS n_total " +

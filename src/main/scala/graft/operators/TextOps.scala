@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * extension (SURVEY.md §2.7 D1/D5) over the `documents` table.
   *
   * Everything here is built-in `Column` functions (split / filter lambda /
-  * regexp / md5) — fully codegen'd, no UDFs, shuffles only at the grouped
-  * aggregates (map-side combined). At 100 TB these are scan-bound passes;
-  * exact dedup shuffles one 16-byte hash + id per row, not the text.
+  * regexp / sha2 / md5) — fully codegen'd, no UDFs, shuffles only at the
+  * grouped aggregates (map-side combined). At 100 TB these are scan-bound
+  * passes; exact dedup shuffles one 32-byte hash + id per row, not the
+  * text (SHA-256 keys — see [[dedupGroups]] for the adversarial-collision
+  * rationale).
   */
 object TextOps {
 
@@ -36,10 +38,18 @@ object TextOps {
       .orderBy(col("lang"))
 
   /** D1 — exact dedup groups: hash text, keep min doc_id per group.
-    * Scale: groupBy on md5(text) shuffles 16-byte keys; the canonical
-    * "keep first" winner is min(id) — deterministic under any parallelism. */
+    * Scale: groupBy on sha2-256(text) shuffles 32-byte keys; the canonical
+    * "keep first" winner is min(id) — deterministic under any parallelism.
+    *
+    * SHA-256, not MD5, on purpose: a dedup key must survive ADVERSARIAL
+    * input. MD5 chosen-prefix collisions are practically craftable, so a
+    * hostile contributor to a web corpus could make two distinct documents
+    * collide and have one silently dropped as a "duplicate" — a poisoning
+    * vector for a training-data pipeline. SHA-256 is collision-resistant;
+    * the 16 extra bytes per shuffled key are noise next to the text the
+    * key replaces. */
   def dedupGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+    docs.groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
@@ -48,8 +58,11 @@ object TextOps {
     * training-data pipeline actually materializes; `dedupGroups` is its
     * audit view.
     *
-    * Shape: ONE scan, one groupBy on md5(text) with `min_by` carrying the
-    * winner's whole row — NOT a row_number window partitioned by text: a
+    * Shape: ONE scan, one groupBy on sha2-256(text) with `min_by` carrying
+    * the winner's whole row (same adversarial-collision rationale as
+    * [[dedupGroups]] — an MD5 key would let a crafted collision silently
+    * drop a legitimate document) — NOT a row_number window partitioned by
+    * text: a
     * window partition is buffered by a single task (AQE splits skewed
     * join partitions, never window partitions), so a hot exact duplicate
     * — boilerplate replicated across half the corpus — would pin one task
@@ -58,7 +71,7 @@ object TextOps {
     * keys + winner structs shuffle. PlanLintSpec bans content-keyed
     * windows catalog-wide. */
   def dedupDocuments(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text").cast("binary")).as("__h"))
+    docs.groupBy(sha2(col("text").cast("binary"), 256).as("__h"))
       .agg(min_by(
         struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         col("doc_id")).as("__w"))
