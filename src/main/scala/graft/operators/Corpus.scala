@@ -250,20 +250,31 @@ object Corpus {
     * equijoin broadcasts it under AQE when it fits (no hint — a forced
     * broadcast would OOM on a large benchmark suite); one doc-keyed count
     * aggregate. Nothing is ever all-pairs. Beyond broadcast size, the
-    * join falls back to shuffle and Spark's runtime bloom filter
-    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, default ON —
-    * asserted in CorpusSpec) can build a bloom from the benchmark side to
-    * prune the corpus side map-side before the exchange, so the 100 TB
-    * shuffle never ships shingles that cannot match. */
+    * join falls back to shuffle, and the operator plants a runtime bloom
+    * filter itself ([[graft.plans.BloomPrune]]): Spark's own
+    * `InjectRuntimeFilter` rule can NEVER fire here — it only traces the
+    * creation-side key through Project/Filter/Join lineage to a scan, and
+    * `sh` is born from a Generate + Aggregate — so the operator injects
+    * the identical `might_contain(scalar-subquery(bloom_filter_agg))`
+    * shape below the corpus side's distinct, where it prunes both the
+    * distinct's exchange and the join's. Auto-gated on the same
+    * stats-vs-broadcast-threshold test Spark uses (broadcast regime → no
+    * bloom, it would be pure overhead); plan- and result-asserted in
+    * CorpusSpec. The 100 TB shuffle never ships shingles that cannot
+    * match. */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     shingleK: Int = 8): DataFrame = {
     require(shingleK >= 1, "shingleK >= 1")
-    def shingles(df: DataFrame): DataFrame = df
+    def raw(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
+    val bs = raw(benchmark).select(col("sh")).distinct()
+    // bloom builds from the pre-distinct benchmark shingles (idempotent
+    // insert → same bloom, no extra exchange); prune sits below the train
+    // side's distinct so it thins that exchange too
+    graft.plans.BloomPrune.pruned(raw(train), raw(benchmark), "sh")
       .distinct()
-    val bs = shingles(benchmark).select(col("sh")).distinct()
-    shingles(train).join(bs, "sh")
+      .join(bs, "sh")
       .groupBy(col("doc_id"))
       // (doc_id, sh) is distinct on both join inputs → plain count is the
       // distinct matched-shingle count
@@ -280,8 +291,9 @@ object Corpus {
     * run of w+k−1 chars still produces ≥ 1 shared fingerprint), so the
     * corpus side ships a fraction of the join rows; the benchmark's
     * distinct-fingerprint relation stays orders of magnitude smaller and
-    * AQE-broadcastable (beyond broadcast size, see [[decontaminate]]'s
-    * runtime-bloom-filter note — the same fallback applies to this join).
+    * AQE-broadcastable (beyond broadcast size, the operator plants the
+    * same runtime bloom prune as [[decontaminate]] — see
+    * [[graft.plans.BloomPrune]]).
     *
     * Precision contract (the knob set that keeps the verdict meaningful
     * on natural text, where [[decontaminate]]'s token shingles are rare
@@ -328,7 +340,11 @@ object Corpus {
       .select(col("fp"))
     val bf = fps(benchmark).select(col("fp")).distinct()
       .join(stop, Seq("fp"), "left_anti")
-    tf.join(bf, "fp")
+    // same operator-planted bloom prune as [[decontaminate]] (Spark's
+    // injection rule cannot see through the winnow Generate either):
+    // thins the train side's join exchange to fps that might match the
+    // surviving benchmark set
+    graft.plans.BloomPrune.pruned(tf, bf, "fp").join(bf, "fp")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_fps"))
       .filter(col("n_hit_fps") >= minHits)

@@ -246,15 +246,39 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("runtime bloom-filter join pruning is available for the beyond-broadcast decontamination case") {
+  test("beyond-broadcast decontamination: runtime bloom filter is planned, not just enabled") {
     // the decontaminate scaladoc's beyond-broadcast story: when the
     // benchmark fp relation outgrows AQE's broadcast threshold the join
-    // becomes a shuffle join, and Spark's runtime bloom filter (default
-    // ON, asserted here so an env/config drift is caught) can build a
+    // becomes a shuffle join, and Spark's runtime bloom filter builds a
     // bloom from the small side to prune the corpus side map-side before
-    // the exchange — the cheap insurance that the 100 TB shuffle never
-    // ships fps that cannot match
+    // the exchange — the insurance that the 100 TB shuffle never ships
+    // shingles that cannot match. Config drift guard first:
     assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    // ...then the plan proof: a dedicated session forced into the
+    // beyond-broadcast regime (broadcast off, bloom application threshold
+    // lowered to test-data scan size) must actually inject the bloom —
+    // bloom_filter_agg over the benchmark side, might_contain applied on
+    // the corpus side below its exchange
+    val ns = spark.newSession()
+    GraftExtensions.register(ns)
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val docs = Tables.documents(ns, sfDir)
+    val out = Corpus.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), shingleK = 4)
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_filter_agg"),
+      s"no bloom built from the benchmark side:\n$opt")
+    assert(opt.contains("might_contain"),
+      s"no bloom application on the corpus side:\n$opt")
+    // and the pruned join still returns the same verdict as the declared
+    // broadcast-regime d44 on the same split
+    val expected = SparkEntry.queries("d44_decontaminate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
   test("pipeline audit: monotone attrition, chunk==sequence token mass, matches d43 output") {
