@@ -305,12 +305,25 @@ object Corpus {
     *    pair) is a hit and the verdict degenerates to "everything is
     *    contaminated".
     *  - `maxDf` drops stop-fingerprints — fps present in more than
-    *    `maxDf` TRAIN docs are corpus boilerplate, not benchmark leakage
-    *    (same cap as [[Dedup.winnowNearDups]]); this also bounds the
-    *    join fan-out per fp, which is what keeps the 100 TB join shape
-    *    safe under boilerplate skew.
+    *    `maxDf` TRAIN docs are treated as corpus boilerplate, not
+    *    benchmark leakage (same cap as [[Dedup.winnowNearDups]]); this
+    *    also bounds the join fan-out per fp, which is what keeps the
+    *    100 TB join shape safe under boilerplate skew.
     *  - `minHits` requires that many independent shared fingerprints
     *    before a doc is flagged (1 = the detection guarantee verbatim).
+    *
+    * KNOWN FALSE-NEGATIVE MODE of the `maxDf` cap — and its audit: a
+    * benchmark passage leaked into MORE than `maxDf` training docs is
+    * indistinguishable from boilerplate by train-df alone, so this
+    * verdict reports every such copy clean. That is precisely the mass
+    * leakage a popular benchmark exhibits at corpus scale, so the capped
+    * bench-side fps are NOT silently dropped: run
+    * [[massContaminationSuspects]] (same knobs) next to this verdict —
+    * it emits the training docs carrying those capped fps, and any
+    * non-empty result escalates to the exact [[decontaminate]] path over
+    * the suspect slice. CorpusSpec plants a leak in > maxDf train docs
+    * and asserts the pair of views catches what this verdict alone
+    * misses.
     *
     * Engine-local hash family → rows-only; agreement with the
     * oracle-checked exact form on planted leaks AND on the real-data
@@ -320,7 +333,42 @@ object Corpus {
     * verdict is what the two forms agree on. */
   def decontaminateWinnowed(train: DataFrame, benchmark: DataFrame,
                             k: Int = 40, w: Int = 4,
-                            maxDf: Int = 50, minHits: Int = 1): DataFrame = {
+                            maxDf: Int = 50, minHits: Int = 1): DataFrame =
+    winnowedDecon(train, benchmark, k, w, maxDf, minHits).verdict
+
+  /** The audit companion to [[decontaminateWinnowed]]: the training docs
+    * carrying a benchmark fingerprint that the `maxDf` stop-cap excluded
+    * from the precise verdict — i.e. a bench fp present in more than
+    * `maxDf` TRAIN docs, which is either corpus boilerplate that also
+    * appears in the benchmark (harmless) or a benchmark passage mass-
+    * leaked across the corpus (the worst contamination case). Train-df
+    * alone cannot tell the two apart, so this relation names the docs to
+    * escalate: any non-empty result warrants the exact [[decontaminate]]
+    * pass over this slice (asserted end-to-end in CorpusSpec).
+    *
+    * Emits (doc_id, n_mass_fps), doc-ordered — the shape a pipeline
+    * quarantines or anti-joins while escalation adjudicates.
+    *
+    * Scale shape: the suspect fp set is bounded by the benchmark's own
+    * distinct fingerprints (small, AQE-broadcastable); the join back to
+    * the train side emits one row per (doc, suspect fp) — linear in the
+    * answer set itself, with the doc-keyed count combining map-side. */
+  def massContaminationSuspects(train: DataFrame, benchmark: DataFrame,
+                                k: Int = 40, w: Int = 4,
+                                maxDf: Int = 50): DataFrame =
+    winnowedDecon(train, benchmark, k, w, maxDf, minHits = 1).massSuspects
+
+  private[graft] case class DeconViews(verdict: DataFrame,
+                                       massSuspects: DataFrame)
+
+  /** Shared core of the winnowed decontamination pair: ONE materialized
+    * train fingerprint relation and ONE train-df aggregate feed both the
+    * precise verdict (fps with df ≤ maxDf) and the mass-suspect audit
+    * (bench fps with df > maxDf) — the two views partition the matched
+    * bench-side fingerprints, so nothing is silently dropped. */
+  private[graft] def winnowedDecon(train: DataFrame, benchmark: DataFrame,
+                                   k: Int, w: Int, maxDf: Int,
+                                   minHits: Int): DeconViews = {
     require(k >= 1 && w >= 1 && maxDf >= 1 && minHits >= 1,
       "k >= 1, w >= 1, maxDf >= 1, minHits >= 1")
     // `fps` is already the distinct per-doc fingerprint set (WinnowKernel
@@ -328,26 +376,34 @@ object Corpus {
     // no extra shuffle; only the benchmark side needs a global distinct
     def fps(df: DataFrame): DataFrame = Dedup.winnowFingerprints(df, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-    // materialized once: feeds the stop-fingerprint aggregate AND the hit
-    // join (see the checkpoint-strategy note on [[exactShingleEdges]] for
-    // the cluster-scale persist tradeoff)
+    // materialized once: feeds the train-df aggregate AND both hit joins
+    // (see the checkpoint-strategy note on [[exactShingleEdges]] for the
+    // cluster-scale persist tradeoff)
     val tf = stageMaterialize(fps(train))
-    // stop-fingerprints by TRAIN-side df (groupBy → map-side partial
-    // combine on the hot boilerplate keys); the surviving benchmark set is
-    // smaller still, so AQE broadcasts the hit join's right side
+    // TRAIN-side df per fp (groupBy → map-side partial combine on the hot
+    // boilerplate keys); > maxDf = stop-fingerprints
     val stop = tf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(col("fp"))
-    val bf = fps(benchmark).select(col("fp")).distinct()
-      .join(stop, Seq("fp"), "left_anti")
+    val bfAll = fps(benchmark).select(col("fp")).distinct()
+    val bf = bfAll.join(stop, Seq("fp"), "left_anti")
     // same operator-planted bloom prune as [[decontaminate]] (Spark's
     // injection rule cannot see through the winnow Generate either):
     // thins the train side's join exchange to fps that might match the
     // surviving benchmark set
-    graft.plans.BloomPrune.pruned(tf, bf, "fp").join(bf, "fp")
+    val verdict = graft.plans.BloomPrune.pruned(tf, bf, "fp").join(bf, "fp")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_fps"))
       .filter(col("n_hit_fps") >= minHits)
       .orderBy(col("doc_id"))
+    // the complement: bench fps the cap excluded, joined back to the docs
+    // that carry them (suspect set is benchmark-bounded and small; no
+    // bloom needed — the fan-out IS the answer set here)
+    val massSuspects = tf
+      .join(bfAll.join(stop, Seq("fp"), "left_semi"), "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_mass_fps"))
+      .orderBy(col("doc_id"))
+    DeconViews(verdict, massSuspects)
   }
 }

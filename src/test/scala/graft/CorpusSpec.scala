@@ -281,6 +281,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
+  test("mass contamination: a leak in > maxDf train docs evades the capped verdict but is surfaced by the suspect audit; escalation confirms every copy") {
+    import spark.implicits._
+    // ~75-char passage — far past the w+k-1 = 43-char detection window at
+    // the d49 defaults, so every copy shares the passage's interior
+    // winnowed fingerprints verbatim
+    val passage = "the quick brown fox jumps over the lazy dog while the band plays on and on"
+    def filler(i: Int) = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+    val maxDf = 5
+    val leaked = (0 until 8).map(i => 100L + i) // 8 > maxDf copies
+    val train = (leaked.map(id =>
+        (id, s"${filler(id.toInt)} $passage ${filler(id.toInt + 50)}")) ++
+      (0 until 10).map(i => (200L + i, s"clean doc ${filler(i + 300)} ${filler(i + 400)}")))
+      .toDF("doc_id", "text")
+    val bench = Seq((9000L, s"benchmark intro $passage benchmark outro"))
+      .toDF("doc_id", "text")
+    // the documented false-negative mode: train-df of the passage fps is
+    // 8 > maxDf, so the capped verdict reports every copy clean...
+    assert(Corpus.decontaminateWinnowed(train, bench, maxDf = maxDf)
+      .collect().isEmpty)
+    // ...but the suspect audit names exactly the leaked docs
+    val suspects = Corpus.massContaminationSuspects(train, bench, maxDf = maxDf)
+    val suspectRows = suspects.collect()
+    assert(suspectRows.map(_.getLong(0)).toSet == leaked.toSet)
+    assert(suspectRows.forall(_.getAs[Long]("n_mass_fps") >= 1L))
+    // escalation: the exact path over the suspect slice confirms each copy
+    val slice = train.join(suspects.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(Corpus.decontaminate(slice, bench, shingleK = 4)
+      .collect().map(_.getLong(0)).toSet == leaked.toSet)
+    // with the cap above the leak's df the precise verdict catches it
+    // directly and the suspect relation is empty — the two views always
+    // partition the matched bench-side fingerprints
+    assert(Corpus.decontaminateWinnowed(train, bench, maxDf = 20)
+      .collect().map(_.getLong(0)).toSet == leaked.toSet)
+    assert(Corpus.massContaminationSuspects(train, bench, maxDf = 20)
+      .collect().isEmpty)
+  }
+
   test("pipeline audit: monotone attrition, chunk==sequence token mass, matches d43 output") {
     val rates = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
     val docs = Tables.documents(spark, sfDir)
