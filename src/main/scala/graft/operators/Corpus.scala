@@ -57,13 +57,53 @@ object Corpus {
     *    orchestration-level choice, deliberately not made inside the
     *    operator.
     *
-    * Both strategies yield the same single-scan dataflow; only failure
-    * semantics and storage residence differ. */
+    * Both strategies yield the same single-scan dataflow and BOTH are
+    * eager: under the disk strategy a `count()` materializes the blocks
+    * at plan-build time (matching `localCheckpoint(eager = true)`), so
+    * "computed exactly once" holds even when two downstream consumers
+    * fire their first actions concurrently — lazy persist would let both
+    * race to compute the stage.
+    *
+    * Unpersist contract (disk strategy): persisted stage blocks outlive
+    * the returned DataFrames — Spark only drops them at unpersist or
+    * session end — so repeated pipeline invocations in one long-lived
+    * session would accumulate DISK_ONLY copies of the uncapped exploded
+    * fingerprint sets. Orchestration must call [[releaseStages]] after
+    * materializing the pipeline output (Bench's per-query hygiene pass
+    * achieves the same blanket clear; the disk-strategy test asserts
+    * release empties the block store). The default local strategy needs
+    * no release beyond what the block manager reclaims. */
   private[graft] def stageMaterialize(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption("spark.graft.stageStorage")
-          .getOrElse("local") == "disk")
-      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    else df.localCheckpoint(true)
+          .getOrElse("local") == "disk") {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count()
+      persistedStages.synchronized {
+        persistedStages.getOrElseUpdate(df.sparkSession,
+          scala.collection.mutable.Buffer.empty) += p
+      }
+      p
+    } else df.localCheckpoint(true)
+
+  /** Disk-strategy stage handles per session, so [[releaseStages]] can
+    * unpersist exactly what this module persisted — never a caller's own
+    * cached relations. Weak keys: a dropped session releases its entry. */
+  private val persistedStages =
+    scala.collection.mutable.WeakHashMap
+      .empty[org.apache.spark.sql.SparkSession,
+        scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Unpersists every `stageStorage=disk` stage this module persisted for
+    * `spark` (see the contract on [[stageMaterialize]]). Call after the
+    * pipeline output is materialized; safe to call at any time — the
+    * stages' lineage is kept, so a still-running consumer recomputes from
+    * the scan rather than failing. */
+  def releaseStages(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val handles = persistedStages.synchronized {
+      persistedStages.remove(spark).getOrElse(Nil)
+    }
+    handles.foreach(_.unpersist(blocking = false))
+  }
 
   /** The pipeline's stage intermediates — [[trainingSequences]] returns
     * `packed`; [[pipelineAudit]] counts every stage. All descend from the

@@ -233,12 +233,23 @@ class CorpusSpec extends AnyFunSuite {
     val base = Corpus.trainingSequences(docs, Map.empty).collect().map(_.toString).sorted
     spark.conf.set("spark.graft.stageStorage", "disk")
     try {
+      def diskStages = spark.sparkContext.getPersistentRDDs.values
+        .filter(_.getStorageLevel ==
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val out = Corpus.trainingSequences(docs, Map.empty)
+      // eager persist: blocks exist before any consumer action, so
+      // concurrent first consumers cannot race to compute the stage
+      assert(diskStages.nonEmpty)
       assert(out.collect().map(_.toString).sorted.toSeq == base.toSeq)
       // lineage KEPT under persist: the plan still reaches the in-memory
       // relation (localCheckpoint would show a truncated ExistingRDD scan)
       assert(out.queryExecution.executedPlan.toString
         .contains("InMemoryTableScan"))
+      // the unpersist contract: releaseStages drops exactly the DISK_ONLY
+      // stage blocks this module persisted (localCheckpoint blocks from
+      // the default-strategy run are not its business)
+      Corpus.releaseStages(spark)
+      assert(diskStages.isEmpty)
     } finally {
       spark.conf.unset("spark.graft.stageStorage")
       spark.sparkContext.getPersistentRDDs.values
