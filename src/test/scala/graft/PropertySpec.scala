@@ -292,4 +292,45 @@ class PropertySpec extends AnyFunSuite {
         s"trial $trial: leak len ${leak.length} at $start → flagged $flagged")
     }
   }
+
+  test("mass-suspect audit partitions the matched bench evidence on random corpora") {
+    // the conservation law behind the decontaminateWinnowed /
+    // massContaminationSuspects pair: the maxDf cap only ROUTES matched
+    // bench-side fingerprints between the precise verdict (train-df ≤
+    // maxDf) and the mass-suspect audit (train-df > maxDf), it never
+    // drops one — so per doc, uncapped hit count = capped hit count +
+    // mass count, exactly. A 3-char alphabet at char k=8 forces heavy
+    // cross-doc fingerprint sharing, so both routes engage.
+    import graft.operators.Corpus
+    val k = 8; val w = 4; val maxDf = 2
+    (0 until 3).foreach { trial =>
+      val train = (0 until 12).map { i =>
+        (i.toLong,
+          samples(Gen.choose('a', 'c'), 60 + (trial * 7 + i * 13) % 40).mkString)
+      }.toDF("doc_id", "text")
+      val bench = (0 until 3).map { j =>
+        (500L + j,
+          samples(Gen.choose('a', 'c'), 70 + (trial * 11 + j * 17) % 30).mkString)
+      }.toDF("doc_id", "text")
+      def counts(df: org.apache.spark.sql.DataFrame, c: String): Map[Long, Long] =
+        df.collect().map(r => r.getLong(0) -> r.getAs[Long](c)).toMap
+      val uncapped = counts(
+        Corpus.decontaminateWinnowed(train, bench, k, w, maxDf = Int.MaxValue),
+        "n_hit_fps")
+      val capped = counts(
+        Corpus.decontaminateWinnowed(train, bench, k, w, maxDf = maxDf),
+        "n_hit_fps")
+      val mass = counts(
+        Corpus.massContaminationSuspects(train, bench, k, w, maxDf = maxDf),
+        "n_mass_fps")
+      assert(uncapped.nonEmpty, s"trial $trial vacuous: no matched fps at all")
+      assert(mass.nonEmpty, s"trial $trial vacuous: the cap never engaged")
+      val docs = uncapped.keySet ++ capped.keySet ++ mass.keySet
+      docs.foreach { d =>
+        assert(uncapped.getOrElse(d, 0L) ==
+          capped.getOrElse(d, 0L) + mass.getOrElse(d, 0L),
+          s"trial $trial doc $d: ${uncapped.get(d)} != ${capped.get(d)} + ${mass.get(d)}")
+      }
+    }
+  }
 }
