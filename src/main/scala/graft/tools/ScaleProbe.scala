@@ -52,6 +52,18 @@ import graft.{GraftExtensions, SparkEntry}
   * shuffles only 16-byte hashes + winner structs). Corpus family
   * unchanged within noise (d43 2.33 s, d45 3.25 s, d47 3.91 s at
   * sf0.1 on a moderately loaded probe run).
+  *
+  * Round-8 measurement (after the sha2 dedup key and the operator-
+  * planted bloom prune): d20 0.12 → 0.16 s (1.3× across 100× data —
+  * the 32-byte sha2 key costs nothing measurable vs the md5 figures
+  * above); d49 0.35 → 0.86 s (2.4×, same sublinear data term as r7).
+  * The new beyond-broadcast block (broadcast disabled → shuffle join)
+  * measures the planted bloom directly: sf0.001 0.30 s off / 0.37 s on
+  * (build overhead dominates on tiny data — the regime auto mode never
+  * picks), sf0.01 0.52 / 0.30 (1.8× faster with the bloom), sf0.1
+  * 0.54 / 0.37 (1.5× faster) — the prune pays as soon as there is real
+  * corpus-side shuffle data to thin, which is its whole premise at
+  * 100 TB.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -73,6 +85,34 @@ object ScaleProbe {
       val t1 = System.nanoTime(); SparkEntry.queries(q)(spark, sf).count()
       val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
       println(f"[scaleprobe] $q%-24s $sf%-28s $dt%.3f s")
+    }
+    // the beyond-broadcast decontamination regime: broadcast disabled so
+    // the bench-side join is a shuffle join, timed with the operator-
+    // planted bloom prune off vs forced on — measures what the prune
+    // costs/saves where it actually applies (the declared broadcast-
+    // regime d44 above never injects it)
+    locally {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
+           mode <- Seq("off", "on")) {
+        spark.conf.set("spark.graft.bloomPrune", mode)
+        def run(): Unit = {
+          val docs = graft.Tables.documents(spark, sf)
+          graft.operators.Corpus.decontaminate(
+            docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+            docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), shingleK = 4).count()
+        }
+        run() // warm
+        val t0 = System.nanoTime(); run()
+        val t1 = System.nanoTime(); run()
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        println(f"[scaleprobe] d44_shuffle_bloom_$mode%-11s $sf%-28s $dt%.3f s")
+      }
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.graft.bloomPrune").foreach(spark.conf.unset)
     }
     spark.stop()
   }
