@@ -67,6 +67,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.decontaminateWinnowed(emptyDocs, someDocs).count() == 0)
     assert(Corpus.decontaminateWinnowed(someDocs, emptyDocs).count() == 0)
     assert(Corpus.decontaminateWinnowed(emptyDocs, emptyDocs).count() == 0)
+    // round-8 companion: the mass-contamination audit on the same trio
+    assert(Corpus.massContaminationSuspects(emptyDocs, someDocs).count() == 0)
+    assert(Corpus.massContaminationSuspects(someDocs, emptyDocs).count() == 0)
+    assert(Corpus.massContaminationSuspects(emptyDocs, emptyDocs).count() == 0)
     // BPE: empty corpus trains an empty merge table; an empty merge table
     // over a real corpus counts whitespace+punct pre-tokens unchanged;
     // empty corpus + empty merges is empty
