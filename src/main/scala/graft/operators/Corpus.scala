@@ -77,19 +77,28 @@ object Corpus {
     if (df.sparkSession.conf.getOption("spark.graft.stageStorage")
           .getOrElse("local") == "disk") {
       val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      p.count()
+      // register BEFORE the eager count: if the materialization job dies
+      // partway, the blocks its successful tasks already stored are still
+      // tracked, so releaseStages can reclaim them on the retry path
       persistedStages.synchronized {
         persistedStages.getOrElseUpdate(df.sparkSession,
           scala.collection.mutable.Buffer.empty) += p
       }
+      p.count()
       p
     } else df.localCheckpoint(true)
 
   /** Disk-strategy stage handles per session, so [[releaseStages]] can
     * unpersist exactly what this module persisted — never a caller's own
-    * cached relations. Weak keys: a dropped session releases its entry. */
+    * cached relations. Entries live until released: the handles hold
+    * their session strongly (every Dataset does), so dropping a session
+    * WITHOUT calling releaseStages does not free anything — which is
+    * Spark's behavior anyway (cached relations live in the context-wide
+    * shared-state cache manager, not the session). [[releaseAllStages]]
+    * is the recovery hatch for orchestration that lost its session
+    * handles. */
   private val persistedStages =
-    scala.collection.mutable.WeakHashMap
+    scala.collection.mutable.Map
       .empty[org.apache.spark.sql.SparkSession,
         scala.collection.mutable.Buffer[DataFrame]]
 
@@ -101,6 +110,18 @@ object Corpus {
   def releaseStages(spark: org.apache.spark.sql.SparkSession): Unit = {
     val handles = persistedStages.synchronized {
       persistedStages.remove(spark).getOrElse(Nil)
+    }
+    handles.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Releases the disk-strategy stages of EVERY session this module has
+    * persisted for — the recovery path when orchestration no longer holds
+    * the session that ran a pipeline. */
+  def releaseAllStages(): Unit = {
+    val handles = persistedStages.synchronized {
+      val all = persistedStages.values.flatten.toList
+      persistedStages.clear()
+      all
     }
     handles.foreach(_.unpersist(blocking = false))
   }
@@ -309,10 +330,12 @@ object Corpus {
       .select(col("doc_id"),
         explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
     val bs = raw(benchmark).select(col("sh")).distinct()
-    // bloom builds from the pre-distinct benchmark shingles (idempotent
-    // insert → same bloom, no extra exchange); prune sits below the train
-    // side's distinct so it thins that exchange too
-    graft.plans.BloomPrune.pruned(raw(train), raw(benchmark), "sh")
+    // auto-gate reads bs — the relation the join broadcasts or shuffles —
+    // while the bloom builds from the pre-distinct benchmark shingles
+    // (idempotent insert → same bloom, no extra exchange); the prune sits
+    // below the train side's distinct so it thins that exchange too
+    graft.plans.BloomPrune.pruned(raw(train), bs, "sh",
+        bloomSource = Some(raw(benchmark).select(col("sh"))))
       .distinct()
       .join(bs, "sh")
       .groupBy(col("doc_id"))
@@ -357,13 +380,14 @@ object Corpus {
     * indistinguishable from boilerplate by train-df alone, so this
     * verdict reports every such copy clean. That is precisely the mass
     * leakage a popular benchmark exhibits at corpus scale, so the capped
-    * bench-side fps are NOT silently dropped: run
-    * [[massContaminationSuspects]] (same knobs) next to this verdict —
-    * it emits the training docs carrying those capped fps, and any
-    * non-empty result escalates to the exact [[decontaminate]] path over
-    * the suspect slice. CorpusSpec plants a leak in > maxDf train docs
-    * and asserts the pair of views catches what this verdict alone
-    * misses.
+    * bench-side fps are NOT silently dropped: pair this verdict with
+    * [[massContaminationSuspects]] — it emits the training docs carrying
+    * those capped fps, and any non-empty result escalates to the exact
+    * [[decontaminate]] path over the suspect slice. Use
+    * [[decontaminationAudit]] to get both views from ONE materialized
+    * train-fingerprint stage (separate calls fingerprint the corpus
+    * twice). CorpusSpec plants a leak in > maxDf train docs and asserts
+    * the pair of views catches what this verdict alone misses.
     *
     * Engine-local hash family → rows-only; agreement with the
     * oracle-checked exact form on planted leaks AND on the real-data
@@ -398,8 +422,22 @@ object Corpus {
                                 maxDf: Int = 50): DataFrame =
     winnowedDecon(train, benchmark, k, w, maxDf, minHits = 1).massSuspects
 
-  private[graft] case class DeconViews(verdict: DataFrame,
-                                       massSuspects: DataFrame)
+  /** The verdict + mass-suspect pair from ONE pipeline construction.
+    * [[decontaminateWinnowed]] and [[massContaminationSuspects]] each
+    * materialize their own train-fingerprint stage eagerly at
+    * construction, so calling them separately fingerprints the corpus
+    * twice — the dominant cost at 100 TB, and under the disk strategy two
+    * DISK_ONLY copies of the uncapped fp set. Production hygiene wants
+    * both views anyway (the verdict is incomplete without the audit of
+    * what its cap excluded), so this is the entry point to pair them
+    * from a single materialized stage. */
+  def decontaminationAudit(train: DataFrame, benchmark: DataFrame,
+                           k: Int = 40, w: Int = 4,
+                           maxDf: Int = 50, minHits: Int = 1): DeconViews =
+    winnowedDecon(train, benchmark, k, w, maxDf, minHits)
+
+  /** See [[decontaminationAudit]]. */
+  case class DeconViews(verdict: DataFrame, massSuspects: DataFrame)
 
   /** Shared core of the winnowed decontamination pair: ONE materialized
     * train fingerprint relation and ONE train-df aggregate feed both the

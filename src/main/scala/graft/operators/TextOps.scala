@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * Everything here is built-in `Column` functions (split / filter lambda /
   * regexp / sha2 / md5) — fully codegen'd, no UDFs, shuffles only at the
   * grouped aggregates (map-side combined). At 100 TB these are scan-bound
-  * passes; exact dedup shuffles one 32-byte hash + id per row, not the
-  * text (SHA-256 keys — see [[dedupGroups]] for the adversarial-collision
-  * rationale).
+  * passes; exact dedup shuffles one 32-byte raw SHA-256 digest + winner
+  * struct per row, not the text (see [[dedupGroups]] for the
+  * adversarial-collision rationale; the audit view ships the 64-char hex
+  * form because that is what the cross-engine oracle can compare).
   */
 object TextOps {
 
@@ -38,16 +39,19 @@ object TextOps {
       .orderBy(col("lang"))
 
   /** D1 — exact dedup groups: hash text, keep min doc_id per group.
-    * Scale: groupBy on sha2-256(text) shuffles 32-byte keys; the canonical
-    * "keep first" winner is min(id) — deterministic under any parallelism.
+    * Scale: groupBy on sha2-256(text); this audit view's key is the
+    * 64-char hex rendering (the engine-portable form the DuckDB oracle
+    * compares), where [[dedupDocuments]] — the materialization — shuffles
+    * the 32 raw digest bytes instead. The canonical "keep first" winner
+    * is min(id) — deterministic under any parallelism.
     *
     * SHA-256, not MD5, on purpose: a dedup key must survive ADVERSARIAL
     * input. MD5 chosen-prefix collisions are practically craftable, so a
     * hostile contributor to a web corpus could make two distinct documents
     * collide and have one silently dropped as a "duplicate" — a poisoning
     * vector for a training-data pipeline. SHA-256 is collision-resistant;
-    * the 16 extra bytes per shuffled key are noise next to the text the
-    * key replaces. */
+    * the extra digest bytes vs MD5 are noise next to the text the key
+    * replaces. */
   def dedupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -58,11 +62,12 @@ object TextOps {
     * training-data pipeline actually materializes; `dedupGroups` is its
     * audit view.
     *
-    * Shape: ONE scan, one groupBy on sha2-256(text) with `min_by` carrying
-    * the winner's whole row (same adversarial-collision rationale as
-    * [[dedupGroups]] — an MD5 key would let a crafted collision silently
-    * drop a legitimate document) — NOT a row_number window partitioned by
-    * text: a
+    * Shape: ONE scan, one groupBy on the RAW 32-byte sha2-256 digest
+    * (`unhex` of the hex form — half the shuffled key bytes of the hex
+    * rendering; same adversarial-collision rationale as [[dedupGroups]],
+    * where an MD5 key would let a crafted collision silently drop a
+    * legitimate document) with `min_by` carrying the winner's whole row —
+    * NOT a row_number window partitioned by text: a
     * window partition is buffered by a single task (AQE splits skewed
     * join partitions, never window partitions), so a hot exact duplicate
     * — boilerplate replicated across half the corpus — would pin one task
@@ -71,7 +76,7 @@ object TextOps {
     * keys + winner structs shuffle. PlanLintSpec bans content-keyed
     * windows catalog-wide. */
   def dedupDocuments(docs: DataFrame): DataFrame =
-    docs.groupBy(sha2(col("text").cast("binary"), 256).as("__h"))
+    docs.groupBy(unhex(sha2(col("text").cast("binary"), 256)).as("__h"))
       .agg(min_by(
         struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         col("doc_id")).as("__w"))

@@ -38,19 +38,30 @@ import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 object BloomPrune {
 
   /** Prunes `corpus` to (a superset of) the rows whose `key` appears in
-    * `small`, via a bloom built from `small(key)` in a scalar subquery.
+    * `small` — the relation the downstream join actually probes — via a
+    * bloom built from `bloomSource(key)` (defaults to `small`; pass the
+    * PRE-distinct form when one exists, so the subquery is a scan-bound
+    * aggregate instead of re-running the distinct's exchange).
     *
     * Injection is gated by `spark.graft.bloomPrune`:
-    *  - `"auto"` (default): inject iff the small side is estimated beyond
-    *    `spark.sql.autoBroadcastJoinThreshold` — the same plan-time stats
-    *    test Spark's broadcast decision and `InjectRuntimeFilter` use. In
-    *    the broadcast regime the join never shuffles the corpus side, so
-    *    the bloom would be pure overhead; beyond it, the bloom keeps the
-    *    corpus-side exchange from shipping keys that cannot match.
-    *  - `"on"` / `"off"`: force either way (tests; clusters whose stats
-    *    are known-bad).
+    *  - `"auto"` (default): inject iff `small` — the join side itself,
+    *    so the gate reads the same relation the broadcast planner will —
+    *    is estimated beyond `spark.sql.autoBroadcastJoinThreshold`, the
+    *    plan-time stats test Spark's own broadcast decision and
+    *    `InjectRuntimeFilter` use. In the broadcast regime the join never
+    *    shuffles the corpus side, so the bloom would be pure overhead;
+    *    beyond it, the bloom keeps the corpus-side exchange from shipping
+    *    keys that cannot match. The estimate is size-only (no
+    *    filter/distinct selectivity), so it errs CONSERVATIVE: an
+    *    over-estimate injects a bloom that AQE's runtime broadcast then
+    *    makes redundant — a bounded soft cost (one small-side scan plus a
+    *    per-row hash test), never a lost prune where the shuffle is real.
+    *    Clusters whose stats make auto misfire have the explicit
+    *    overrides.
+    *  - `"on"` / `"off"`: force either way (tests; known-bad stats).
     */
-  def pruned(corpus: DataFrame, small: DataFrame, key: String): DataFrame = {
+  def pruned(corpus: DataFrame, small: DataFrame, key: String,
+             bloomSource: Option[DataFrame] = None): DataFrame = {
     val mode = corpus.sparkSession.conf
       .getOption("spark.graft.bloomPrune").getOrElse("auto")
     val inject = mode match {
@@ -60,7 +71,8 @@ object BloomPrune {
         val thr = corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
         thr < 0 || small.queryExecution.optimizedPlan.stats.sizeInBytes > thr
     }
-    if (!inject) corpus else corpus.filter(mightContain(small, key))
+    if (!inject) corpus
+    else corpus.filter(mightContain(bloomSource.getOrElse(small), key))
   }
 
   /** The `might_contain(scalar-subquery(bloom_filter_agg(...)))` predicate

@@ -327,6 +327,11 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == leaked.toSet)
     assert(Corpus.massContaminationSuspects(train, bench, maxDf = 20)
       .collect().isEmpty)
+    // the paired entry point (one materialized train-fp stage) returns
+    // the same two views as the separate calls
+    val views = Corpus.decontaminationAudit(train, bench, maxDf = maxDf)
+    assert(views.verdict.collect().isEmpty)
+    assert(views.massSuspects.collect().map(_.getLong(0)).toSet == leaked.toSet)
   }
 
   test("pipeline audit: monotone attrition, chunk==sequence token mass, matches d43 output") {
