@@ -6,7 +6,13 @@ import org.apache.spark.sql.SparkSession
 object SparkFixture {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, maxFailures = 2 — a failed task is retried
+      // once before the job aborts, like a real cluster (default local
+      // mode makes the first failure fatal). TaskReplaySpec plants a
+      // first-attempt failure to prove operators survive task re-execution;
+      // tests that assert job failure still see it (the task just fails
+      // twice first).
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,89 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JVM-local bomb counter. A top-level object is reached through a static
+  * accessor (`MODULE$`), not captured into the serialized task closure, so
+  * executor threads in local mode increment THIS instance — a closure
+  * capturing an AtomicInteger field would deserialize into a private copy
+  * and the assertions below would read zero. */
+object TaskReplayBombs {
+  val fired = new AtomicInteger(0)
+}
+
+/** Task-replay determinism: every flagship operator must produce the SAME
+  * result when Spark re-executes a failed task — the cluster failure mode
+  * (stragglers, preemption, executor loss, speculative duplicates) that
+  * local happy-path runs never exercise. The fixture runs `local[4, 2]`
+  * (maxFailures = 2), and each test wires a pass-through UDF into the
+  * input scan that throws on a task's FIRST attempt in partition 0 —
+  * every job over the input loses a task and finishes on the retry.
+  *
+  * What this proves, that the oracle gate can't: replay safety. A task
+  * re-execution re-runs the whole partition, so any operator state that
+  * escapes the task before it fails (a half-written shuffle block is
+  * discarded by Spark, but e.g. a driver-side mutable accumulation, a
+  * non-idempotent sink, or RNG drawn per-attempt would not be) corrupts
+  * the result exactly once per failure — invisible at test SF where tasks
+  * never fail, routine at 100 TB where thousands do.
+  */
+class TaskReplaySpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  /** Pass-through over doc_id that fails each (stage, partition 0) task
+    * once: attempt 0 throws after counting itself, attempt 1 passes. */
+  private def bombed(docs: DataFrame): DataFrame = {
+    val bomb = udf { (id: Long) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+        TaskReplayBombs.fired.incrementAndGet()
+        throw new RuntimeException("planted first-attempt task failure")
+      }
+      id
+    }
+    docs.filter(bomb(col("doc_id")) >= 0L)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.toJSON.collect().sorted.toSeq
+
+  private def docs: DataFrame = Tables.documents(spark, sfDir)
+
+  private def assertReplaySafe(name: String, op: DataFrame => DataFrame): Unit = {
+    val before = TaskReplayBombs.fired.get()
+    val clean = rows(op(docs))
+    val replayed = rows(op(bombed(docs)))
+    assert(TaskReplayBombs.fired.get() > before,
+      s"$name: the planted failure never fired — the test proved nothing")
+    assert(replayed == clean, s"$name: result changed under task replay")
+  }
+
+  test("corpus pipeline (d43 shape) is replay-safe through checkpoints and " +
+      "the component loop") {
+    assertReplaySafe("trainingSequences",
+      d => operators.Corpus.trainingSequences(d,
+        Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)))
+  }
+
+  test("decontamination (d44 shape, bloom-prune path included) is replay-safe") {
+    assertReplaySafe("decontaminate", { d =>
+      val train = d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      val bench = d.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      operators.Corpus.decontaminate(train, bench, shingleK = 4)
+    })
+  }
+
+  test("exact dedup materialization (d20 shape, min_by groupBy) is replay-safe") {
+    assertReplaySafe("dedupDocuments", operators.TextOps.dedupDocuments(_))
+  }
+
+  test("minhash near-dups (d15 shape, banded LSH self-join) is replay-safe") {
+    assertReplaySafe("minhashNearDups",
+      operators.Dedup.minhashNearDups(_, minSim = 0.5, bands = 8, rowsPerBand = 4))
+  }
+}
