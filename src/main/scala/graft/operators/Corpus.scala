@@ -322,7 +322,18 @@ object Corpus {
     * stats-vs-broadcast-threshold test Spark uses (broadcast regime → no
     * bloom, it would be pure overhead); plan- and result-asserted in
     * CorpusSpec. The 100 TB shuffle never ships shingles that cannot
-    * match. */
+    * match.
+    *
+    * Choosing an entry point: this exact form is uncapped — every shared
+    * shingle counts, including mass-leaked ones — but shingles EVERY
+    * k-token run, so at corpus scale prefer the winnowed family, whose
+    * `maxDf` stop-cap has a known false-negative mode for benchmark
+    * passages mass-leaked into more than `maxDf` training docs. For that
+    * family, start at [[decontaminationAudit]]: it returns the capped
+    * verdict AND the mass-leakage suspects from one materialized
+    * fingerprint stage ([[decontaminateWinnowed]] alone reports
+    * mass-leaked copies clean), and any non-empty suspect set escalates
+    * back to this exact pass over the suspect slice. */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     shingleK: Int = 8): DataFrame = {
     require(shingleK >= 1, "shingleK >= 1")

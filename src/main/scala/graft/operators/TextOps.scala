@@ -72,9 +72,9 @@ object TextOps {
     * join partitions, never window partitions), so a hot exact duplicate
     * — boilerplate replicated across half the corpus — would pin one task
     * to its entire copy set. min_by partially aggregates, so the hot
-    * text-hash combines map-side before the exchange, and only 16-byte
-    * keys + winner structs shuffle. PlanLintSpec bans content-keyed
-    * windows catalog-wide. */
+    * text-hash combines map-side before the exchange, and only 32-byte
+    * raw-digest keys + winner structs shuffle. PlanLintSpec bans
+    * content-keyed windows catalog-wide. */
   def dedupDocuments(docs: DataFrame): DataFrame =
     docs.groupBy(unhex(sha2(col("text").cast("binary"), 256)).as("__h"))
       .agg(min_by(

@@ -88,7 +88,7 @@ object BloomPrune {
       Seq(Alias(new BloomFilterAggregate(new XxHash64(Seq(srcKey)))
         .toAggregateExpression(), "__bloom")()),
       srcPlan)
-    org.apache.spark.sql.graftbridge.ExprColumn(
+    org.apache.spark.sql.GraftColumnBridge.column(
       BloomFilterMightContain(ScalarSubquery(bloomPlan),
         new XxHash64(Seq(UnresolvedAttribute.quoted(key)))))
   }
