@@ -21,13 +21,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * k-means, BPE) the oracle never sees.
   *
   * Layout A is the declared bench shape (32 shuffle partitions, default
-  * 128 MB split packing). Layout B forces a different task decomposition
-  * everywhere: 5 shuffle partitions, 64 KB input splits, zero
-  * file-open-cost packing (each small parquet file becomes its own
-  * split instead of being bin-packed). Row multisets — not row arrays —
-  * are compared, because unordered queries may legitimately emit rows in
-  * any order; rendering goes through `toJSON` so arrays, structs, NaNs
-  * and binary columns all compare by value.
+  * 128 MB split packing, AQE coalescing on). Layout B forces a different
+  * task decomposition everywhere: 5 shuffle partitions, 64 KB input
+  * splits, zero file-open-cost packing (each small parquet file becomes
+  * its own split instead of being bin-packed) — and AQE partition
+  * coalescing OFF, because with it on both layouts' shuffle sides would
+  * coalesce toward the same stats-driven effective partitioning at test
+  * SF, collapsing the 32-vs-5 delta this gate exists to exercise;
+  * disabling it in B pins the raw 5-partition decomposition. Row
+  * multisets — not row arrays — are compared, because unordered queries
+  * may legitimately emit rows in any order; rendering goes through
+  * `toJSON` so arrays, structs, NaNs and binary columns all compare by
+  * value.
   */
 class LayoutInvarianceSpec extends AnyFunSuite {
   import SparkFixture.{spark, sfDir}
@@ -35,11 +40,13 @@ class LayoutInvarianceSpec extends AnyFunSuite {
   private val layoutA = Map(
     "spark.sql.shuffle.partitions" -> "32",
     "spark.sql.files.maxPartitionBytes" -> "134217728",
-    "spark.sql.files.openCostInBytes" -> "4194304")
+    "spark.sql.files.openCostInBytes" -> "4194304",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true")
   private val layoutB = Map(
     "spark.sql.shuffle.partitions" -> "5",
     "spark.sql.files.maxPartitionBytes" -> "65536",
-    "spark.sql.files.openCostInBytes" -> "0")
+    "spark.sql.files.openCostInBytes" -> "0",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
 
   /** Runs every declared query under `confs`, returning per query either
     * the failure message or (schema, sorted row multiset). */

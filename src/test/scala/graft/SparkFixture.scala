@@ -11,7 +11,11 @@ object SparkFixture {
       // mode makes the first failure fatal). TaskReplaySpec plants a
       // first-attempt failure to prove operators survive task re-execution;
       // tests that assert job failure still see it (the task just fails
-      // twice first).
+      // twice first). Consequence for every suite sharing this fixture: a
+      // genuinely-failing task EXECUTES ITS WORK TWICE, so failure-path
+      // tests must not assert exactly-once side effects — reset any
+      // attempt-sensitive state per test, as TaskReplaySpec does with its
+      // before-counter snapshot.
       .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")

@@ -54,7 +54,22 @@ class TaskReplaySpec extends AnyFunSuite {
 
   private def docs: DataFrame = Tables.documents(spark, sfDir)
 
+  /** `bombed` passes rows through via `bomb(doc_id) >= 0L`, which would
+    * silently DROP null/negative ids — the bombed input would then differ
+    * from the clean input and every assertion below would report a bogus
+    * "result changed under task replay". Pin the fixture shape once so a
+    * data change fails loudly as a fixture problem instead. (A tautology
+    * filter like `bomb(id).isNotNull || lit(true)` is not an option:
+    * BooleanSimplification folds `deterministic-expr OR true` away and the
+    * bomb would never plan, tripping the non-vacuity assert.) */
+  private lazy val fixtureShapeChecked: Unit = {
+    val bad = docs.filter(col("doc_id").isNull || col("doc_id") < 0L).count()
+    assert(bad == 0L, s"fixture problem: $bad null/negative doc_ids — " +
+      "bombed() would silently drop them; use a different pass-through")
+  }
+
   private def assertReplaySafe(name: String, op: DataFrame => DataFrame): Unit = {
+    fixtureShapeChecked
     val before = TaskReplayBombs.fired.get()
     val clean = rows(op(docs))
     val replayed = rows(op(bombed(docs)))
@@ -68,6 +83,37 @@ class TaskReplaySpec extends AnyFunSuite {
     assertReplaySafe("trainingSequences",
       d => operators.Corpus.trainingSequences(d,
         Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)))
+  }
+
+  test("corpus pipeline (d43 shape) is replay-safe under stageStorage=disk, " +
+      "and the release contract holds after a planted failure") {
+    // the one replay-relevant branch the default-strategy test never
+    // exercises: stageMaterialize's register-BEFORE-count path — the bomb
+    // fires inside the eager count() that materializes the DISK_ONLY
+    // stage, so the persist handle must already be registered when the
+    // failed attempt's partial blocks land, or releaseStages would leak
+    // them on the retry path
+    spark.conf.set("spark.graft.stageStorage", "disk")
+    try {
+      def diskStages = spark.sparkContext.getPersistentRDDs.values
+        .filter(_.getStorageLevel ==
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      assertReplaySafe("trainingSequences[stageStorage=disk]",
+        d => operators.Corpus.trainingSequences(d,
+          Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)))
+      // both passes (clean + bombed) persisted stages, the bombed pass
+      // through a materialization job that lost and replayed a task —
+      // release must still drop every DISK_ONLY block this module stored
+      assert(diskStages.nonEmpty,
+        "disk strategy never persisted a stage — the test proved nothing")
+      operators.Corpus.releaseStages(spark)
+      assert(diskStages.isEmpty,
+        "releaseStages left DISK_ONLY stage blocks behind after a " +
+          "planted task failure")
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+      operators.Corpus.releaseStages(spark)
+    }
   }
 
   test("decontamination (d44 shape, bloom-prune path included) is replay-safe") {
