@@ -224,6 +224,11 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
         docs.filter(pmod(col("doc_id"), lit(97L)) === 0L))
     }),
+    // model-based quality scoring: count-NB distilled from the d27 gate;
+    // training runs eagerly at construction (one 2x16 count aggregate),
+    // the declared plan is the zero-shuffle literal-weight score projection
+    "d50_quality_scores" -> ((s, d) =>
+      QualityModel.qualityScores(Tables.documents(s, d))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>
@@ -831,6 +836,52 @@ object SparkEntry {
         pr("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
           "CAST(len(string_split(text, ' ')) AS DOUBLE)", 6) + " AS ttr " +
         "FROM documents ORDER BY doc_id"),
+    // d50: replays the full distillation — weak label (the d27 gate),
+    // fixed-edge bins, Laplace-smoothed count-NB weights micro-quantized
+    // exactly as the Spark side (the d29 floor(x*1e6 + 0.5) pattern), then
+    // the per-doc INTEGER micro sum. ln() differs <= 1 ulp between libms;
+    // quantization absorbs it (see QualityModel's determinism contract).
+    "d50_quality_scores" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "len(string_split(text, ' ')) AS n_tok, " +
+        "len(replace(text, ' ', '')) AS non_space, " +
+        "len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, " +
+        "len(text) AS n_len, " +
+        "len(list_distinct(string_split(text, ' '))) AS n_types FROM documents), " +
+        "b AS (SELECT doc_id, " +
+        "(n_tok >= 10 AND CAST(non_space AS DOUBLE) / n_tok >= 2.0 " +
+        "AND CAST(non_space AS DOUBLE) / n_tok <= 15.0 " +
+        "AND CAST(n_punct AS DOUBLE) / n_len <= 0.1) AS label, " +
+        "CASE WHEN n_tok < 10 THEN 0 WHEN n_tok < 50 THEN 1 " +
+        "WHEN n_tok < 200 THEN 2 ELSE 3 END AS b_len, " +
+        "CASE WHEN CAST(non_space AS DOUBLE) / n_tok < 2.0 THEN 0 " +
+        "WHEN CAST(non_space AS DOUBLE) / n_tok < 5.0 THEN 1 " +
+        "WHEN CAST(non_space AS DOUBLE) / n_tok <= 15.0 THEN 2 ELSE 3 END AS b_tok, " +
+        "CASE WHEN CAST(n_punct AS DOUBLE) / n_len <= 0.02 THEN 0 " +
+        "WHEN CAST(n_punct AS DOUBLE) / n_len <= 0.1 THEN 1 ELSE 2 END AS b_punct, " +
+        "CASE WHEN CAST(n_types AS DOUBLE) / n_tok < 0.3 THEN 0 " +
+        "WHEN CAST(n_types AS DOUBLE) / n_tok < 0.6 THEN 1 " +
+        "WHEN CAST(n_types AS DOUBLE) / n_tok < 0.9 THEN 2 ELSE 3 END AS b_ttr " +
+        "FROM f), " +
+        "l AS (SELECT doc_id, label, 'b_len' AS feat, b_len AS bin, 4 AS nb FROM b " +
+        "UNION ALL SELECT doc_id, label, 'b_tok', b_tok, 4 FROM b " +
+        "UNION ALL SELECT doc_id, label, 'b_punct', b_punct, 3 FROM b " +
+        "UNION ALL SELECT doc_id, label, 'b_ttr', b_ttr, 4 FROM b), " +
+        "cls AS (SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS npos, " +
+        "sum(CASE WHEN label THEN 0 ELSE 1 END) AS nneg FROM b), " +
+        "c AS (SELECT feat, bin, nb, " +
+        "sum(CASE WHEN label THEN 1 ELSE 0 END) AS np, " +
+        "sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn " +
+        "FROM l GROUP BY feat, bin, nb), " +
+        "w AS (SELECT feat, bin, CAST(floor((ln(np + 1) - ln(npos + nb) " +
+        "- ln(nn + 1) + ln(nneg + nb)) * 1000000 + 0.5) AS BIGINT) AS wm " +
+        "FROM c, cls), " +
+        "p AS (SELECT CAST(floor((ln(npos + 1) - ln(nneg + 1)) * 1000000 + 0.5) " +
+        "AS BIGINT) AS pm FROM cls), " +
+        "s AS (SELECT l.doc_id, sum(w.wm) AS sw FROM l " +
+        "JOIN w ON l.feat = w.feat AND l.bin = w.bin GROUP BY l.doc_id) " +
+        "SELECT s.doc_id, CAST(s.sw + p.pm AS DOUBLE) / 1000000.0 AS quality_score, " +
+        "(s.sw + p.pm) > 0 AS model_keep FROM s, p ORDER BY doc_id"),
     "d33_chunked_docs" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "e AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t), " +

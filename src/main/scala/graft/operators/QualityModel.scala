@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality scoring (declared d50): distill the
+  * conjunctive heuristic gate ([[TextOps.qualityKeep]], declared d27)
+  * into a count-based naive-Bayes model over binned quality features,
+  * then score every document with a graded log-odds instead of a hard
+  * boolean. The weak-label → classifier → soft-score promotion is the
+  * standard corpus-quality pattern (GPT-3's LR quality filter, Brown et
+  * al. 2020, arXiv:2005.14165 §2.2; CCNet's LM filter): the gate only
+  * answers keep/drop, the model RANKS — its factorized score grades
+  * documents the conjunction lumps together, which is what a pipeline
+  * needs for quality-aware sampling and threshold sweeps.
+  *
+  * Why count-NB and not an iterative MLlib fit (the reference's LR/GBT
+  * M-ops): at 100 TB, training must be ONE map-side-combinable
+  * aggregation, and the score must be layout-invariant and
+  * oracle-checkable. A 2-row × 16-column count aggregate gives exactly
+  * that — integer counts are bit-identical under any partitioning, task
+  * replay, or engine, so the whole model (log-likelihood-ratio weights,
+  * micro-quantized like d29's surprisal) is deterministic end to end.
+  * An L-BFGS fit's treeAggregate sums gradients in partition order: its
+  * coefficients drift in the last ulp across layouts, which would fail
+  * the cross-layout gate by construction. MLlib remains the right tool
+  * for the wide churn-feature models (M9–M14); for a 4-feature
+  * quality distillation the closed form is strictly better.
+  *
+  * Scale shape: training is one scan → one 2×16 partial-aggregated
+  * groupBy (the collect ships ~32 longs — a model, not data); scoring is
+  * a ZERO-SHUFFLE codegen'd projection, the trained weights embedded as
+  * literal when-chains over the bin columns. No join, no broadcast, no
+  * state — the 100 TB score pass is scan-bound.
+  *
+  * Determinism contract: bin edges are decimal literals compared against
+  * ratios of exact integers (one correctly-rounded division — identical
+  * bits on any engine); weights/prior are `floor(x·10⁶ + 0.5)` micro
+  * units (libm `ln` differs ≤ 1 ulp between engines; a flip needs the
+  * pre-round value within ~1e-10 of a boundary — the d29 argument); the
+  * per-doc score is an INTEGER sum of micro weights, so summation order
+  * cannot move it. Same non-empty-text contract as d27's gate. */
+object QualityModel {
+
+  /** (bin column, bin count). Edges are fixed constants chosen around the
+    * d27 gate's thresholds plus the d32 type-token ratio — every feature
+    * is a ratio of exact integers, so binning is engine-portable. */
+  private val features: Seq[(String, Int)] =
+    Seq(("b_len", 4), ("b_tok", 4), ("b_punct", 3), ("b_ttr", 4))
+
+  /** One scan: weak label (the d27 gate) + the four binned features. */
+  private def binned(docs: DataFrame): DataFrame = {
+    val nTok = TextOps.tokenCount("text")
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val nTypes = size(array_distinct(split(col("text"), " ", -1))).cast("long")
+    val r1 = nonSpace.cast("double") / nTok.cast("double")
+    val r2 = nPunct.cast("double") / length(col("text")).cast("double")
+    val ttr = nTypes.cast("double") / nTok.cast("double")
+    docs.select(
+      col("doc_id"),
+      TextOps.qualityKeep.as("label"),
+      when(nTok < 10, 0L).when(nTok < 50, 1L)
+        .when(nTok < 200, 2L).otherwise(3L).as("b_len"),
+      when(r1 < 2.0, 0L).when(r1 < 5.0, 1L)
+        .when(r1 <= 15.0, 2L).otherwise(3L).as("b_tok"),
+      when(r2 <= 0.02, 0L).when(r2 <= 0.1, 1L).otherwise(2L).as("b_punct"),
+      when(ttr < 0.3, 0L).when(ttr < 0.6, 1L)
+        .when(ttr < 0.9, 2L).otherwise(3L).as("b_ttr"))
+  }
+
+  /** Trained model: micro-quantized (×10⁶) log-likelihood-ratio weight
+    * per (feature, bin) — Laplace α = 1 over each feature's full bin
+    * range, so bins unseen in one class still score finitely — plus the
+    * class-prior log-odds. Integer micro units on purpose: the score is
+    * then an exact integer sum (see determinism contract above). */
+  final case class Model(priorMicro: Long, weights: Map[(String, Long), Long])
+
+  private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  /** One aggregation job (2 label rows × [count + 15 bin counts]); the
+    * collect ships the count matrix only. Counts are exact integers, so
+    * the model is identical under any partitioning or task replay. */
+  def train(docs: DataFrame): Model = {
+    val b = binned(docs)
+    val aggs = count(lit(1)).as("__n") +:
+      features.flatMap { case (f, nb) =>
+        (0 until nb).map(i =>
+          sum(when(col(f) === i, 1L).otherwise(0L)).as(s"${f}__$i"))
+      }
+    val rows = b.groupBy(col("label")).agg(aggs.head, aggs.tail: _*).collect()
+    def cnt(label: Boolean, c: String): Long =
+      rows.find(_.getBoolean(0) == label)
+        .map(r => r.getLong(r.fieldIndex(c))).getOrElse(0L)
+    val nPos = cnt(true, "__n")
+    val nNeg = cnt(false, "__n")
+    val weights = features.flatMap { case (f, nb) =>
+      (0 until nb).map { i =>
+        val np = cnt(true, s"${f}__$i")
+        val nn = cnt(false, s"${f}__$i")
+        (f, i.toLong) -> micro(
+          math.log(np + 1.0) - math.log(nPos + nb.toDouble) -
+            math.log(nn + 1.0) + math.log(nNeg + nb.toDouble))
+      }
+    }.toMap
+    Model(micro(math.log(nPos + 1.0) - math.log(nNeg + 1.0)), weights)
+  }
+
+  /** Scores every document under a trained model: zero-shuffle projection,
+    * weights embedded as literal when-chains (exhaustive over each
+    * feature's bin range by construction of [[binned]]). */
+  def scoreDocuments(docs: DataFrame, model: Model): DataFrame = {
+    val termCols: Seq[Column] = features.map { case (f, nb) =>
+      (1 until nb).foldLeft(
+        when(col(f) === 0L, lit(model.weights((f, 0L)))): Column) { (acc, i) =>
+        acc.when(col(f) === i.toLong, lit(model.weights((f, i.toLong))))
+      }
+    }
+    val scoreMicro = termCols.foldLeft(lit(model.priorMicro): Column)(_ + _)
+    binned(docs)
+      .select(col("doc_id"), scoreMicro.as("__m"))
+      .select(col("doc_id"),
+        (col("__m").cast("double") / lit(1000000.0)).as("quality_score"),
+        (col("__m") > 0L).as("model_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D5/M composition — declared d50: train on the corpus's own weak
+    * labels, score the same corpus (the standard self-distillation form;
+    * pass a held-out frame to [[train]] + [[scoreDocuments]] to split). */
+  def qualityScores(docs: DataFrame): DataFrame =
+    scoreDocuments(docs, train(docs))
+}

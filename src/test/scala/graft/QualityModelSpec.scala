@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{QualityModel, TextOps}
+
+/** d50 — model-based quality scoring (count-NB distilled from the d27
+  * heuristic gate). The DuckDB oracle checks end-to-end equality; these
+  * tests pin the properties the oracle can't express: model determinism
+  * under layout change, Laplace behavior on unseen bins, separation on a
+  * hand-built corpus, and that the score is graded rather than a
+  * re-encoding of the boolean gate. */
+class QualityModelSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("model is bit-identical under adversarial repartitioning") {
+    val m1 = QualityModel.train(docs)
+    val m2 = QualityModel.train(docs.repartition(7, col("text")))
+    assert(m1 == m2, "integer-count training must be layout-invariant")
+  }
+
+  test("declared d50: one row per doc, finite graded scores") {
+    val out = QualityModel.qualityScores(docs).collect()
+    assert(out.length == docs.count())
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(s => !s.isNaN && !s.isInfinite))
+    assert(scores.distinct.length > 2,
+      "factorized NB must grade documents, not re-encode the boolean gate")
+  }
+
+  test("distillation sanity: high agreement with the weak gate, and " +
+      "gate-passers score above gate-failers on average") {
+    val labels = docs.select(col("doc_id"), TextOps.qualityKeep.as("label"))
+    val j = QualityModel.qualityScores(docs).join(labels, "doc_id")
+    val n = j.count().toDouble
+    val agree = j.filter(col("model_keep") === col("label")).count() / n
+    assert(agree >= 0.8, s"gate agreement only $agree")
+    // separation is only defined when the corpus has both classes (at
+    // sf0.001 every document passes the gate — the class-prior then
+    // dominates and full agreement above is the right degenerate check;
+    // the hand-case test pins separation on a two-class corpus)
+    val means = j.groupBy(col("label")).agg(avg(col("quality_score")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    if (means.size == 2)
+      assert(means(true) > means(false),
+        s"no separation: pos mean ${means(true)} <= neg mean ${means(false)}")
+  }
+
+  test("hand case: a separable corpus is classified perfectly") {
+    // six gate-passers (>= 10 tokens of sane length, no punctuation) and
+    // six gate-failers (3 short tokens) — separable on b_len alone
+    val good = (1L to 6L).map(i =>
+      (i, (1 to 12).map(j => s"tok${i}x$j").mkString(" ")))
+    val bad = (7L to 12L).map(i => (i, "a b c"))
+    val df = (good ++ bad).toDF("doc_id", "text")
+    val out = QualityModel.qualityScores(df).collect()
+    out.foreach { r =>
+      val keep = r.getBoolean(2)
+      assert(keep == (r.getLong(0) <= 6L),
+        s"doc ${r.getLong(0)} misclassified on a separable corpus")
+    }
+  }
+
+  test("Laplace smoothing: a bin unseen in training scores finitely") {
+    // train without any heavy-punctuation doc (b_punct = 2 unseen in both
+    // classes), then score one — the smoothed weight must be finite
+    val train = (1L to 8L).map(i =>
+      (i, (1 to 12).map(j => s"w${i}v$j").mkString(" ")))
+    val model = QualityModel.train(train.toDF("doc_id", "text"))
+    val scored = QualityModel.scoreDocuments(
+      Seq((99L, "a!!! b!!! c!!! d!!! e!!!")).toDF("doc_id", "text"), model)
+      .collect()
+    assert(scored.length == 1)
+    val s = scored(0).getDouble(1)
+    assert(!s.isNaN && !s.isInfinite, s"unseen bin produced $s")
+  }
+}

@@ -132,4 +132,11 @@ class TaskReplaySpec extends AnyFunSuite {
     assertReplaySafe("minhashNearDups",
       operators.Dedup.minhashNearDups(_, minSim = 0.5, bands = 8, rowsPerBand = 4))
   }
+
+  test("model-based quality scoring (d50 shape, train + score) is replay-safe") {
+    // the bomb fires in BOTH jobs over the input: the training count
+    // aggregate (collected into the literal-weight model) and the score
+    // projection — integer counts make the replayed model bit-identical
+    assertReplaySafe("qualityScores", operators.QualityModel.qualityScores(_))
+  }
 }
