@@ -64,6 +64,13 @@ import graft.{GraftExtensions, SparkEntry}
   * 0.54 / 0.37 (1.5× faster) — the prune pays as soon as there is real
   * corpus-side shuffle data to thin, which is its whole premise at
   * 100 TB.
+  *
+  * Round-10 measurement (d50 model-based quality scoring, train +
+  * score): 0.37 s → 0.29 s → 0.37 s across sf0.001/sf0.01/sf0.1 —
+  * FLAT across 100× data (ratio ~1.0, the strongest overhead-bound
+  * profile in the catalog): the two jobs (one 2×16 count aggregate,
+  * one zero-shuffle scan-bound score projection) are pure scheduling
+  * cost at test SF, exactly what the literal-weight design predicts.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -77,7 +84,7 @@ object ScaleProbe {
       "x30_asof_last_order", "x34_asof_bucketed", "d43_training_sequences",
       "d44_decontaminate", "d45_pipeline_audit",
       "d47_training_sequences_winnowed", "d49_decontaminate_winnowed",
-      "d20_dedup_docs")
+      "d20_dedup_docs", "d50_quality_scores")
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
          q <- qs) {
       SparkEntry.queries(q)(spark, sf).count() // warm: codegen + JIT

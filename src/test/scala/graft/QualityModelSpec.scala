@@ -65,6 +65,18 @@ class QualityModelSpec extends AnyFunSuite {
     }
   }
 
+  test("held-out split: a model trained on one frame scores another " +
+      "(the train/score API split the scaladoc advertises)") {
+    val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    val hold = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+    val out = QualityModel.scoreDocuments(hold, QualityModel.train(train))
+      .collect()
+    assert(out.length == hold.count())
+    assert(out.forall { r =>
+      val s = r.getDouble(1); !s.isNaN && !s.isInfinite
+    })
+  }
+
   test("Laplace smoothing: a bin unseen in training scores finitely") {
     // train without any heavy-punctuation doc (b_punct = 2 unseen in both
     // classes), then score one — the smoothed weight must be finite
