@@ -77,6 +77,20 @@ class QualityModelSpec extends AnyFunSuite {
     })
   }
 
+  test("empty inputs: empty corpus trains an all-zero model (score 0, " +
+      "keep false); scoring an empty frame yields no rows") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = QualityModel.train(empty)
+    assert(m.priorMicro == 0L && m.weights.values.forall(_ == 0L),
+      "ln(1)-based smoothing must zero every weight on an empty corpus")
+    val scored = QualityModel.scoreDocuments(
+      Seq((1L, "some plain text here okay fine good yes and more tokens"))
+        .toDF("doc_id", "text"), m).collect()
+    assert(scored.length == 1 && scored(0).getDouble(1) == 0.0 &&
+      !scored(0).getBoolean(2))
+    assert(QualityModel.qualityScores(empty).collect().isEmpty)
+  }
+
   test("Laplace smoothing: a bin unseen in training scores finitely") {
     // train without any heavy-punctuation doc (b_punct = 2 unseen in both
     // classes), then score one — the smoothed weight must be finite
