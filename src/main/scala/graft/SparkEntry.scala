@@ -227,8 +227,11 @@ object SparkEntry {
     // model-based quality scoring: count-NB distilled from the d27 gate;
     // training runs eagerly at construction (one 2x16 count aggregate),
     // the declared plan is the zero-shuffle literal-weight score projection
+    // plus the orderBy this wrapper adds for oracle comparability (the
+    // operator itself imposes no sort — a 100 TB score pass shouldn't)
     "d50_quality_scores" -> ((s, d) =>
-      QualityModel.qualityScores(Tables.documents(s, d))),
+      QualityModel.qualityScores(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "m15_binary_metrics" -> ((s, d) =>
       Metrics.binaryMetrics(Metrics.labeledOrders(ord(s, d)))),
     "m16_confusion_matrix" -> ((s, d) =>

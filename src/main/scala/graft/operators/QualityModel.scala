@@ -39,7 +39,13 @@ import org.apache.spark.sql.functions._
   * units (libm `ln` differs ≤ 1 ulp between engines; a flip needs the
   * pre-round value within ~1e-10 of a boundary — the d29 argument); the
   * per-doc score is an INTEGER sum of micro weights, so summation order
-  * cannot move it. Same non-empty-text contract as d27's gate. */
+  * cannot move it. NULL text is classed negative outright
+  * (`coalesce(gate, false)`) — the gate's three-valued NULL would
+  * otherwise form a third label group at training time — matching both
+  * the oracle's `CASE WHEN label THEN 1 ELSE 0` semantics and
+  * [[TextOps.qualityFilter]]'s otherwise-branch; its bins land in each
+  * feature's ELSE arm on both engines. Otherwise the same non-empty-text
+  * contract as d27's gate. */
 object QualityModel {
 
   /** (bin column, bin count). Edges are fixed constants chosen around the
@@ -48,24 +54,25 @@ object QualityModel {
   private val features: Seq[(String, Int)] =
     Seq(("b_len", 4), ("b_tok", 4), ("b_punct", 3), ("b_ttr", 4))
 
-  /** One scan: weak label (the d27 gate) + the four binned features. */
+  /** One scan: weak label (the d27 gate, NULL coalesced to the negative
+    * class) + the four binned features. Feature expressions and gate
+    * thresholds come from [[TextOps]] (single source with d27), so the
+    * label and its features cannot drift apart. */
   private def binned(docs: DataFrame): DataFrame = {
     val nTok = TextOps.tokenCount("text")
-    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val nPunct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
     val nTypes = size(array_distinct(split(col("text"), " ", -1))).cast("long")
-    val r1 = nonSpace.cast("double") / nTok.cast("double")
-    val r2 = nPunct.cast("double") / length(col("text")).cast("double")
+    val r1 = TextOps.nonSpaceLen.cast("double") / nTok.cast("double")
+    val r2 = TextOps.punctLen.cast("double") / length(col("text")).cast("double")
     val ttr = nTypes.cast("double") / nTok.cast("double")
     docs.select(
       col("doc_id"),
-      TextOps.qualityKeep.as("label"),
-      when(nTok < 10, 0L).when(nTok < 50, 1L)
+      coalesce(TextOps.qualityKeep, lit(false)).as("label"),
+      when(nTok < TextOps.QualityMinTokens, 0L).when(nTok < 50, 1L)
         .when(nTok < 200, 2L).otherwise(3L).as("b_len"),
-      when(r1 < 2.0, 0L).when(r1 < 5.0, 1L)
-        .when(r1 <= 15.0, 2L).otherwise(3L).as("b_tok"),
-      when(r2 <= 0.02, 0L).when(r2 <= 0.1, 1L).otherwise(2L).as("b_punct"),
+      when(r1 < TextOps.QualityMinMeanTokLen, 0L).when(r1 < 5.0, 1L)
+        .when(r1 <= TextOps.QualityMaxMeanTokLen, 2L).otherwise(3L).as("b_tok"),
+      when(r2 <= 0.02, 0L).when(r2 <= TextOps.QualityMaxPunctRatio, 1L)
+        .otherwise(2L).as("b_punct"),
       when(ttr < 0.3, 0L).when(ttr < 0.6, 1L)
         .when(ttr < 0.9, 2L).otherwise(3L).as("b_ttr"))
   }
@@ -109,7 +116,10 @@ object QualityModel {
 
   /** Scores every document under a trained model: zero-shuffle projection,
     * weights embedded as literal when-chains (exhaustive over each
-    * feature's bin range by construction of [[binned]]). */
+    * feature's bin range by construction of [[binned]]). Output order is
+    * unspecified — the declared d50 catalog entry adds an `orderBy` for
+    * oracle comparability; a pipeline materializing scores at corpus
+    * scale should NOT pay that sort, so the operator doesn't impose it. */
   def scoreDocuments(docs: DataFrame, model: Model): DataFrame = {
     val termCols: Seq[Column] = features.map { case (f, nb) =>
       (1 until nb).foldLeft(
@@ -123,7 +133,6 @@ object QualityModel {
       .select(col("doc_id"),
         (col("__m").cast("double") / lit(1000000.0)).as("quality_score"),
         (col("__m") > 0L).as("model_keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** D5/M composition — declared d50: train on the corpus's own weak

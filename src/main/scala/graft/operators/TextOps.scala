@@ -184,19 +184,33 @@ object TextOps {
     * the materialization a pipeline acts on. All predicates are exact
     * integer ratios (IEEE division of integers, deterministic in any
     * engine); one scan, one bounded-key aggregate. */
+  /** Shared quality-feature expressions and gate thresholds — single
+    * source for [[qualityKeep]] (d27) and the d50 model's bins
+    * ([[QualityModel]]), so the weak label and the features it supervises
+    * cannot silently drift apart (and the DuckDB oracle constants have
+    * exactly one Scala counterpart each). */
+  private[operators] def nonSpaceLen: org.apache.spark.sql.Column =
+    length(regexp_replace(col("text"), " ", "")).cast("long")
+  private[operators] def punctLen: org.apache.spark.sql.Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+  private[operators] val QualityMinTokens = 10
+  private[operators] val QualityMinMeanTokLen = 2.0
+  private[operators] val QualityMaxMeanTokLen = 15.0
+  private[operators] val QualityMaxPunctRatio = 0.1
+
   /** The C4/Gopher-style keep predicate of [[qualityFilter]], exposed for
     * composition (the corpus pipeline filters by it directly): ≥ 10 tokens,
     * mean token length in [2, 15], punctuation mass ≤ 10% of characters.
-    * All exact integer ratios — deterministic in any engine. */
+    * All exact integer ratios — deterministic in any engine. NULL text
+    * yields NULL (three-valued logic): `filter`/`when(...).otherwise`
+    * consumers class such rows as drops, which is the d27/d50 contract. */
   def qualityKeep: org.apache.spark.sql.Column = {
     val nTok = tokenCount("text")
-    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val nPunct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
-    (nTok >= 10) &&
-      (nonSpace.cast("double") / nTok.cast("double") >= 2.0) &&
-      (nonSpace.cast("double") / nTok.cast("double") <= 15.0) &&
-      (nPunct.cast("double") / length(col("text")).cast("double") <= 0.1)
+    (nTok >= QualityMinTokens) &&
+      (nonSpaceLen.cast("double") / nTok.cast("double") >= QualityMinMeanTokLen) &&
+      (nonSpaceLen.cast("double") / nTok.cast("double") <= QualityMaxMeanTokLen) &&
+      (punctLen.cast("double") / length(col("text")).cast("double") <= QualityMaxPunctRatio)
   }
 
   def qualityFilter(docs: DataFrame): DataFrame = {

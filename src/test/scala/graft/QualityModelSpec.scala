@@ -91,6 +91,30 @@ class QualityModelSpec extends AnyFunSuite {
     assert(QualityModel.qualityScores(empty).collect().isEmpty)
   }
 
+  test("NULL text trains and scores as the negative class (no third " +
+      "label group, no silent exclusion)") {
+    // six gate-passers + two NULL-text docs: the NULLs must land in the
+    // negative class (coalesce(gate, false)), not crash training with a
+    // null label group or silently drop out of the counts — pinned by the
+    // class-prior ln((nPos+1)/(nNeg+1)) = ln(7/3) in micro units
+    val good = (1L to 6L).map(i =>
+      (i, Some((1 to 12).map(j => s"tok${i}x$j").mkString(" "))))
+    val df = (good ++ Seq((7L, None), (8L, None)))
+      .toDF("doc_id", "text")
+    val m = QualityModel.train(df)
+    assert(m.priorMicro ==
+      math.floor((math.log(7.0) - math.log(3.0)) * 1e6 + 0.5).toLong,
+      "NULL-text docs must count as negatives in the class prior")
+    val scored = QualityModel.scoreDocuments(df, m).collect()
+    assert(scored.length == 8, "NULL-text docs must be scored, not dropped")
+    scored.foreach { r =>
+      val s = r.getDouble(1)
+      assert(!s.isNaN && !s.isInfinite)
+      assert(r.getBoolean(2) == (r.getLong(0) <= 6L),
+        s"doc ${r.getLong(0)}: NULL-text rows must score negative")
+    }
+  }
+
   test("Laplace smoothing: a bin unseen in training scores finitely") {
     // train without any heavy-punctuation doc (b_punct = 2 unseen in both
     // classes), then score one — the smoothed weight must be finite
