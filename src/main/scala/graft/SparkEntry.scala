@@ -844,6 +844,13 @@ object SparkEntry {
     // exactly as the Spark side (the d29 floor(x*1e6 + 0.5) pattern), then
     // the per-doc INTEGER micro sum. ln() differs <= 1 ulp between libms;
     // quantization absorbs it (see QualityModel's determinism contract).
+    // SELF-DISTILLATION ONLY: the score join `s` inner-joins to weights
+    // derived from OBSERVED (feat, bin) counts, which is exactly
+    // equivalent here because train corpus == score corpus (every scored
+    // bin was observed). A held-out-scoring variant must NOT reuse this
+    // SQL unchanged: docs with training-unseen bins would drop out of the
+    // inner join, while the Scala side scores them with smoothed weights
+    // over each feature's FULL declared bin range.
     "d50_quality_scores" ->
       ("WITH f AS (SELECT doc_id, " +
         "len(string_split(text, ' ')) AS n_tok, " +

@@ -86,22 +86,45 @@ object QualityModel {
 
   private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
 
-  /** One aggregation job (2 label rows × [count + 15 bin counts]); the
-    * collect ships the count matrix only. Counts are exact integers, so
-    * the model is identical under any partitioning or task replay. */
-  def train(docs: DataFrame): Model = {
-    val b = binned(docs)
+  /** The training-side count aggregate as an (unexecuted) DataFrame:
+    * 2 label rows × [count + 15 per-bin counts]. Package-private so tests
+    * can assert its PLAN shape (map-side partial aggregation, no window)
+    * directly — the declared d50 catalog entry runs [[train]] eagerly at
+    * query-construction time, so catalog-wide plan tooling (DumpPlans,
+    * PlanLintSpec) only ever sees the scoring projection, never this
+    * aggregate; QualityModelSpec covers that blind spot against it. */
+  private[graft] def trainingAggregate(docs: DataFrame): DataFrame = {
     val aggs = count(lit(1)).as("__n") +:
       features.flatMap { case (f, nb) =>
         (0 until nb).map(i =>
           sum(when(col(f) === i, 1L).otherwise(0L)).as(s"${f}__$i"))
       }
-    val rows = b.groupBy(col("label")).agg(aggs.head, aggs.tail: _*).collect()
+    binned(docs).groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One aggregation job (2 label rows × [count + 15 bin counts]); the
+    * collect ships the count matrix only. Counts are exact integers, so
+    * the model is identical under any partitioning or task replay. */
+  def train(docs: DataFrame): Model = {
+    val rows = trainingAggregate(docs).collect()
     def cnt(label: Boolean, c: String): Long =
       rows.find(_.getBoolean(0) == label)
         .map(r => r.getLong(r.fieldIndex(c))).getOrElse(0L)
     val nPos = cnt(true, "__n")
     val nNeg = cnt(false, "__n")
+    // Conservation check: every doc of a class must land in exactly one
+    // bin of every feature. If a future binned() edit emits a bin outside
+    // a feature's declared 0..nb-1 range, those rows fall into NO per-bin
+    // bucket above (each bucket is an equality sum) and the model would
+    // silently under-count — fail loudly at train time instead.
+    features.foreach { case (f, nb) =>
+      Seq(true -> nPos, false -> nNeg).foreach { case (lbl, n) =>
+        val binSum = (0 until nb).map(i => cnt(lbl, s"${f}__$i")).sum
+        require(binSum == n,
+          s"d50 $f (label=$lbl): bin counts sum to $binSum, class total $n" +
+            s" — binned() emitted a bin outside 0..${nb - 1}")
+      }
+    }
     val weights = features.flatMap { case (f, nb) =>
       (0 until nb).map { i =>
         val np = cnt(true, s"${f}__$i")
@@ -122,10 +145,17 @@ object QualityModel {
     * scale should NOT pay that sort, so the operator doesn't impose it. */
   def scoreDocuments(docs: DataFrame, model: Model): DataFrame = {
     val termCols: Seq[Column] = features.map { case (f, nb) =>
-      (1 until nb).foldLeft(
+      val chain = (1 until nb).foldLeft(
         when(col(f) === 0L, lit(model.weights((f, 0L)))): Column) { (acc, i) =>
         acc.when(col(f) === i.toLong, lit(model.weights((f, i.toLong))))
       }
+      // Unreachable today — binned() emits every bin via otherwise(), so
+      // the chain above is exhaustive — but a future feature/bin edit
+      // that widens a bin range would otherwise fall through to a NULL
+      // weight and a silently-NULL score. Fail loudly at score time.
+      chain.otherwise(raise_error(concat(
+        lit(s"d50: $f outside declared range 0..${nb - 1}: "),
+        col(f).cast("string"))))
     }
     val scoreMicro = termCols.foldLeft(lit(model.priorMicro): Column)(_ + _)
     binned(docs)

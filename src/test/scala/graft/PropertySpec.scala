@@ -333,4 +333,69 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("d50 distillation equals a driver-side reference NB on random corpora") {
+    // Independent end-to-end replication of the whole d50 pipeline —
+    // gate label, fixed-edge bins, Laplace count-NB weights, micro
+    // quantization, integer score — in plain Scala collections, compared
+    // EXACTLY. The DuckDB oracle already replays this on the fixed test
+    // corpora; this property drives it over adversarial random corpora
+    // the parquet fixtures don't contain (NULL text, empty text,
+    // space-only text, punctuation-heavy tokens). Training runs on the
+    // same JVM libm on both sides, so equality is exact by construction.
+    import graft.operators.QualityModel
+    val word = Gen.oneOf(Seq("alpha", "be", "ga!", "x", "delta.", "eeeeeee",
+      "!!!", "...", "a,b", "zz;", "mmmmmmmmmmmmmmmmmm", "q:"))
+    val textGen: Gen[String] = Gen.frequency(
+      7 -> Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, word))
+        .map(_.mkString(" ")),
+      1 -> Gen.const(""),
+      1 -> Gen.const("   "),
+      1 -> Gen.const(null))
+    (0 until 3).foreach { trial =>
+      val docs = samples(textGen, 100 + trial * 17).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val out = QualityModel.qualityScores(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      assert(out.size == docs.size)
+
+      // reference bins/label — mirrors binned()'s semantics including the
+      // NULL→ELSE-arm and 0/0→NaN→ELSE edge cases
+      case class B(label: Boolean, len: Long, tok: Long, punct: Long, ttr: Long)
+      def binsOf(t: String): B = {
+        if (t == null) return B(label = false, 3, 3, 2, 3)
+        val toks = t.split(" ", -1)
+        val nTok = toks.length.toDouble
+        val r1 = t.count(_ != ' ').toDouble / nTok
+        val r2 = t.count(c => ".,!?;:".contains(c)).toDouble / t.length
+        val ttr = toks.distinct.length.toDouble / nTok
+        B(nTok >= 10 && r1 >= 2.0 && r1 <= 15.0 && r2 <= 0.1,
+          if (nTok < 10) 0L else if (nTok < 50) 1L else if (nTok < 200) 2L else 3L,
+          if (r1 < 2.0) 0L else if (r1 < 5.0) 1L else if (r1 <= 15.0) 2L else 3L,
+          if (r2 <= 0.02) 0L else if (r2 <= 0.1) 1L else 2L,
+          if (ttr < 0.3) 0L else if (ttr < 0.6) 1L else if (ttr < 0.9) 2L else 3L)
+      }
+      val bs = docs.map { case (id, t) => id -> binsOf(t) }.toMap
+      val nPos = bs.values.count(_.label).toLong
+      val nNeg = bs.size - nPos
+      def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      val feats: Seq[(Int, B => Long)] =
+        Seq((4, _.len), (4, _.tok), (3, _.punct), (4, _.ttr))
+      def weight(nb: Int, g: B => Long, bin: Long): Long = {
+        val np = bs.values.count(b => b.label && g(b) == bin)
+        val nn = bs.values.count(b => !b.label && g(b) == bin)
+        micro(math.log(np + 1.0) - math.log(nPos + nb.toDouble) -
+          math.log(nn + 1.0) + math.log(nNeg + nb.toDouble))
+      }
+      val prior = micro(math.log(nPos + 1.0) - math.log(nNeg + 1.0))
+      docs.foreach { case (id, t) =>
+        val b = bs(id)
+        val m = prior + feats.map { case (nb, g) => weight(nb, g, g(b)) }.sum
+        assert(out(id) == ((m.toDouble / 1e6, m > 0L)),
+          s"trial $trial doc $id '${t}': spark ${out(id)} vs reference " +
+            s"(${m.toDouble / 1e6}, ${m > 0L})")
+      }
+    }
+  }
 }

@@ -17,6 +17,43 @@ class QualityModelSpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, sfDir)
 
+  test("training aggregate plan: map-side partial aggregation, one " +
+      "label-keyed exchange, no window (covers the DumpPlans/PlanLint " +
+      "blind spot — the declared d50 entry trains eagerly at query " +
+      "construction, so catalog-wide plan tooling only ever sees the " +
+      "score projection, never this aggregate)") {
+    val plan = QualityModel.trainingAggregate(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"training count must combine map-side:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"per-bin counts must combine map-side:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"training must not contain a window:\n$plan")
+    // exactly one exchange — the 2-row label repartitioning between the
+    // partial and final aggregate; no text-keyed shuffle anywhere
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected exactly 1 exchange, got $nEx:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(label"),
+      s"the one exchange must be keyed on the 2-value label:\n$plan")
+  }
+
+  test("score plan stays zero-shuffle and codegen'd with the " +
+      "out-of-range tripwire branch in the weight chains") {
+    val plan = QualityModel
+      .scoreDocuments(docs, QualityModel.train(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"score pass must be a zero-shuffle projection:\n$plan")
+    // the `*(1)` prefix is the simple-string marker for whole-stage
+    // codegen; every operator of the score pass must carry it
+    assert(plan.linesIterator.filter(_.trim.nonEmpty).forall(l =>
+      l.contains("*(1)") || l.trim.startsWith("+- FileScan")),
+      s"score pass must stay inside one whole-stage codegen span:\n$plan")
+    assert(plan.contains("raise_error"),
+      s"the out-of-range tripwire must be planted in the plan:\n$plan")
+  }
+
   test("model is bit-identical under adversarial repartitioning") {
     val m1 = QualityModel.train(docs)
     val m2 = QualityModel.train(docs.repartition(7, col("text")))
