@@ -48,14 +48,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    def timedPass(): Map[String, Double] = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> dt
-    }.toMap
+    // A failed query yields an err string, never a timing: letting the
+    // catch fall through to the timer made r11's 7 plan-broken queries
+    // look like the fastest in the catalog (~0.06 s each) and silently
+    // shrank the headline total. Failures are reported separately and
+    // excluded from "value".
+    def timedPass(): (Map[String, Double], Map[String, String]) = {
+      val times = Map.newBuilder[String, Double]
+      val errs = Map.newBuilder[String, String]
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          times += name -> ((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errs += name ->
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      (times.result(), errs.result())
+    }
     // host-load attribution: r6's driver run was 1.36× inflated on
     // UNTOUCHED queries (pure host noise) and the JSON carried nothing to
     // tell drift from regression — so record the 1-minute loadavg around
@@ -66,27 +80,44 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
-    def timedPassWithWall(): (Map[String, Double], Double) = {
+    def timedPassWithWall(): (Map[String, Double], Map[String, String], Double) = {
       val t0 = System.nanoTime()
-      val p = timedPass()
-      (p, (System.nanoTime() - t0) / 1e9)
+      val (p, e) = timedPass()
+      (p, e, (System.nanoTime() - t0) / 1e9)
     }
     val load0 = loadavg()
-    val (p1, wall1) = timedPassWithWall()
+    val (p1, e1, wall1) = timedPassWithWall()
     val load1 = loadavg()
-    val (p2, wall2) = timedPassWithWall()
+    val (p2, e2, wall2) = timedPassWithWall()
     val load2 = loadavg()
     val passSecs = Seq(wall1, wall2)
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    // a query counts only if BOTH passes succeeded (min of two timings);
+    // otherwise it is an error row carrying the last observed message
+    val results = names.collect {
+      case n if p1.contains(n) && p2.contains(n) => n -> math.min(p1(n), p2(n))
+    }
+    val errors = names.collect {
+      case n if !(p1.contains(n) && p2.contains(n)) =>
+        n -> e2.getOrElse(n, e1.getOrElse(n, "failed in one pass only"))
+    }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
       }.mkString("{", ",", "}")
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def qstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors
+      .map { case (k, v) => qstr(k) + ":" + qstr(v) }.mkString("{", ",", "}")
     val loadMarker =
       s""""loadavg":[${num(load0)},${num(load1)},${num(load2)}],""" +
-      s""""pass_secs":[${num(passSecs(0))},${num(passSecs(1))}]"""
+      s""""pass_secs":[${num(passSecs(0))},${num(passSecs(1))}],""" +
+      s""""n_err":${errors.size},"errors":$errJson"""
     val total = results.map(_._2).sum
     // Full per-query timings go to a file: the driver only keeps the last
     // ~2k chars of stdout, so a 100-query JSON line gets truncated there

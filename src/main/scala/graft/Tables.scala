@@ -25,8 +25,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanosecond epoch long instead.
+  /** Raw events scan, tolerant of the fixture's physical `ts` type — the
+    * harness has shipped it both as parquet TIMESTAMP(NANOS) (rounds ≤ 10)
+    * and as TIMESTAMP(MICROS) (round 11+). TIMESTAMP(NANOS) is rejected by
+    * Spark's vectorized reader, so opt into reading it as a nanosecond
+    * epoch long; on a MICROS file the flag is inert and `ts` arrives as a
+    * (NTZ) timestamp. Callers that touch `ts` go through [[eventsTs]] /
+    * [[normalizeTs]], which canonicalize either physical shape.
     * Session-conf caveat: `nanosAsLong` is a legacy session flag (no
     * per-reader option exists), so every later TIMESTAMP(NANOS) parquet
     * read in the session also yields longs — this dataset's sessions opt
@@ -46,11 +51,32 @@ object Tables {
   private[graft] val nsToUsFloor: String =
     "(ts div 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
 
-  /** Events with `ts` as a microsecond-precision TimestampType. */
-  def eventsTs(s: SparkSession, d: String): DataFrame = {
+  /** Canonicalize a `ts` column to microsecond-precision TimestampType,
+    * whatever physical shape the scan produced:
+    *  - LongType (TIMESTAMP(NANOS) read via `nanosAsLong`) → floor-div to
+    *    µs ([[nsToUsFloor]], matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast);
+    *  - TIMESTAMP_NTZ (parquet MICROS, isAdjustedToUTC=false — the round-11+
+    *    fixture shape) → cast to TimestampType. All engine sessions pin
+    *    `spark.sql.session.timeZone=UTC`, so the cast re-labels the same
+    *    microsecond value (wall clock == instant), keeping every downstream
+    *    consumer (windows, watermarks, as-of joins) on one type;
+    *  - TimestampType → already canonical.
+    * Anything else is a fixture change we want to fail loudly on. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr(nsToUsFloor)))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr(nsToUsFloor)))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
+
+  /** Events with `ts` as a microsecond-precision TimestampType. */
+  def eventsTs(s: SparkSession, d: String): DataFrame =
+    normalizeTs(eventsRaw(s, d))
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

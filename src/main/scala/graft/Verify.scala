@@ -21,11 +21,18 @@ object Verify {
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
+    // Self-describing failure record: r11's fixture change broke 7 queries
+    // at plan time and they simply vanished from the driver's correctness
+    // artifact (no parquet → no entry). Dump every failure to errors.json
+    // so a run with missing query dirs carries its own explanation.
+    val errs = Map.newBuilder[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errs += name ->
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +50,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errs.result()
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -62,7 +62,9 @@ object QualityModel {
     val nTok = TextOps.tokenCount("text")
     val nTypes = size(array_distinct(split(col("text"), " ", -1))).cast("long")
     val r1 = TextOps.nonSpaceLen.cast("double") / nTok.cast("double")
-    val r2 = TextOps.punctLen.cast("double") / length(col("text")).cast("double")
+    // NULL on empty text (see TextOps.punctRatio): fails every WHEN arm
+    // below exactly as DuckDB's 0.0/0.0 NaN does → ELSE arm both engines
+    val r2 = TextOps.punctRatio
     val ttr = nTypes.cast("double") / nTok.cast("double")
     docs.select(
       col("doc_id"),

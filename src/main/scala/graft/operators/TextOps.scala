@@ -199,18 +199,30 @@ object TextOps {
   private[operators] val QualityMaxMeanTokLen = 15.0
   private[operators] val QualityMaxPunctRatio = 0.1
 
+  /** Punctuation-mass ratio, NULL when the text is empty: under ANSI mode
+    * a bare `punct / length` raises DIVIDE_BY_ZERO on `length(text) = 0`
+    * (the token count can never be zero — `split` of "" yields [""] — but
+    * the character count can). NULL here mirrors DuckDB's 0.0/0.0 → NaN
+    * through every downstream comparison: both fail each `WHEN` arm, so
+    * empty docs land in the same ELSE/`otherwise` branch on both engines. */
+  private[operators] def punctRatio: org.apache.spark.sql.Column =
+    when(length(col("text")) > 0,
+      punctLen.cast("double") / length(col("text")).cast("double"))
+
   /** The C4/Gopher-style keep predicate of [[qualityFilter]], exposed for
     * composition (the corpus pipeline filters by it directly): ≥ 10 tokens,
     * mean token length in [2, 15], punctuation mass ≤ 10% of characters.
     * All exact integer ratios — deterministic in any engine. NULL text
     * yields NULL (three-valued logic): `filter`/`when(...).otherwise`
-    * consumers class such rows as drops, which is the d27/d50 contract. */
+    * consumers class such rows as drops, which is the d27/d50 contract.
+    * Empty text yields false: the token-count conjunct is a hard false and
+    * `false AND NULL` (the guarded [[punctRatio]]) is false. */
   def qualityKeep: org.apache.spark.sql.Column = {
     val nTok = tokenCount("text")
     (nTok >= QualityMinTokens) &&
       (nonSpaceLen.cast("double") / nTok.cast("double") >= QualityMinMeanTokLen) &&
       (nonSpaceLen.cast("double") / nTok.cast("double") <= QualityMaxMeanTokLen) &&
-      (punctLen.cast("double") / length(col("text")).cast("double") <= QualityMaxPunctRatio)
+      (punctRatio <= QualityMaxPunctRatio)
   }
 
   def qualityFilter(docs: DataFrame): DataFrame = {

@@ -110,8 +110,12 @@ object StreamMonitor {
 
   /** File-source ingestion: stream the events table from a parquet
     * directory (the production entry — new files appearing under `dir` are
-    * picked up incrementally). Handles the TIMESTAMP(NANOS) column the
-    * same way as the batch path (`Tables.eventsTs`).
+    * picked up incrementally). Streaming sources need a declared schema, so
+    * borrow it from a batch scan of the same directory (footer-only, cheap)
+    * rather than hardcoding the `ts` physical type — the fixture has
+    * shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS); `ts` is then
+    * canonicalized to TimestampType exactly as the batch path
+    * (`Tables.normalizeTs`).
     *
     * Session-conf caveat: `nanosAsLong` is a legacy session flag (Spark has
     * no per-reader option for it), so setting it here affects every later
@@ -119,14 +123,9 @@ object StreamMonitor {
     * contract `Tables.eventsRaw` already establishes for the batch path;
     * this dataset's sessions opt into it globally. */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr(graft.Tables.nsToUsFloor)))
+    val schema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Exactly-once parquet file sink — the durable end of the streaming
