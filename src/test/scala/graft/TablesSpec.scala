@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the `Tables.normalizeTs` contract — the events fixture's physical
+  * `ts` type has changed between harness rounds (TIMESTAMP(NANOS) read as
+  * long through round 10, TIMESTAMP(MICROS)/NTZ from round 11), and the
+  * round-11 regression (7 queries dead at plan time) was exactly a
+  * hardcoded assumption about it. Every accepted shape must canonicalize
+  * to the same µs-precision TimestampType instant; anything else must
+  * fail loudly, not resolve to a wrong plan. */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // one pre-epoch and one post-epoch instant, non-zero sub-µs nanos on
+  // both: the ns→µs path must FLOOR (DuckDB TIMESTAMP_NS→TIMESTAMP cast
+  // semantics), which plain integer division gets wrong for negatives
+  private val negNs = -1_000_000_001_500L // 1969-12-31, .5µs below a µs edge
+  private val posNs = 1_700_000_000_123_456_789L
+  private val posUs = 1_700_000_000_123_456L
+
+  test("long (nanos) ts floors to µs, pre- and post-epoch") {
+    val df = Seq(negNs, posNs).toDF("ts")
+    val out = Tables.normalizeTs(df)
+    assert(out.schema("ts").dataType == TimestampType)
+    val micros = out.select(unix_micros(col("ts"))).as[Long].collect().sorted
+    // floor(-1_000_001_500ns... ) — negNs/1000 truncates toward zero to
+    // -1_000_000_001, one µs ABOVE the true floor -1_000_000_002
+    assert(micros === Array(-1_000_000_002L, posUs))
+  }
+
+  test("timestamp_ntz ts re-labels the same µs value (UTC session)") {
+    val df = Seq(posUs).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    val out = Tables.normalizeTs(df)
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(unix_micros(col("ts"))).as[Long].head() == posUs)
+  }
+
+  test("timestamp ts passes through untouched") {
+    val df = Seq(posUs).toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    val out = Tables.normalizeTs(df)
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(unix_micros(col("ts"))).as[Long].head() == posUs)
+  }
+
+  test("any other ts type fails loudly at plan-build time") {
+    val df = Seq("2024-01-01").toDF("ts")
+    val e = intercept[IllegalStateException](Tables.normalizeTs(df))
+    assert(e.getMessage.contains("unexpected events.ts type"))
+  }
+
+  test("eventsTs on the real fixture yields µs TimestampType") {
+    val out = Tables.eventsTs(spark, SparkFixture.sfDir)
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(count(lit(1))).as[Long].head() > 0L)
+  }
+}
