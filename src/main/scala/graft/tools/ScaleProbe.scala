@@ -71,6 +71,18 @@ import graft.{GraftExtensions, SparkEntry}
   * profile in the catalog): the two jobs (one 2×16 count aggregate,
   * one zero-shuffle scan-bound score projection) are pure scheduling
   * cost at test SF, exactly what the literal-weight design predicts.
+  *
+  * Round-12 measurement (event-analytics family, re-probed after the
+  * `ts` plans changed shape — NTZ cast replacing nanos-long
+  * arithmetic): d10 0.18/0.17/1.12 s, d11 0.16/0.15/0.64 s,
+  * d36 0.39/0.44/3.13 s, d37 0.28/0.26/2.01 s, x31 0.19/0.22/1.13 s
+  * across sf0.001/0.01/0.1. Flat through 10×, then ~5–8× for the last
+  * 10× — a visible but ~linear data term, which is the right shape:
+  * each is one shuffle keyed on user_id/hour-bucket/order key with
+  * small group state, no window over the full relation. (Probe-run
+  * caveat: the same run measured d45 at 6.9 s vs the same-day quiet
+  * bench's 3.0 s, so absolute sf0.1 figures here carry ~2× host noise;
+  * the within-run ratios are the signal.)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -84,7 +96,11 @@ object ScaleProbe {
       "x30_asof_last_order", "x34_asof_bucketed", "d43_training_sequences",
       "d44_decontaminate", "d45_pipeline_audit",
       "d47_training_sequences_winnowed", "d49_decontaminate_winnowed",
-      "d20_dedup_docs", "d50_quality_scores")
+      "d20_dedup_docs", "d50_quality_scores",
+      // event-analytics family, re-probed in r12 after the ts plans
+      // changed shape (NTZ cast replacing the nanos-long arithmetic)
+      "d10_hourly_events", "d11_session_counts", "d36_funnel_steps",
+      "d37_gapfilled_hourly", "x31_attribution_window")
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
          q <- qs) {
       SparkEntry.queries(q)(spark, sf).count() // warm: codegen + JIT
