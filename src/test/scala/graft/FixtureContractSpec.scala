@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the harness-testdata schema contract the library is built against.
+  *
+  * The driver regenerates `/root/testdata` between rounds and physical
+  * types have drifted before: `events.ts` silently went from parquet
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds 10 and 11, and
+  * every events-timestamp query died at plan time with a
+  * DATATYPE_MISMATCH three calls deep in an operator — the worst place
+  * to learn about a fixture change. This spec makes the next drift fail
+  * HERE, with a message naming the table and column, so it reads as
+  * "fixture changed" instead of "operator broke".
+  *
+  * `ts` deliberately admits every shape `Tables.normalizeTs` canonicalizes
+  * (nanos-as-long arrives as LongType only under the legacy session flag,
+  * so a plain scan sees TimestampNTZType for both MICROS and NANOS files
+  * read without it — list the union of shapes seen from a plain scan).
+  */
+class FixtureContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // column -> acceptable dtypes from a PLAIN scan (no legacy flags)
+  private val expected: Map[String, Seq[(String, Seq[DataType])]] = Map(
+    "region" -> Seq(
+      "r_regionkey" -> Seq(LongType, IntegerType),
+      "r_name" -> Seq(StringType)),
+    "nation" -> Seq(
+      "n_nationkey" -> Seq(LongType, IntegerType),
+      "n_name" -> Seq(StringType),
+      "n_regionkey" -> Seq(LongType, IntegerType)),
+    "customer" -> Seq(
+      "c_custkey" -> Seq(LongType, IntegerType),
+      "c_name" -> Seq(StringType),
+      "c_nationkey" -> Seq(LongType, IntegerType),
+      "c_acctbal" -> Seq(DoubleType),
+      "c_mktsegment" -> Seq(StringType)),
+    "supplier" -> Seq(
+      "s_suppkey" -> Seq(LongType, IntegerType),
+      "s_nationkey" -> Seq(LongType, IntegerType)),
+    "part" -> Seq(
+      "p_partkey" -> Seq(LongType, IntegerType),
+      "p_brand" -> Seq(StringType)),
+    "orders" -> Seq(
+      "o_orderkey" -> Seq(LongType, IntegerType),
+      "o_custkey" -> Seq(LongType, IntegerType),
+      "o_orderstatus" -> Seq(StringType),
+      "o_totalprice" -> Seq(DoubleType),
+      "o_orderdate" -> Seq(TimestampNTZType, TimestampType, DateType),
+      "o_orderpriority" -> Seq(StringType)),
+    "lineitem" -> Seq(
+      "l_orderkey" -> Seq(LongType, IntegerType),
+      "l_partkey" -> Seq(LongType, IntegerType),
+      "l_suppkey" -> Seq(LongType, IntegerType),
+      "l_linenumber" -> Seq(LongType, IntegerType),
+      "l_quantity" -> Seq(DoubleType),
+      "l_extendedprice" -> Seq(DoubleType),
+      "l_discount" -> Seq(DoubleType),
+      "l_tax" -> Seq(DoubleType),
+      "l_returnflag" -> Seq(StringType),
+      "l_linestatus" -> Seq(StringType),
+      "l_shipdate" -> Seq(TimestampNTZType, TimestampType, DateType)),
+    "events" -> Seq(
+      "event_id" -> Seq(LongType),
+      "ts" -> Seq(TimestampNTZType, TimestampType, LongType),
+      "user_id" -> Seq(LongType),
+      "event_type" -> Seq(StringType),
+      "value" -> Seq(DoubleType),
+      "props" -> Seq(StringType)),
+    "documents" -> Seq(
+      "doc_id" -> Seq(LongType),
+      "text" -> Seq(StringType),
+      "lang" -> Seq(StringType),
+      "source" -> Seq(StringType),
+      "n_chars" -> Seq(LongType, IntegerType)),
+    "embeddings" -> Seq(
+      "vec_id" -> Seq(LongType),
+      "embedding" -> Seq(ArrayType(FloatType), ArrayType(FloatType, false)),
+      "label" -> Seq(IntegerType, LongType)))
+
+  test("every fixture table matches the schema contract (plain scan)") {
+    val drift = Tables.names.flatMap { t =>
+      val schema = Tables.load(spark, SparkFixture.sfDir, t).schema
+      expected(t).flatMap { case (colName, ok) =>
+        schema.fields.find(_.name == colName) match {
+          case None =>
+            Some(s"$t.$colName: MISSING from fixture (has ${schema.fieldNames.mkString(", ")})")
+          case Some(f) if !ok.contains(f.dataType) =>
+            Some(s"$t.$colName: fixture now ${f.dataType}, contract allows ${ok.mkString("/")} " +
+              "— the testdata was regenerated with a new physical type; extend the consuming " +
+              "operator (see Tables.normalizeTs for the ts precedent), then widen this contract")
+          case _ => None
+        }
+      }
+    }
+    assert(drift.isEmpty, "\n" + drift.mkString("\n"))
+  }
+}
