@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   * both (observed 2026-08-13) inflated a contiguous query block 13×
   * through the min; a third pass ~90 s later escapes any one burst
   * (observed run-to-run drift at sf0.1 was ±30% on a loaded host),
-  * (5) emits a load marker — /proc/loadavg before/between/after the timed
+  * (5) emits a load marker — /proc/loadavg bracketing each of the timed
   * passes plus each pass's wall-clock — so a reader can attribute an
   * inflated figure to host contention (the r6 driver run was 1.36× high
   * on untouched queries; nothing in the JSON could prove it was load).
@@ -76,9 +76,9 @@ object Bench {
     // host-load attribution: r6's driver run was 1.36× inflated on
     // UNTOUCHED queries (pure host noise) and the JSON carried nothing to
     // tell drift from regression — so record the 1-minute loadavg around
-    // each timed pass plus each pass's wall-clock. A reader can discount
-    // a run whose loadavg exceeds the worker count or whose two passes
-    // disagree wildly.
+    // each timed pass (4 samples bracketing the 3 passes) plus each
+    // pass's wall-clock. A reader can discount a run whose loadavg
+    // exceeds the worker count or whose passes disagree wildly.
     def loadavg(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
@@ -118,14 +118,8 @@ object Bench {
       }.mkString("{", ",", "}")
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def qstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val errJson = errors
-      .map { case (k, v) => qstr(k) + ":" + qstr(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }.mkString("{", ",", "}")
     val loadMarker =
       s""""loadavg":[${loads.map(num).mkString(",")}],""" +
       s""""pass_secs":[${passSecs.map(num).mkString(",")}],""" +

@@ -123,8 +123,21 @@ object StreamMonitor {
     * contract `Tables.eventsRaw` already establishes for the batch path;
     * this dataset's sessions opt into it globally. */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
+    // Empty source directory at startup is the NORMAL incremental-ingestion
+    // order (start the stream, then files land), so schema inference must
+    // not be load-bearing: fall back to the declared canonical events
+    // schema (the current fixture shape — ts TIMESTAMP_NTZ) when there is
+    // nothing to infer from yet.
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+      }
     graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 

@@ -4,18 +4,23 @@ import org.apache.spark.sql.SparkSession
 
 import graft.{GraftExtensions, SparkEntry}
 
-/** Dev-only single-query timing probe: runs one declared query N times
-  * against an SF dir and prints each wall time plus the formatted plan on
+/** Dev-only single-query timing probe: runs one declared query (or a
+  * comma-separated subsequence, replayed in one session) N times against
+  * an SF dir and prints each wall time plus the formatted plan on
   * request. Usage:
-  * `sbt "runMain graft.tools.QueryProbe <name> [sfDir] [reps] [explain]"`.
+  * `sbt "runMain graft.tools.QueryProbe <name[,name2,...]> [sfDir] [reps] [explain]"`.
   * Exists because Bench times the whole 113-query catalog — attributing a
   * regression to one query needs an isolated re-run on an otherwise idle
-  * JVM (same confs as Bench: local[32], shuffle.partitions=32). */
+  * JVM. Session confs mirror Bench's shape and honor the same
+  * `SPARK_GRAFT_CPUS` env var (set it to the bench run's value — the
+  * driver uses 32 — or a probe under different parallelism will
+  * mis-attribute parallelism-sensitive timings). */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    // tolerant parse: `... sf0.1 explain` (no reps) must not crash
+    val reps = args.lift(2).flatMap(_.toIntOption).getOrElse(3)
     val explain = args.contains("explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

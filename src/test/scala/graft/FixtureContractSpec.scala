@@ -14,15 +14,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * HERE, with a message naming the table and column, so it reads as
   * "fixture changed" instead of "operator broke".
   *
-  * `ts` deliberately admits every shape `Tables.normalizeTs` canonicalizes
-  * (nanos-as-long arrives as LongType only under the legacy session flag,
-  * so a plain scan sees TimestampNTZType for both MICROS and NANOS files
-  * read without it — list the union of shapes seen from a plain scan).
+  * `ts` deliberately admits every shape `Tables.normalizeTs` canonicalizes.
+  * Events is loaded through `Tables.eventsRaw` (which sets the legacy
+  * `nanosAsLong` flag) rather than a plain scan: a plain scan of a
+  * TIMESTAMP(NANOS) file doesn't load as some other type — it THROWS
+  * (ILLEGAL_PARQUET_TYPE) during schema inference, which would turn this
+  * spec's friendly drift message back into a raw Spark exception for
+  * exactly the drift that motivated it. Under the flag, NANOS → LongType
+  * (accepted) and MICROS → TimestampNTZType (accepted), deterministically
+  * regardless of suite order.
   */
 class FixtureContractSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
-  // column -> acceptable dtypes from a PLAIN scan (no legacy flags)
+  // column -> acceptable dtypes (events via eventsRaw, rest plain scans)
   private val expected: Map[String, Seq[(String, Seq[DataType])]] = Map(
     "region" -> Seq(
       "r_regionkey" -> Seq(LongType, IntegerType),
@@ -80,9 +85,11 @@ class FixtureContractSpec extends AnyFunSuite {
       "embedding" -> Seq(ArrayType(FloatType), ArrayType(FloatType, false)),
       "label" -> Seq(IntegerType, LongType)))
 
-  test("every fixture table matches the schema contract (plain scan)") {
+  test("every fixture table matches the schema contract") {
     val drift = Tables.names.flatMap { t =>
-      val schema = Tables.load(spark, SparkFixture.sfDir, t).schema
+      val schema =
+        (if (t == "events") Tables.eventsRaw(spark, SparkFixture.sfDir)
+         else Tables.load(spark, SparkFixture.sfDir, t)).schema
       expected(t).flatMap { case (colName, ok) =>
         schema.fields.find(_.name == colName) match {
           case None =>

@@ -117,6 +117,25 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("file-source stream starts on an EMPTY directory, then ingests files that land later") {
+    // the normal incremental-ingestion startup order: stream first, files
+    // second — schema inference has nothing to read, so readEventsStream
+    // must fall back to the declared canonical schema instead of throwing
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_empty")
+    val stream = StreamMonitor.readEventsStream(spark, dir.toString)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val q = StreamMonitor.hourlyProfile(stream)
+      .writeStream.format("memory").queryName("fe").outputMode("complete").start()
+    q.processAllAvailable()
+    assert(spark.table("fe").count() == 0L) // started, nothing to ingest yet
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkFixture.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    q.processAllAvailable()
+    assert(spark.table("fe").count() > 0L) // late-landing file picked up
+    q.stop()
+  }
+
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
