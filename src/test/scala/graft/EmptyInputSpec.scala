@@ -110,6 +110,22 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Validation.duplicateRowCount(clash).collect()(0).getLong(0) == 1L)
   }
 
+  test("event analytics on an empty events relation return empty/zero, not errors") {
+    // at 100 TB an empty time slice (new partition, filtered day) is
+    // routine; the spine builder's bounds aggregate yields NULL lo/hi and
+    // sequence(NULL, NULL) must collapse to zero spine rows, not raise
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventOps.hourlyCounts(emptyEvents).count() == 0)
+    assert(EventOps.sessionCounts(emptyEvents).count() == 0)
+    assert(EventOps.gapFilledHourly(emptyEvents).count() == 0)
+    // funnel: one output row per declared step, all zero — a report shape,
+    // not a row-per-event shape
+    val funnel = EventOps.funnelSteps(emptyEvents, Seq("signup", "click"))
+      .collect()
+    assert(funnel.length == 2 && funnel.forall(_.getAs[Long]("n_users") == 0L))
+  }
+
   test("temporal joins with an empty side behave like their join semantics") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "probe_id")
     val noRight = Seq.empty[(Long, Long, Long, String)].toDF("k", "t2", "rk", "tag")
