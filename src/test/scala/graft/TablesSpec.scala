@@ -32,6 +32,28 @@ class TablesSpec extends AnyFunSuite {
     assert(micros === Array(-1_000_000_002L, posUs))
   }
 
+  test("property: ns→µs conversion equals BigInt floor division over random longs") {
+    // deterministic ScalaCheck sampling (PropertySpec pattern — no
+    // scalatest-plus bridge offline); full Long range is safe: any ns
+    // value /1000 is well inside TimestampType's µs range
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.frequency(
+      8 -> Gen.chooseNum(Long.MinValue + 1, Long.MaxValue),
+      2 -> Gen.chooseNum(-3_000L, 3_000L)) // dense around the epoch edges
+    val params = Gen.Parameters.default
+    val ns = Iterator.iterate(Seed(7L))(_.next).take(500)
+      .map(s => gen.pureApply(params, s)).toSeq ++
+      Seq(-1L, 0L, 1L, -999L, -1000L, -1001L, 999L, 1000L, 1001L)
+    val got = Tables.normalizeTs(ns.toDF("ts"))
+      .select(unix_micros(col("ts"))).as[Long].collect()
+    val want = ns.map(v =>
+      (BigInt(v) - (((BigInt(v) % 1000) + 1000) % 1000)) / 1000)
+    got.zip(want).zip(ns).foreach { case ((g, w), v) =>
+      assert(BigInt(g) == w, s"ns=$v")
+    }
+  }
+
   test("timestamp_ntz ts re-labels the same µs value (UTC session)") {
     val df = Seq(posUs).toDF("us")
       .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
