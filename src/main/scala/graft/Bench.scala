@@ -32,6 +32,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // normalizeTs/normalizeDate's NTZ→instant re-label is correct only
+      // under a UTC session (their documented contract) — pin it so a
+      // non-UTC host can't silently run timezone-shifted event plans that
+      // diverge from Verify's
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: every localCheckpoint emits a lineage-truncation
@@ -106,11 +111,12 @@ object Bench {
     val results = names.collect {
       case n if times.forall(_.contains(n)) => n -> times.map(_(n)).min
     }
+    // every pass records each query in exactly one of times/errs, so a
+    // query missing from some pass's times always has an error message in
+    // that pass's errs — take the most recent one
     val errors = names.collect {
       case n if !times.forall(_.contains(n)) =>
-        n -> errs.reverse.collectFirst {
-          case e if e.contains(n) => e(n)
-        }.getOrElse("failed in one pass only")
+        n -> errs.reverse.collectFirst { case e if e.contains(n) => e(n) }.get
     }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) =>

@@ -44,7 +44,7 @@ object SparkEntry {
     "v6_class_balance" -> ((s, d) => Validation.classBalance(ord(s, d), "o_orderstatus", "F")),
     "v7_table_counts" -> ((s, d) =>
       Tables.names.map { t =>
-        val df = if (t == "events") Tables.eventsRaw(s, d) else Tables.load(s, d, t)
+        val df = Tables.canonical(s, d, t)
         df.agg(count(lit(1)).as("n_rows"))
           .select(lit(t).as("table_name"), col("n_rows"))
       }.reduce(_.unionAll(_)).orderBy(col("table_name"))),

@@ -18,12 +18,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Raw scan that tolerates a TIMESTAMP(NANOS) fixture regeneration: a
+    * plain scan of a NANOS column THROWS (ILLEGAL_PARQUET_TYPE) during
+    * schema inference, so opt into reading it as a nanosecond epoch long
+    * first; on the current MICROS fixture the flag is inert. Session-conf
+    * caveat as documented on [[eventsRaw]]: `nanosAsLong` is a legacy
+    * session flag (no per-reader option exists), so this dataset's
+    * sessions opt into it globally. */
+  private[graft] def loadTolerant(s: SparkSession, d: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, name)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+
+  /** Orders with `o_orderdate` canonicalized ([[normalizeDate]]) — on the
+    * current TIMESTAMP_NTZ fixture both the flag and the normalization are
+    * no-ops and the plan is byte-identical to a plain scan. */
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeDate(loadTolerant(s, d, "orders"), "o_orderdate", "orders")
 
   /** Raw events scan, tolerant of the fixture's physical `ts` type — the
     * harness has shipped it both as parquet TIMESTAMP(NANOS) (rounds ≤ 10)
@@ -37,10 +54,8 @@ object Tables {
     * read in the session also yields longs — this dataset's sessions opt
     * into that globally (same contract as
     * [[graft.streaming.StreamMonitor.readEventsStream]]). */
-  def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-  }
+  def eventsRaw(s: SparkSession, d: String): DataFrame =
+    loadTolerant(s, d, "events")
 
   /** ns→µs epoch conversion matching DuckDB's TIMESTAMP_NS → TIMESTAMP
     * cast, which FLOORS: integer `div` truncates toward zero, so a bare
@@ -48,8 +63,10 @@ object Tables {
     * flip hour buckets / session gaps / as-of boundaries against the
     * oracle. Integer arithmetic throughout — a double `floor(ts/1000.0)`
     * would lose precision above 2^53 ns (~1974). */
-  private[graft] val nsToUsFloor: String =
-    "(ts div 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+  private[graft] def nsToUsFloorExpr(c: String): String =
+    s"($c div 1000) - (CASE WHEN $c % 1000 < 0 THEN 1 ELSE 0 END)"
+
+  private[graft] val nsToUsFloor: String = nsToUsFloorExpr("ts")
 
   /** Canonicalize a `ts` column to microsecond-precision TimestampType,
     * whatever physical shape the scan produced:
@@ -77,7 +94,58 @@ object Tables {
   /** Events with `ts` as a microsecond-precision TimestampType. */
   def eventsTs(s: SparkSession, d: String): DataFrame =
     normalizeTs(eventsRaw(s, d))
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+
+  /** Canonicalize a date-valued column to TIMESTAMP_NTZ — the shape the
+    * current fixture ships `o_orderdate`/`l_shipdate` in, so every branch
+    * but the pass-through is dormant until the next regeneration. The
+    * r10→r11 testdata regeneration silently re-typed these columns
+    * (TIMESTAMP(NANOS)→NTZ, same drift that killed 7 event queries at plan
+    * time); this is the [[normalizeTs]] pattern applied to them so the
+    * NEXT flip — whichever direction — is a no-op instead of an outage:
+    *  - TIMESTAMP_NTZ → canonical, untouched (today's fixture; the plan
+    *    stays byte-identical, nothing to re-audit);
+    *  - TimestampType → cast re-labels the same µs value (all engine
+    *    sessions pin `spark.sql.session.timeZone=UTC`, so wall clock ==
+    *    instant);
+    *  - DateType → midnight NTZ, the exact values the current
+    *    midnight-valued timestamp fixture carries;
+    *  - LongType (TIMESTAMP(NANOS) read via [[loadTolerant]]'s
+    *    `nanosAsLong`) → floor-div ns→µs ([[nsToUsFloorExpr]], DuckDB
+    *    TIMESTAMP_NS cast semantics) → NTZ re-label under UTC.
+    * Anything else is a fixture change we want to fail loudly on, naming
+    * the table and column. */
+  private[graft] def normalizeDate(df: DataFrame, c: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampNTZType => df
+      case TimestampType | DateType =>
+        df.withColumn(c, col(c).cast(TimestampNTZType))
+      case LongType =>
+        df.withColumn(c,
+          timestamp_micros(expr(nsToUsFloorExpr(c))).cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"unexpected $table.$c type: $other — the testdata was regenerated " +
+          "with a new physical type; extend Tables.normalizeDate (see the " +
+          "normalizeTs precedent), then widen FixtureContractSpec")
+    }
+  }
+
+  /** Lineitem with `l_shipdate` canonicalized ([[normalizeDate]]). */
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeDate(loadTolerant(s, d, "lineitem"), "l_shipdate", "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Canonical scan dispatcher: every table through its drift-normalizing
+    * loader (events → µs TimestampType `ts`, orders/lineitem → NTZ date
+    * columns, the rest plain scans). This is what view registration and
+    * whole-catalog iteration should use so no code path consumes a raw
+    * drifted physical type by accident. */
+  def canonical(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events"   => eventsTs(s, d)
+    case "orders"   => orders(s, d)
+    case "lineitem" => lineitem(s, d)
+    case other      => load(s, d, other)
+  }
 }

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: quality filter is one codegen'd scan; the kept relation is
   * materialized ONCE ([[Corpus.stageMaterialize]] — localCheckpoint by
   * default, `persist(DISK_ONLY)` under `spark.graft.stageStorage=disk`
-  * for fault-tolerant cluster runs) and every later stage derives from
-  * it, so the base table is scanned exactly once. Shingling explodes O(tokens) rows, the df cap is
+  * for fault-tolerant cluster runs, reliable `checkpoint()` under
+  * `=reliable` for runs that must survive executor-host loss) and every
+  * later stage derives from it, so the base table is scanned exactly once. Shingling explodes O(tokens) rows, the df cap is
   * one map-side-combined aggregate, edges are an equijoin on the shingle
   * hash (bounded fan-out per key), components shuffle one (id, comp) pair
   * per doc per round, and chunk+pack reuse the audited d33/d41 shapes.
@@ -51,11 +52,21 @@ object Corpus {
     *    is KEPT (executor loss recomputes the lost partitions from the
     *    scan) and blocks go to executor-local disk, trading re-read cost
     *    for fault tolerance. This is the setting a long multi-hour
-    *    cluster run should use; a third option — writing the stage to a
-    *    reliable parquet dir (`spark.sparkContext.setCheckpointDir` +
-    *    `checkpoint()`) — survives even executor-host loss but is an
-    *    orchestration-level choice, deliberately not made inside the
-    *    operator.
+    *    cluster run should use by default.
+    *  - `spark.graft.stageStorage=reliable`: `checkpoint(eager = true)` —
+    *    the stage is written to the context's checkpoint directory (HDFS /
+    *    object store on a cluster) and re-read from there, so it survives
+    *    even executor-HOST loss, which DISK_ONLY blocks do not (their
+    *    recovery path is recompute-from-lineage; fine for a lost executor,
+    *    wasteful at hour N of a 100 TB run when a whole host cycles).
+    *    Orchestration must have called `setCheckpointDir` first — the
+    *    operator deliberately does not invent a durable location; it fails
+    *    with a named error instead. Checkpoint files are NOT reclaimed by
+    *    [[releaseStages]] (they are files, not block-manager entries):
+    *    Spark deletes them only at context stop or, with
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, at GC of
+    *    the RDD — directory lifecycle belongs to orchestration, same as
+    *    any job's scratch space.
     *
     * Both strategies yield the same single-scan dataflow and BOTH are
     * eager: under the disk strategy a `count()` materializes the blocks
@@ -74,19 +85,32 @@ object Corpus {
     * release empties the block store). The default local strategy needs
     * no release beyond what the block manager reclaims. */
   private[graft] def stageMaterialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption("spark.graft.stageStorage")
-          .getOrElse("local") == "disk") {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      // register BEFORE the eager count: if the materialization job dies
-      // partway, the blocks its successful tasks already stored are still
-      // tracked, so releaseStages can reclaim them on the retry path
-      persistedStages.synchronized {
-        persistedStages.getOrElseUpdate(df.sparkSession,
-          scala.collection.mutable.Buffer.empty) += p
-      }
-      p.count()
-      p
-    } else df.localCheckpoint(true)
+    df.sparkSession.conf.getOption("spark.graft.stageStorage")
+      .getOrElse("local") match {
+      case "disk" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // register BEFORE the eager count: if the materialization job dies
+        // partway, the blocks its successful tasks already stored are still
+        // tracked, so releaseStages can reclaim them on the retry path
+        persistedStages.synchronized {
+          persistedStages.getOrElseUpdate(df.sparkSession,
+            scala.collection.mutable.Buffer.empty) += p
+        }
+        p.count()
+        p
+      case "reliable" =>
+        // fail BEFORE the upstream work runs, with the fix in the message —
+        // checkpoint() itself would only throw when the first job is
+        // submitted, after the plan is built
+        if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            "spark.graft.stageStorage=reliable requires a checkpoint " +
+              "directory: call spark.sparkContext.setCheckpointDir(<durable " +
+              "path>) before running the pipeline (on a cluster this must " +
+              "be HDFS / object storage, not a local path)")
+        df.checkpoint(true)
+      case _ => df.localCheckpoint(true)
+    }
 
   /** Disk-strategy stage handles per session, so [[releaseStages]] can
     * unpersist exactly what this module persisted — never a caller's own

@@ -53,10 +53,23 @@ object Preprocess {
     * zeros. Null is NOT a category (pandas `get_dummies` NaN semantics):
     * null rows get all-zero indicators. The vocabulary is collected at fit
     * time (bounded domain — it is the encoding width), mirroring sklearn's
-    * `fit`. */
-  def oneHotDropFirst(df: DataFrame, c: String): DataFrame = {
-    val cats = df.select(col(c)).filter(col(c).isNotNull).distinct().collect()
+    * `fit`.
+    *
+    * The collect is CAPPED: a mistakenly-encoded high-cardinality column
+    * (user ids, free text) on a 100× corpus must become this named error,
+    * not a driver OOM — and the cap is enforced by `limit(max + 1)` BEFORE
+    * the collect, so even producing the error never ships more than
+    * `max + 1` rows to the driver. `maxCategories` is the intended
+    * encoding width bound; raise it only deliberately. */
+  def oneHotDropFirst(df: DataFrame, c: String, maxCategories: Int = 1000): DataFrame = {
+    val cats = df.select(col(c)).filter(col(c).isNotNull).distinct()
+      .limit(maxCategories + 1).collect()
       .map(_.getString(0)).sorted.toSeq
+    require(cats.size <= maxCategories,
+      s"oneHotDropFirst('$c'): over $maxCategories distinct categories — " +
+        "not a bounded categorical domain (an id-like column would OOM the " +
+        "driver and emit an absurd encoding width); pass a larger " +
+        "maxCategories only if that width is intended")
     val kept = cats.drop(1)
     val indicators = kept.map(cat =>
       when(col(c) === lit(cat), 1).otherwise(0).as(s"${c}_$cat"))

@@ -20,7 +20,7 @@ import graft.Tables
 object RelationalExt {
 
   private def viewsFor(s: SparkSession, dir: String, names: String*): Unit =
-    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+    names.foreach(n => Tables.canonical(s, dir, n).createOrReplaceTempView(n))
 
   /** Running total per customer (frame: unbounded preceding → current). */
   def runningTotal(s: SparkSession, dir: String): DataFrame = {

@@ -129,7 +129,13 @@ object StreamMonitor {
     // order (start the stream, then files land), so schema inference must
     // not be load-bearing: fall back to the declared canonical events
     // schema (the current fixture shape — ts TIMESTAMP_NTZ) when there is
-    // nothing to infer from yet.
+    // nothing to infer from yet. Known limit of the fallback: if the
+    // fixture ever reverts to TIMESTAMP(NANOS) and the first such file
+    // lands AFTER an empty-dir start, the declared NTZ schema mismatches
+    // the file's physical type and the stream fails at micro-batch time
+    // (a raw Spark error, not normalizeTs's loud one) — restart the
+    // stream so inference sees the file; only the empty-then-NANOS
+    // ordering hits this.
     val schema =
       try spark.read.parquet(dir).schema
       catch {

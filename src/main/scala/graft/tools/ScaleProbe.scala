@@ -88,6 +88,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC") // normalizeTs/Date contract
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
@@ -136,6 +137,30 @@ object ScaleProbe {
       Seq("spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
         "spark.graft.bloomPrune").foreach(spark.conf.unset)
+    }
+    // end-to-end corpus chain under the fault-tolerant disk stage strategy:
+    // the declared bench runs the chain under the default localCheckpoint
+    // strategy, but a multi-hour cluster run uses stageStorage=disk — this
+    // is the chain ratio a cluster operator needs (what does fault
+    // tolerance cost, and does the chain stay sublinear across 100× data
+    // with lineage kept?). releaseStages between runs per the unpersist
+    // contract, so successive SFs don't accumulate DISK_ONLY blocks.
+    locally {
+      spark.conf.set("spark.graft.stageStorage", "disk")
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
+           q <- Seq("d43_training_sequences", "d47_training_sequences_winnowed")) {
+        def run(): Unit = {
+          SparkEntry.queries(q)(spark, sf).count()
+          graft.operators.Corpus.releaseStages(spark)
+        }
+        run() // warm
+        val t0 = System.nanoTime(); run()
+        val t1 = System.nanoTime(); run()
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        val label = q.take(3) + "_chain_disk"
+        println(f"[scaleprobe] $label%-24s $sf%-28s $dt%.3f s")
+      }
+      spark.conf.unset("spark.graft.stageStorage")
     }
     spark.stop()
   }

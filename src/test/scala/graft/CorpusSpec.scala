@@ -257,6 +257,51 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("stageStorage=reliable: checkpoint() strategy writes the stages to the " +
+      "reliable checkpoint dir and produces identical output") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val shared = (0 until 30).map(i => s"reli$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail one extra words here", "en", "srcX", 1L),
+      (2L, s"$shared tail two other words here", "en", "srcX", 1L),
+      (3L, (0 until 20).map(i => s"solo$i").mkString(" "), "en", "srcX", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = Corpus.trainingSequences(docs, Map.empty).collect().map(_.toString).sorted
+    // the fixture context set a checkpoint dir (SparkFixture), which is the
+    // strategy's precondition; resolve it to a listable local path
+    val ckptStr = spark.sparkContext.getCheckpointDir.get
+    val ckptPath =
+      if (ckptStr.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(ckptStr))
+      else java.nio.file.Paths.get(ckptStr)
+    def rddDirs = java.nio.file.Files.list(ckptPath).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("rdd-")).toSet
+    val beforeDirs = rddDirs
+    // the component loop localCheckpoints per round under EVERY strategy
+    // (those handles legitimately register in getPersistentRDDs), so the
+    // discriminator for "stages went to the reliable store" is that no new
+    // DISK_ONLY handle appears — that's the disk strategy's signature
+    def diskStages = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val beforeDisk = diskStages.size
+    spark.conf.set("spark.graft.stageStorage", "reliable")
+    try {
+      val out = Corpus.trainingSequences(docs, Map.empty)
+      // the stages went to the RELIABLE store, not the block manager: new
+      // rdd-N checkpoint dirs exist (what survives executor-host loss) and
+      // no DISK_ONLY stage handles were created by this run
+      assert((rddDirs -- beforeDirs).nonEmpty,
+        "reliable strategy wrote nothing to the checkpoint dir")
+      assert(diskStages.size == beforeDisk)
+      assert(out.collect().map(_.toString).sorted.toSeq == base.toSeq)
+      // lineage TRUNCATED (unlike the disk strategy): the executed plan
+      // reads the checkpointed relation, not the original file scan
+      assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+    }
+  }
+
   test("beyond-broadcast decontamination: runtime bloom filter is planned, not just enabled") {
     // the decontaminate scaladoc's beyond-broadcast story: when the
     // benchmark fp relation outgrows AQE's broadcast threshold the join

@@ -14,9 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * HERE, with a message naming the table and column, so it reads as
   * "fixture changed" instead of "operator broke".
   *
-  * `ts` deliberately admits every shape `Tables.normalizeTs` canonicalizes.
-  * Events is loaded through `Tables.eventsRaw` (which sets the legacy
-  * `nanosAsLong` flag) rather than a plain scan: a plain scan of a
+  * `ts` deliberately admits every shape `Tables.normalizeTs` canonicalizes,
+  * and `o_orderdate`/`l_shipdate` every shape `Tables.normalizeDate` does.
+  * Every table is loaded through `Tables.loadTolerant` (which sets the
+  * legacy `nanosAsLong` flag) rather than a plain scan: a plain scan of a
   * TIMESTAMP(NANOS) file doesn't load as some other type — it THROWS
   * (ILLEGAL_PARQUET_TYPE) during schema inference, which would turn this
   * spec's friendly drift message back into a raw Spark exception for
@@ -27,7 +28,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class FixtureContractSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
-  // column -> acceptable dtypes (events via eventsRaw, rest plain scans)
+  // column -> acceptable dtypes (all tables via the nanos-tolerant raw scan)
   private val expected: Map[String, Seq[(String, Seq[DataType])]] = Map(
     "region" -> Seq(
       "r_regionkey" -> Seq(LongType, IntegerType),
@@ -53,7 +54,7 @@ class FixtureContractSpec extends AnyFunSuite {
       "o_custkey" -> Seq(LongType, IntegerType),
       "o_orderstatus" -> Seq(StringType),
       "o_totalprice" -> Seq(DoubleType),
-      "o_orderdate" -> Seq(TimestampNTZType, TimestampType, DateType),
+      "o_orderdate" -> Seq(TimestampNTZType, TimestampType, DateType, LongType),
       "o_orderpriority" -> Seq(StringType)),
     "lineitem" -> Seq(
       "l_orderkey" -> Seq(LongType, IntegerType),
@@ -66,7 +67,7 @@ class FixtureContractSpec extends AnyFunSuite {
       "l_tax" -> Seq(DoubleType),
       "l_returnflag" -> Seq(StringType),
       "l_linestatus" -> Seq(StringType),
-      "l_shipdate" -> Seq(TimestampNTZType, TimestampType, DateType)),
+      "l_shipdate" -> Seq(TimestampNTZType, TimestampType, DateType, LongType)),
     "events" -> Seq(
       "event_id" -> Seq(LongType),
       "ts" -> Seq(TimestampNTZType, TimestampType, LongType),
@@ -88,8 +89,7 @@ class FixtureContractSpec extends AnyFunSuite {
   test("every fixture table matches the schema contract") {
     val drift = Tables.names.flatMap { t =>
       val schema =
-        (if (t == "events") Tables.eventsRaw(spark, SparkFixture.sfDir)
-         else Tables.load(spark, SparkFixture.sfDir, t)).schema
+        Tables.loadTolerant(spark, SparkFixture.sfDir, t).schema
       expected(t).flatMap { case (colName, ok) =>
         schema.fields.find(_.name == colName) match {
           case None =>

@@ -113,6 +113,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(firstCat.filter(col("s") =!= 0).count() == 0)
   }
 
+  test("M4: over-cardinality column raises the named error, not a driver OOM") {
+    // an id-like column (every value distinct) must trip the fit-time cap
+    val e = intercept[IllegalArgumentException](
+      Preprocess.oneHotDropFirst(
+        cust.withColumn("cid", col("c_custkey").cast("string")), "cid",
+        maxCategories = 50))
+    assert(e.getMessage.contains("oneHotDropFirst('cid')"))
+    // and the cap leaves the legitimate bounded-domain path untouched
+    assert(Preprocess.oneHotDropFirst(cust, "c_mktsegment", maxCategories = 50)
+      .columns.count(_.startsWith("c_mktsegment_")) == 4)
+  }
+
   test("M6/M7: stratified key split ~20% test per stratum; folds cover 0..4") {
     val split = Preprocess.stratifiedSplitByKey(cust, "c_custkey")
     val frac = split.filter(col("split") === "test").count().toDouble / cust.count()

@@ -80,4 +80,79 @@ class TablesSpec extends AnyFunSuite {
     assert(out.schema("ts").dataType == TimestampType)
     assert(out.select(count(lit(1))).as[Long].head() > 0L)
   }
+
+  // ---- normalizeDate: the same contract for o_orderdate / l_shipdate ----
+  // (the r10→r11 regeneration re-typed these too; only ts was normalized
+  // through round 12, so the next flip would have been an x-series outage)
+
+  test("normalizeDate: timestamp_ntz passes through with the plan untouched") {
+    val df = Seq(posUs).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("o_orderdate"))
+    val out = Tables.normalizeDate(df, "o_orderdate", "orders")
+    assert(out eq df) // byte-identical plan on the current fixture shape
+  }
+
+  test("normalizeDate: date becomes midnight NTZ") {
+    val df = Seq("1995-03-17").toDF("s")
+      .select(col("s").cast(DateType).as("l_shipdate"))
+    val out = Tables.normalizeDate(df, "l_shipdate", "lineitem")
+    assert(out.schema("l_shipdate").dataType == TimestampNTZType)
+    assert(out.select(col("l_shipdate").cast("string")).as[String].head()
+      == "1995-03-17 00:00:00")
+  }
+
+  test("normalizeDate: timestamp re-labels the same µs value (UTC session)") {
+    val df = Seq(posUs).toDF("us")
+      .select(timestamp_micros(col("us")).as("o_orderdate"))
+    val out = Tables.normalizeDate(df, "o_orderdate", "orders")
+    assert(out.schema("o_orderdate").dataType == TimestampNTZType)
+    assert(out.select(col("o_orderdate").cast(TimestampType))
+      .select(unix_micros(col("o_orderdate"))).as[Long].head() == posUs)
+  }
+
+  test("normalizeDate: long (nanos) floors to µs NTZ, pre- and post-epoch") {
+    val df = Seq(negNs, posNs).toDF("o_orderdate")
+    val out = Tables.normalizeDate(df, "o_orderdate", "orders")
+    assert(out.schema("o_orderdate").dataType == TimestampNTZType)
+    val micros = out.select(
+      unix_micros(col("o_orderdate").cast(TimestampType))).as[Long].collect().sorted
+    assert(micros === Array(-1_000_000_002L, posUs))
+  }
+
+  test("normalizeDate: any other type fails loudly naming table.column") {
+    val df = Seq("1995-03-17").toDF("o_orderdate")
+    val e = intercept[IllegalStateException](
+      Tables.normalizeDate(df, "o_orderdate", "orders"))
+    assert(e.getMessage.contains("orders.o_orderdate"))
+  }
+
+  // The end-to-end drift rehearsal the round-12 verdict prescribed: write
+  // re-typed orders/lineitem fixtures (DATE, then tz-adjusted TIMESTAMP —
+  // the two shapes a Spark-side regeneration can actually produce), point
+  // the date-consuming flagship queries at them, and require bit-identical
+  // results vs the real fixture. A drift is now a no-op, not an outage.
+  test("re-typed orders/lineitem fixture: x11/x30/x33 results are identical") {
+    val real = SparkFixture.sfDir
+    val qs = Seq("x11_monthly_orders", "x30_asof_last_order", "x33_nearby_order_mass")
+    val want = qs.map(q =>
+      q -> SparkEntry.queries(q)(spark, real).collect().map(_.toString).sorted.toSeq).toMap
+    for (retype <- Seq("date", "timestamp")) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_retype_$retype")
+      for (t <- Tables.names if t != "orders" && t != "lineitem")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve(s"$t.parquet"),
+          java.nio.file.Paths.get(s"$real/$t.parquet"))
+      Tables.orders(spark, real)
+        .withColumn("o_orderdate", col("o_orderdate").cast(retype))
+        .write.parquet(tmp.resolve("orders.parquet").toString)
+      Tables.lineitem(spark, real)
+        .withColumn("l_shipdate", col("l_shipdate").cast(retype))
+        .write.parquet(tmp.resolve("lineitem.parquet").toString)
+      for (q <- qs) {
+        val got = SparkEntry.queries(q)(spark, tmp.toString)
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == want(q), s"$q diverged under $retype-typed fixture")
+      }
+    }
+  }
 }

@@ -116,6 +116,21 @@ class TaskReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("corpus pipeline (d43 shape) is replay-safe under stageStorage=reliable") {
+    // the bomb fires inside the checkpoint-write job: the failed attempt's
+    // partial checkpoint file is discarded by the file-commit protocol and
+    // the retry rewrites the partition — the executor-host-loss durability
+    // story depends on exactly this write path being replay-clean
+    spark.conf.set("spark.graft.stageStorage", "reliable")
+    try {
+      assertReplaySafe("trainingSequences[stageStorage=reliable]",
+        d => operators.Corpus.trainingSequences(d,
+          Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)))
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+    }
+  }
+
   test("decontamination (d44 shape, bloom-prune path included) is replay-safe") {
     assertReplaySafe("decontaminate", { d =>
       val train = d.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)

@@ -30,7 +30,21 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # A query that died at PLAN time never writes a parquet dir; iterating
+    # only oracle_sql.json keys would still catch it (no spark output), but
+    # a rows-only query (no oracle entry) that breaks would vanish entirely.
+    # Verify dumps every failure to errors.json — surface each as a FAIL so
+    # a casual selfcheck can't report green over plan-time breakage.
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: Verify recorded a failure: {msg}")
+        n_fail += 1
     for name, sql in sorted(oracles.items()):
+        if name in errors:
+            continue  # already reported above with Verify's own message
         try:
             spark_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
         except Exception as e:
