@@ -718,8 +718,13 @@ object SparkEntry {
         "(SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
         "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t) AS n_union_distinct"),
 
+    // o_orderdate is OUTPUT raw here — the one oracle that does — so pin
+    // its type: the Spark side always emits the canonical NTZ timestamp
+    // (Tables.normalizeDate), and without the CAST a DATE-re-typed fixture
+    // would make DuckDB return DATE and fail the compare on type alone.
+    // No-op on the current TIMESTAMP fixture.
     "x25_shipping_priority" ->
-      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+      ("SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority, " +
         "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
