@@ -1,37 +1,52 @@
 #!/usr/bin/env python3
 """Build a re-typed copy of a testdata SF dir to rehearse fixture drift.
 
-Usage: python3 tools/retype_fixture.py <srcSfDir> <dstDir> [date|timestamp]
+Usage: python3 tools/retype_fixture.py <srcSfDir> <dstDir> [date|timestamp|nanos]
 
 The r10->r11 testdata regeneration silently flipped physical types
 (TIMESTAMP(NANOS) -> TIMESTAMP_NTZ) and killed 7 queries at plan time;
 Tables.normalizeTs/normalizeDate now canonicalize every shape. This tool
-rehearses the NEXT flip end-to-end: it re-types orders.o_orderdate and
-lineitem.l_shipdate to DATE (default) or tz-adjusted TIMESTAMP and
-symlinks every other table, so the full driver gate can be replayed
-against the drifted copy:
+rehearses the NEXT flip end-to-end, so the full driver gate can be
+replayed against a drifted copy:
+
+  - date (default) / timestamp: orders.o_orderdate and lineitem.l_shipdate
+    re-typed to DATE / tz-adjusted TIMESTAMP (via DuckDB; TIMESTAMPTZ
+    writes isAdjustedToUTC=true micros -> Spark TimestampType);
+  - nanos: those two PLUS events.ts re-typed to TIMESTAMP(NANOS) (via
+    pyarrow — DuckDB downgrades NS to micros on parquet write), i.e. the
+    full REVERSION to the round-<=10 fixture shape.
+
+Every other table is symlinked. Replay:
 
     python3 tools/retype_fixture.py /root/testdata/sf0.001 /tmp/retyped001
     SPARK_GRAFT_CPUS=8 sbt "runMain graft.Verify /tmp/retyped001 /tmp/v_re"
     python3 tools/selfcheck.py /tmp/retyped001 /tmp/v_re   # expect 0 fail
 
-(Recorded green for both arms at round 13: 101 pass / 0 fail.)
+(Recorded green for all three arms at round 13: 101 pass / 0 fail each.)
 """
 import os
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 RETYPED = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
-# TIMESTAMPTZ writes isAdjustedToUTC=true micros -> Spark TimestampType,
-# the other realistic drift arm (DATE is the first)
+NANOS_RETYPED = dict(RETYPED, events="ts")
 CASTS = {"date": "DATE", "timestamp": "TIMESTAMPTZ"}
 
 
+def retype_nanos(src_file, dst_file, col):
+    t = pq.read_table(src_file)
+    i = t.column_names.index(col)
+    t = t.set_column(i, col, t.column(col).cast(pa.timestamp("ns")))
+    pq.write_table(t, dst_file, version="2.6", coerce_timestamps=None)
+
+
 def main(src, dst, retype="date"):
-    cast = CASTS[retype]
+    retyped = NANOS_RETYPED if retype == "nanos" else RETYPED
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")  # naive->TZ cast must re-label, not shift
@@ -40,11 +55,15 @@ def main(src, dst, retype="date"):
         if os.path.exists(d):
             print(f"refusing to overwrite {d}", file=sys.stderr)
             return 1
-        if t in RETYPED:
-            c = RETYPED[t]
-            con.execute(f"COPY (SELECT * REPLACE (CAST({c} AS {cast}) AS {c}) "
-                        f"FROM read_parquet('{s}')) TO '{d}' (FORMAT PARQUET)")
-            print(f"{t}.{c} -> {cast}")
+        if t in retyped:
+            c = retyped[t]
+            if retype == "nanos":
+                retype_nanos(s, d, c)
+                print(f"{t}.{c} -> TIMESTAMP(NANOS)")
+            else:
+                con.execute(f"COPY (SELECT * REPLACE (CAST({c} AS {CASTS[retype]}) AS {c}) "
+                            f"FROM read_parquet('{s}')) TO '{d}' (FORMAT PARQUET)")
+                print(f"{t}.{c} -> {CASTS[retype]}")
         else:
             os.symlink(s, d)
     return 0
