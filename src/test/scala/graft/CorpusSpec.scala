@@ -302,6 +302,32 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("stageStorage=reliable without a checkpoint dir fails with the named " +
+      "error before any job runs") {
+    import spark.implicits._
+    // SparkContext has no public way to UNSET a checkpoint dir and the
+    // shared fixture sets one, so clear the private field for the duration
+    // (restored in finally; suites run sequentially in the forked JVM, the
+    // same assumption every conf-mutating test here relies on). If Spark
+    // renames the field this fails loudly as NoSuchFieldException.
+    val sc = spark.sparkContext
+    val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+    f.setAccessible(true)
+    val saved = f.get(sc)
+    f.set(sc, None)
+    spark.conf.set("spark.graft.stageStorage", "reliable")
+    try {
+      val docs = Seq((1L, "tiny doc words here", "en", "srcX", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val e = intercept[IllegalStateException](
+        Corpus.trainingSequences(docs, Map.empty))
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+      f.set(sc, saved)
+    }
+  }
+
   test("beyond-broadcast decontamination: runtime bloom filter is planned, not just enabled") {
     // the decontaminate scaladoc's beyond-broadcast story: when the
     // benchmark fp relation outgrows AQE's broadcast threshold the join

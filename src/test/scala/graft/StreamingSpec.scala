@@ -136,6 +136,34 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("file-source stream over a TIMESTAMP(NANOS) events file (the round-10 " +
+      "fixture shape) floors to µs and matches the batch path") {
+    // the drift REVERSION readEventsStream's fallback caveat documents: a
+    // real nanos-physical file (committed test resource: 500 fixture rows
+    // re-typed via the tools/retype_fixture.py logic, with non-zero sub-µs
+    // residues planted so the ns→µs floor does real work) must stream
+    // through the same schema-borrow + normalizeTs path as the batch scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ns")
+    val res = getClass.getResourceAsStream("/events_nanos/events.parquet")
+    java.nio.file.Files.copy(res, dir.resolve("events.parquet"))
+    val stream = StreamMonitor.readEventsStream(spark, dir.toString)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val q = StreamMonitor.hourlyProfile(stream)
+      .writeStream.format("memory").queryName("fns").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("fns")
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventOps.hourlyCounts(Tables.normalizeTs {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(dir.toString)
+      })
+      .select(col("hour").cast("timestamp").as("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    q.stop()
+  }
+
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
