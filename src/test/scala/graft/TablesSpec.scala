@@ -119,6 +119,31 @@ class TablesSpec extends AnyFunSuite {
     assert(micros === Array(-1_000_000_002L, posUs))
   }
 
+  test("property: normalizeDate's ns→µs path equals BigInt floor division " +
+      "over random longs (parameterized column expr)") {
+    // the ts property test pins nsToUsFloor("ts"); this pins the
+    // PARAMETERIZED expr the date path builds for an arbitrary column
+    // name — a quoting or arithmetic regression there would only surface
+    // under a NANOS-re-typed fixture otherwise
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.frequency(
+      8 -> Gen.chooseNum(Long.MinValue + 1, Long.MaxValue),
+      2 -> Gen.chooseNum(-3_000L, 3_000L))
+    val params = Gen.Parameters.default
+    val ns = Iterator.iterate(Seed(13L))(_.next).take(300)
+      .map(s => gen.pureApply(params, s)).toSeq ++
+      Seq(-1L, 0L, 1L, -999L, -1000L, -1001L, 999L, 1000L, 1001L)
+    val got = Tables.normalizeDate(ns.toDF("o_orderdate"), "o_orderdate", "orders")
+      .select(unix_micros(col("o_orderdate").cast(TimestampType)))
+      .as[Long].collect()
+    val want = ns.map(v =>
+      (BigInt(v) - (((BigInt(v) % 1000) + 1000) % 1000)) / 1000)
+    got.zip(want).zip(ns).foreach { case ((g, w), v) =>
+      assert(BigInt(g) == w, s"ns=$v")
+    }
+  }
+
   test("normalizeDate: any other type fails loudly naming table.column") {
     val df = Seq("1995-03-17").toDF("o_orderdate")
     val e = intercept[IllegalStateException](
