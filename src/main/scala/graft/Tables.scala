@@ -135,17 +135,55 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame =
     normalizeDate(loadTolerant(s, d, "lineitem"), "l_shipdate", "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Canonicalize the `embedding` column to `array<float>` — the shape every
+    * fixture so far has shipped, and the type the native similarity kernels
+    * ([[graft.functions.CosineSimilarity]], [[graft.functions.HyperplaneBits]]),
+    * the [[graft.functions.VectorAvg]] encoder, and the IVF `getSeq[Float]`
+    * reads bind to. A regeneration that writes the same values as
+    * `array<double>` (a writer-default flip, the realistic drift — the
+    * r10→r11 regeneration was exactly such a physical-type-only change)
+    * would otherwise kill d14/d16/d21/d22/d34 at plan time:
+    *  - `array<float>` → canonical, untouched (today's fixture; the plan
+    *    stays byte-identical, nothing to re-audit);
+    *  - `array<double>` → cast element-wise to float. EXACT for
+    *    float-representable values, i.e. for any re-typed fixture whose
+    *    generator still produces float32 data. If a future generator ships
+    *    genuinely double-precision values, this down-cast perturbs cosine
+    *    inputs by ~1e-7 relative and the 6-dp oracle compares (d14/d21/d34)
+    *    fail loudly at the correctness gate — the signal to widen the native
+    *    kernels to a double path rather than keep the cast.
+    * Anything else is a fixture change we want to fail loudly on. */
+  private[graft] def normalizeEmbedding(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, n) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType, n)))
+      case other => throw new IllegalStateException(
+        s"unexpected embeddings.embedding type: $other — the testdata was " +
+          "regenerated with a new physical type; extend " +
+          "Tables.normalizeEmbedding (see the normalizeTs precedent), then " +
+          "widen FixtureContractSpec")
+    }
+  }
+
+  /** Embeddings with `embedding` canonicalized ([[normalizeEmbedding]]). */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    normalizeEmbedding(load(s, d, "embeddings"))
 
   /** Canonical scan dispatcher: every table through its drift-normalizing
     * loader (events → µs TimestampType `ts`, orders/lineitem → NTZ date
-    * columns, the rest plain scans). This is what view registration and
+    * columns, embeddings → `array<float>`, the rest plain scans). This is
+    * what view registration and
     * whole-catalog iteration should use so no code path consumes a raw
     * drifted physical type by accident. */
   def canonical(s: SparkSession, d: String, name: String): DataFrame = name match {
-    case "events"   => eventsTs(s, d)
-    case "orders"   => orders(s, d)
-    case "lineitem" => lineitem(s, d)
-    case other      => load(s, d, other)
+    case "events"     => eventsTs(s, d)
+    case "orders"     => orders(s, d)
+    case "lineitem"   => lineitem(s, d)
+    case "embeddings" => embeddings(s, d)
+    case other        => load(s, d, other)
   }
 }

@@ -83,7 +83,8 @@ class FixtureContractSpec extends AnyFunSuite {
       "n_chars" -> Seq(LongType, IntegerType)),
     "embeddings" -> Seq(
       "vec_id" -> Seq(LongType),
-      "embedding" -> Seq(ArrayType(FloatType), ArrayType(FloatType, false)),
+      "embedding" -> Seq(ArrayType(FloatType), ArrayType(FloatType, false),
+        ArrayType(DoubleType), ArrayType(DoubleType, false)),
       "label" -> Seq(IntegerType, LongType)))
 
   test("every fixture table matches the schema contract") {

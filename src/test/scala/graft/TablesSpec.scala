@@ -151,6 +151,51 @@ class TablesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("orders.o_orderdate"))
   }
 
+  // ---- normalizeEmbedding: drift contract for embeddings.embedding ----
+  // (the native similarity kernels and the VectorAvg encoder bind to
+  // array<float>; a writer-level float->double regeneration would kill
+  // d14/d16/d21/d22/d34 at plan time without this)
+
+  test("normalizeEmbedding: array<float> passes through with the plan untouched") {
+    val df = Seq(Seq(1.0f, 2.5f)).toDF("embedding")
+    assert(Tables.normalizeEmbedding(df) eq df)
+  }
+
+  test("normalizeEmbedding: array<double> casts to float, exact for float-representable values") {
+    val vals = Seq(Seq(1.0, 2.5, -0.125, 3.1f.toDouble))
+    val out = Tables.normalizeEmbedding(vals.toDF("embedding"))
+    // containsNull is preserved from the source (false here — Seq encoder)
+    assert(out.schema("embedding").dataType == ArrayType(FloatType, containsNull = false))
+    assert(out.as[Seq[Float]].head() == Seq(1.0f, 2.5f, -0.125f, 3.1f))
+  }
+
+  test("normalizeEmbedding: any other type fails loudly naming the column") {
+    val df = Seq(Seq(1, 2)).toDF("embedding")
+    val e = intercept[IllegalStateException](Tables.normalizeEmbedding(df))
+    assert(e.getMessage.contains("embeddings.embedding"))
+  }
+
+  test("re-typed double embeddings fixture: d14/d21/d34 results are identical") {
+    val real = SparkFixture.sfDir
+    val qs = Seq("d14_cosine_topk", "d21_embedding_neardups",
+      "d34_embedding_centroids")
+    val want = qs.map(q =>
+      q -> SparkEntry.queries(q)(spark, real).collect().map(_.toString).sorted.toSeq).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retype_embdouble")
+    for (t <- Tables.names if t != "embeddings")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$real/$t.parquet"))
+    Tables.embeddings(spark, real)
+      .withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .write.parquet(tmp.resolve("embeddings.parquet").toString)
+    for (q <- qs) {
+      val got = SparkEntry.queries(q)(spark, tmp.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want(q), s"$q diverged under double-typed embeddings")
+    }
+  }
+
   // The end-to-end drift rehearsal the round-12 verdict prescribed: write
   // re-typed orders/lineitem fixtures (DATE, then tz-adjusted TIMESTAMP —
   // the two shapes a Spark-side regeneration can actually produce), point

@@ -14,7 +14,10 @@ replayed against a drifted copy:
     writes isAdjustedToUTC=true micros -> Spark TimestampType);
   - nanos: those two PLUS events.ts re-typed to TIMESTAMP(NANOS) (via
     pyarrow — DuckDB downgrades NS to micros on parquet write), i.e. the
-    full REVERSION to the round-<=10 fixture shape.
+    full REVERSION to the round-<=10 fixture shape;
+  - embdouble: embeddings.embedding re-typed FLOAT[] -> DOUBLE[]
+    (value-preserving widening; Tables.normalizeEmbedding casts it back,
+    exactly, so the similarity family stays green).
 
 Every other table is symlinked. Replay:
 
@@ -22,7 +25,7 @@ Every other table is symlinked. Replay:
     SPARK_GRAFT_CPUS=8 sbt "runMain graft.Verify /tmp/retyped001 /tmp/v_re"
     python3 tools/selfcheck.py /tmp/retyped001 /tmp/v_re   # expect 0 fail
 
-(Recorded green for all three arms at round 13: 101 pass / 0 fail each.)
+(Recorded green for all four arms at round 13: 101 pass / 0 fail each.)
 """
 import os
 import sys
@@ -35,7 +38,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 RETYPED = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
 NANOS_RETYPED = dict(RETYPED, events="ts")
-CASTS = {"date": "DATE", "timestamp": "TIMESTAMPTZ"}
+EMB_RETYPED = {"embeddings": "embedding"}
+CASTS = {"date": "DATE", "timestamp": "TIMESTAMPTZ", "embdouble": "DOUBLE[]"}
 
 
 def retype_nanos(src_file, dst_file, col):
@@ -46,7 +50,7 @@ def retype_nanos(src_file, dst_file, col):
 
 
 def main(src, dst, retype="date"):
-    retyped = NANOS_RETYPED if retype == "nanos" else RETYPED
+    retyped = {"nanos": NANOS_RETYPED, "embdouble": EMB_RETYPED}.get(retype, RETYPED)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")  # naive->TZ cast must re-label, not shift
