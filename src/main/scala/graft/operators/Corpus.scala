@@ -66,7 +66,16 @@ object Corpus {
     *    Spark deletes them only at context stop or, with
     *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, at GC of
     *    the RDD — directory lifecycle belongs to orchestration, same as
-    *    any job's scratch space.
+    *    any job's scratch space. Scope of the guarantee: it covers the
+    *    STAGE relations this method materializes. Interior
+    *    materializations elsewhere in the pipeline — notably the dedup
+    *    component loop's per-round `localCheckpoint`
+    *    ([[graft.operators.Dedup.connectedComponents]]) — remain
+    *    executor-local under every strategy, so a host lost mid-loop
+    *    still fails that job; what the reliable stage buys is the RETRY
+    *    cost — orchestration's re-run resumes from the durable stage
+    *    files instead of recomputing the corpus scan and fingerprint
+    *    explode from raw input.
     *
     * Both strategies yield the same single-scan dataflow and BOTH are
     * eager: under the disk strategy a `count()` materializes the blocks
@@ -108,7 +117,18 @@ object Corpus {
               "directory: call spark.sparkContext.setCheckpointDir(<durable " +
               "path>) before running the pipeline (on a cluster this must " +
               "be HDFS / object storage, not a local path)")
-        df.checkpoint(true)
+        // an unpersisted reliable checkpoint computes the stage TWICE:
+        // the eager count is one job, then RDD.doCheckpoint launches a
+        // second job that recomputes every partition from lineage to
+        // write the checkpoint files. For the uncapped exploded
+        // fingerprint stage that doubles the most expensive compute of
+        // the pipeline — so persist DISK_ONLY for the duration (count
+        // populates the blocks, the write job re-reads them) and drop
+        // the transient handle before returning, preserving the
+        // strategy's no-lingering-DISK_ONLY-handles contract
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        try df.checkpoint(true)
+        finally p.unpersist(blocking = false)
       case _ => df.localCheckpoint(true)
     }
 

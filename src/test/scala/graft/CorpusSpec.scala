@@ -274,8 +274,12 @@ class CorpusSpec extends AnyFunSuite {
     val ckptPath =
       if (ckptStr.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(ckptStr))
       else java.nio.file.Paths.get(ckptStr)
-    def rddDirs = java.nio.file.Files.list(ckptPath).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("rdd-")).toSet
+    def rddDirs = {
+      val s = java.nio.file.Files.list(ckptPath) // must close: holds an fd
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("rdd-")).toSet
+      finally s.close()
+    }
     val beforeDirs = rddDirs
     // the component loop localCheckpoints per round under EVERY strategy
     // (those handles legitimately register in getPersistentRDDs), so the
@@ -297,6 +301,31 @@ class CorpusSpec extends AnyFunSuite {
       // lineage TRUNCATED (unlike the disk strategy): the executed plan
       // reads the checkpointed relation, not the original file scan
       assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+    }
+  }
+
+  test("stageStorage=reliable computes the stage ONCE (transient persist " +
+      "feeds the checkpoint-write job) and drops its handle") {
+    import spark.implicits._
+    // an unpersisted reliable checkpoint runs TWO jobs over the stage:
+    // the eager count, then RDD.doCheckpoint's file-write job recomputing
+    // every partition from lineage — the accumulator would read 2× rows
+    val acc = spark.sparkContext.longAccumulator("stageComputeCount")
+    val df = spark.range(100).map { i => acc.add(1); i }.toDF("v")
+    def diskHandles = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val before = diskHandles
+    spark.conf.set("spark.graft.stageStorage", "reliable")
+    try {
+      val out = Corpus.stageMaterialize(df)
+      assert(acc.value == 100L,
+        s"stage computed ${acc.value} row-evaluations for 100 rows — the " +
+          "checkpoint write recomputed the stage instead of reading the blocks")
+      assert(out.count() == 100L)
+      assert(acc.value == 100L) // downstream reads checkpoint files, no recompute
+      assert(diskHandles == before, "transient DISK_ONLY handle leaked")
     } finally {
       spark.conf.unset("spark.graft.stageStorage")
     }

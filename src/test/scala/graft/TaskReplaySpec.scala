@@ -117,10 +117,12 @@ class TaskReplaySpec extends AnyFunSuite {
   }
 
   test("corpus pipeline (d43 shape) is replay-safe under stageStorage=reliable") {
-    // the bomb fires inside the checkpoint-write job: the failed attempt's
-    // partial checkpoint file is discarded by the file-commit protocol and
-    // the retry rewrites the partition — the executor-host-loss durability
-    // story depends on exactly this write path being replay-clean
+    // the bomb fires in the stage's first computation (the eager count
+    // that populates the transient DISK_ONLY blocks feeding the
+    // checkpoint write); the failed attempt's partial state is discarded
+    // and the retry recomputes the partition — the executor-host-loss
+    // durability story depends on this materialization path being
+    // replay-clean end-to-end
     spark.conf.set("spark.graft.stageStorage", "reliable")
     try {
       assertReplaySafe("trainingSequences[stageStorage=reliable]",

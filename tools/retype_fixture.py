@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Build a re-typed copy of a testdata SF dir to rehearse fixture drift.
 
-Usage: python3 tools/retype_fixture.py <srcSfDir> <dstDir> [date|timestamp|nanos]
+Usage: python3 tools/retype_fixture.py <srcSfDir> <dstDir> [date|timestamp|nanos|embdouble]
 
 The r10->r11 testdata regeneration silently flipped physical types
 (TIMESTAMP(NANOS) -> TIMESTAMP_NTZ) and killed 7 queries at plan time;
@@ -50,6 +50,11 @@ def retype_nanos(src_file, dst_file, col):
 
 
 def main(src, dst, retype="date"):
+    arms = ("date", "timestamp", "nanos", "embdouble")
+    if retype not in arms:  # validate BEFORE creating dst — a typo'd arm
+        print(f"unknown retype arm {retype!r}; expected one of {arms}",
+              file=sys.stderr)  # must not leave a half-built fixture dir
+        return 1
     retyped = {"nanos": NANOS_RETYPED, "embdouble": EMB_RETYPED}.get(retype, RETYPED)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()

@@ -26,6 +26,12 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # every Spark entrypoint pins spark.sql.session.timeZone=UTC (the
+    # normalizeTs/normalizeDate contract); pin the oracle session too, or a
+    # non-UTC host would shift TIMESTAMPTZ fixtures (the retype_fixture
+    # "timestamp" drift arm) instant->wall-clock by the local offset in
+    # every CAST/date_trunc and fail the compare spuriously
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
