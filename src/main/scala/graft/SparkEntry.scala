@@ -316,8 +316,11 @@ object SparkEntry {
     "l_returnflag", "l_linestatus", "l_shipdate")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * [[oracleSql]] wraps every entry in the canonical-type CTE prelude
+    * ([[withCanon]]) so the oracle computes on the same canonical types
+    * the engine does under any physical-type drift. */
+  private[graft] def oracleSqlRaw: Map[String, String] = Map(
     "v1_null_count" ->
       ("SELECT " + lineitemCols.map(c => s"count(*) - count($c) AS nulls_$c").mkString(", ") +
         " FROM lineitem"),
@@ -1166,4 +1169,75 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY 1 ORDER BY modality"),
   )
+
+  /** Canonical-type CTE prelude for the oracle side, mirroring the engine's
+    * `Tables.canonical` loaders column for column: one CTE per fixture
+    * table that shadows the raw DuckDB view and re-types every
+    * drift-exposed column to its canonical shape — integer widths and
+    * measures→DOUBLE (`Tables.canonicalNumeric`), the date/ts family →
+    * TIMESTAMP (DuckDB's TIMESTAMP_NS→TIMESTAMP cast floors, matching
+    * `Tables.nsToUsFloor`; TIMESTAMPTZ→TIMESTAMP re-labels under the
+    * pinned-UTC oracle session), `embedding` → FLOAT[]. On today's fixture
+    * every cast is a no-op (value- and dtype-identical, re-verified at the
+    * gate); under a drifted fixture both sides canonicalize identically, so
+    * a regeneration can't open a Spark-vs-oracle type gap — the general
+    * form of the x25 `CAST(o_orderdate AS TIMESTAMP)` pin.
+    *
+    * CTE bodies reference `main.<table>` (schema-qualified names bypass CTE
+    * shadowing) so the prelude can be merged into a `WITH RECURSIVE` list
+    * without the shadow CTE becoming a self-reference. */
+  private val canonCteDefs: String = Seq(
+    "region"   -> "CAST(r_regionkey AS INTEGER) AS r_regionkey",
+    "nation"   -> ("CAST(n_nationkey AS INTEGER) AS n_nationkey, " +
+                   "CAST(n_regionkey AS INTEGER) AS n_regionkey"),
+    "customer" -> ("CAST(c_custkey AS BIGINT) AS c_custkey, " +
+                   "CAST(c_nationkey AS INTEGER) AS c_nationkey, " +
+                   "CAST(c_acctbal AS DOUBLE) AS c_acctbal"),
+    "supplier" -> ("CAST(s_suppkey AS BIGINT) AS s_suppkey, " +
+                   "CAST(s_nationkey AS INTEGER) AS s_nationkey, " +
+                   "CAST(s_acctbal AS DOUBLE) AS s_acctbal"),
+    "part"     -> ("CAST(p_partkey AS BIGINT) AS p_partkey, " +
+                   "CAST(p_size AS INTEGER) AS p_size, " +
+                   "CAST(p_retailprice AS DOUBLE) AS p_retailprice"),
+    "orders"   -> ("CAST(o_orderkey AS BIGINT) AS o_orderkey, " +
+                   "CAST(o_custkey AS BIGINT) AS o_custkey, " +
+                   "CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
+                   "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate"),
+    "lineitem" -> ("CAST(l_orderkey AS BIGINT) AS l_orderkey, " +
+                   "CAST(l_partkey AS BIGINT) AS l_partkey, " +
+                   "CAST(l_suppkey AS BIGINT) AS l_suppkey, " +
+                   "CAST(l_linenumber AS INTEGER) AS l_linenumber, " +
+                   "CAST(l_quantity AS DOUBLE) AS l_quantity, " +
+                   "CAST(l_extendedprice AS DOUBLE) AS l_extendedprice, " +
+                   "CAST(l_discount AS DOUBLE) AS l_discount, " +
+                   "CAST(l_tax AS DOUBLE) AS l_tax, " +
+                   "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"),
+    "events"   -> ("CAST(event_id AS BIGINT) AS event_id, " +
+                   "CAST(ts AS TIMESTAMP) AS ts, " +
+                   "CAST(user_id AS BIGINT) AS user_id, " +
+                   "CAST(value AS DOUBLE) AS value"),
+    "documents" -> ("CAST(doc_id AS BIGINT) AS doc_id, " +
+                    "CAST(n_chars AS BIGINT) AS n_chars"),
+    "embeddings" -> ("CAST(vec_id AS BIGINT) AS vec_id, " +
+                     "CAST(embedding AS FLOAT[]) AS embedding, " +
+                     "CAST(label AS INTEGER) AS label"))
+    .map { case (t, repl) => s"$t AS (SELECT * REPLACE ($repl) FROM main.$t)" }
+    .mkString(", ")
+
+  /** Merge the canonical prelude into an oracle query, preserving an
+    * existing `WITH` / `WITH RECURSIVE` list (RECURSIVE is a property of
+    * the whole with-list; non-recursive members are legal under it). */
+  private[graft] def withCanon(sql: String): String = {
+    val s = sql.trim
+    val up = s.toUpperCase
+    if (up.startsWith("WITH RECURSIVE"))
+      s"WITH RECURSIVE $canonCteDefs, ${s.drop("WITH RECURSIVE".length).trim}"
+    else if (up.startsWith("WITH"))
+      s"WITH $canonCteDefs, ${s.drop("WITH".length).trim}"
+    else
+      s"WITH $canonCteDefs $s"
+  }
+
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (name, sql) => name -> withCanon(sql) }
 }

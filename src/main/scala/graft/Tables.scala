@@ -30,17 +30,96 @@ object Tables {
     load(s, d, name)
   }
 
-  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  /** Canonical numeric type per table.column — today's fixture shape, the
+    * types every typed read (`getLong(doc_id)`, `getSeq[Float]`), encoder,
+    * and native expression in the engine binds to. [[normalizeNumeric]]
+    * casts any numeric physical-type drift back to these; non-numeric
+    * columns (strings, the timestamp family, the embedding array) have
+    * their own normalizers or are drift-stable. */
+  private[graft] val canonicalNumeric: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "region"   -> Seq("r_regionkey" -> IntegerType),
+      "nation"   -> Seq("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+                        "c_acctbal" -> DoubleType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
+                        "s_acctbal" -> DoubleType),
+      "part"     -> Seq("p_partkey" -> LongType, "p_size" -> IntegerType,
+                        "p_retailprice" -> DoubleType),
+      "orders"   -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                        "o_totalprice" -> DoubleType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+                        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+                        "l_discount" -> DoubleType, "l_tax" -> DoubleType),
+      "events"   -> Seq("event_id" -> LongType, "user_id" -> LongType,
+                        "value" -> DoubleType),
+      "documents" -> Seq("doc_id" -> LongType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType, "label" -> IntegerType))
+  }
+
+  /** Canonicalize numeric physical-type drift back to [[canonicalNumeric]] —
+    * the [[normalizeTs]]/[[normalizeDate]] pattern applied to the last
+    * un-armored fixture surface. A regeneration that unifies integer widths
+    * (int32↔int64) or switches measures to the TPC-H-spec DECIMAL(15,2)
+    * would otherwise break typed reads (`getLong` → ClassCastException) and
+    * Dataset upcasts (decimal→double is not a legal upcast → CANNOT_UP_CAST
+    * at analysis) — the same silent-outage class as the r10→r11 timestamp
+    * flip. Branches:
+    *  - exact match → untouched (today's fixture; plans stay byte-identical);
+    *  - any DecimalType or FloatType → DoubleType: measure columns back to
+    *    double. Exact for any physical-type-only drift (values the current
+    *    double fixture already carries); a genuine precision change fails
+    *    the oracle compares loudly — the signal to revisit;
+    *  - integral ↔ integral → cast to the canonical width. Widening is
+    *    always exact; narrowing is exact for every value the fixture domain
+    *    can hold (25 nations, 5 regions, int-sized sizes/linenumbers) and
+    *    sessions run ANSI mode, so a genuinely out-of-range value fails
+    *    loudly instead of wrapping.
+    * Anything else is a fixture change we want to fail loudly on, naming
+    * the table and column. */
+  private[graft] def normalizeNumeric(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    canonicalNumeric.getOrElse(table, Seq.empty).foldLeft(df) {
+      case (acc, (c, want)) =>
+        (acc.schema(c).dataType, want) match {
+          case (have, w) if have == w => acc
+          case (_: DecimalType, DoubleType) =>
+            acc.withColumn(c, col(c).cast(want))
+          case (FloatType, DoubleType) =>
+            acc.withColumn(c, col(c).cast(want))
+          case (ByteType | ShortType | IntegerType | LongType,
+                IntegerType | LongType) =>
+            acc.withColumn(c, col(c).cast(want))
+          case (other, w) => throw new IllegalStateException(
+            s"unexpected $table.$c type: $other (canonical $w) — the " +
+              "testdata was regenerated with a new physical type; extend " +
+              "Tables.normalizeNumeric (see the normalizeTs precedent), " +
+              "then widen FixtureContractSpec")
+        }
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame =
+    normalizeNumeric(load(s, d, "region"), "region")
+  def nation(s: SparkSession, d: String): DataFrame =
+    normalizeNumeric(load(s, d, "nation"), "nation")
+  def customer(s: SparkSession, d: String): DataFrame =
+    normalizeNumeric(load(s, d, "customer"), "customer")
+  def supplier(s: SparkSession, d: String): DataFrame =
+    normalizeNumeric(load(s, d, "supplier"), "supplier")
+  def part(s: SparkSession, d: String): DataFrame =
+    normalizeNumeric(load(s, d, "part"), "part")
 
   /** Orders with `o_orderdate` canonicalized ([[normalizeDate]]) — on the
     * current TIMESTAMP_NTZ fixture both the flag and the normalization are
     * no-ops and the plan is byte-identical to a plain scan. */
   def orders(s: SparkSession, d: String): DataFrame =
-    normalizeDate(loadTolerant(s, d, "orders"), "o_orderdate", "orders")
+    normalizeNumeric(
+      normalizeDate(loadTolerant(s, d, "orders"), "o_orderdate", "orders"),
+      "orders")
 
   /** Raw events scan, tolerant of the fixture's physical `ts` type — the
     * harness has shipped it both as parquet TIMESTAMP(NANOS) (rounds ≤ 10)
@@ -55,7 +134,7 @@ object Tables {
     * into that globally (same contract as
     * [[graft.streaming.StreamMonitor.readEventsStream]]). */
   def eventsRaw(s: SparkSession, d: String): DataFrame =
-    loadTolerant(s, d, "events")
+    normalizeNumeric(loadTolerant(s, d, "events"), "events")
 
   /** ns→µs epoch conversion matching DuckDB's TIMESTAMP_NS → TIMESTAMP
     * cast, which FLOORS: integer `div` truncates toward zero, so a bare
@@ -133,8 +212,11 @@ object Tables {
 
   /** Lineitem with `l_shipdate` canonicalized ([[normalizeDate]]). */
   def lineitem(s: SparkSession, d: String): DataFrame =
-    normalizeDate(loadTolerant(s, d, "lineitem"), "l_shipdate", "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+    normalizeNumeric(
+      normalizeDate(loadTolerant(s, d, "lineitem"), "l_shipdate", "lineitem"),
+      "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame =
+    normalizeNumeric(load(s, d, "documents"), "documents")
 
   /** Canonicalize the `embedding` column to `array<float>` — the shape every
     * fixture so far has shipped, and the type the native similarity kernels
@@ -171,11 +253,12 @@ object Tables {
 
   /** Embeddings with `embedding` canonicalized ([[normalizeEmbedding]]). */
   def embeddings(s: SparkSession, d: String): DataFrame =
-    normalizeEmbedding(load(s, d, "embeddings"))
+    normalizeNumeric(normalizeEmbedding(load(s, d, "embeddings")), "embeddings")
 
   /** Canonical scan dispatcher: every table through its drift-normalizing
     * loader (events → µs TimestampType `ts`, orders/lineitem → NTZ date
-    * columns, embeddings → `array<float>`, the rest plain scans). This is
+    * columns, embeddings → `array<float>`, and EVERY table through
+    * [[normalizeNumeric]] for integer-width / decimal drift). This is
     * what view registration and
     * whole-catalog iteration should use so no code path consumes a raw
     * drifted physical type by accident. */
@@ -184,6 +267,12 @@ object Tables {
     case "orders"     => orders(s, d)
     case "lineitem"   => lineitem(s, d)
     case "embeddings" => embeddings(s, d)
-    case other        => load(s, d, other)
+    case "region"     => region(s, d)
+    case "nation"     => nation(s, d)
+    case "customer"   => customer(s, d)
+    case "supplier"   => supplier(s, d)
+    case "part"       => part(s, d)
+    case "documents"  => documents(s, d)
+    case other => throw new IllegalArgumentException(s"unknown table: $other")
   }
 }

@@ -28,6 +28,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class FixtureContractSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
+  /** Measure columns: double canonical; a regeneration may ship FloatType
+    * or any DECIMAL(p,s) — `Tables.normalizeNumeric` casts all back to
+    * double. `accepts` below treats any DecimalType as in-contract
+    * wherever DoubleType is listed (the precision/scale is the writer's
+    * choice, so no fixed instance can be enumerated here). */
+  private val measure: Seq[DataType] = Seq(DoubleType, FloatType)
+
+  private def accepts(ok: Seq[DataType], have: DataType): Boolean =
+    ok.contains(have) ||
+      (ok.contains(DoubleType) && have.isInstanceOf[DecimalType])
+
   // column -> acceptable dtypes (all tables via the nanos-tolerant raw scan)
   private val expected: Map[String, Seq[(String, Seq[DataType])]] = Map(
     "region" -> Seq(
@@ -41,7 +52,7 @@ class FixtureContractSpec extends AnyFunSuite {
       "c_custkey" -> Seq(LongType, IntegerType),
       "c_name" -> Seq(StringType),
       "c_nationkey" -> Seq(LongType, IntegerType),
-      "c_acctbal" -> Seq(DoubleType),
+      "c_acctbal" -> measure,
       "c_mktsegment" -> Seq(StringType)),
     "supplier" -> Seq(
       "s_suppkey" -> Seq(LongType, IntegerType),
@@ -53,7 +64,7 @@ class FixtureContractSpec extends AnyFunSuite {
       "o_orderkey" -> Seq(LongType, IntegerType),
       "o_custkey" -> Seq(LongType, IntegerType),
       "o_orderstatus" -> Seq(StringType),
-      "o_totalprice" -> Seq(DoubleType),
+      "o_totalprice" -> measure,
       "o_orderdate" -> Seq(TimestampNTZType, TimestampType, DateType, LongType),
       "o_orderpriority" -> Seq(StringType)),
     "lineitem" -> Seq(
@@ -61,28 +72,28 @@ class FixtureContractSpec extends AnyFunSuite {
       "l_partkey" -> Seq(LongType, IntegerType),
       "l_suppkey" -> Seq(LongType, IntegerType),
       "l_linenumber" -> Seq(LongType, IntegerType),
-      "l_quantity" -> Seq(DoubleType),
-      "l_extendedprice" -> Seq(DoubleType),
-      "l_discount" -> Seq(DoubleType),
-      "l_tax" -> Seq(DoubleType),
+      "l_quantity" -> measure,
+      "l_extendedprice" -> measure,
+      "l_discount" -> measure,
+      "l_tax" -> measure,
       "l_returnflag" -> Seq(StringType),
       "l_linestatus" -> Seq(StringType),
       "l_shipdate" -> Seq(TimestampNTZType, TimestampType, DateType, LongType)),
     "events" -> Seq(
-      "event_id" -> Seq(LongType),
+      "event_id" -> Seq(LongType, IntegerType),
       "ts" -> Seq(TimestampNTZType, TimestampType, LongType),
-      "user_id" -> Seq(LongType),
+      "user_id" -> Seq(LongType, IntegerType),
       "event_type" -> Seq(StringType),
-      "value" -> Seq(DoubleType),
+      "value" -> measure,
       "props" -> Seq(StringType)),
     "documents" -> Seq(
-      "doc_id" -> Seq(LongType),
+      "doc_id" -> Seq(LongType, IntegerType),
       "text" -> Seq(StringType),
       "lang" -> Seq(StringType),
       "source" -> Seq(StringType),
       "n_chars" -> Seq(LongType, IntegerType)),
     "embeddings" -> Seq(
-      "vec_id" -> Seq(LongType),
+      "vec_id" -> Seq(LongType, IntegerType),
       "embedding" -> Seq(ArrayType(FloatType), ArrayType(FloatType, false),
         ArrayType(DoubleType), ArrayType(DoubleType, false)),
       "label" -> Seq(IntegerType, LongType)))
@@ -95,7 +106,7 @@ class FixtureContractSpec extends AnyFunSuite {
         schema.fields.find(_.name == colName) match {
           case None =>
             Some(s"$t.$colName: MISSING from fixture (has ${schema.fieldNames.mkString(", ")})")
-          case Some(f) if !ok.contains(f.dataType) =>
+          case Some(f) if !accepts(ok, f.dataType) =>
             Some(s"$t.$colName: fixture now ${f.dataType}, contract allows ${ok.mkString("/")} " +
               "— the testdata was regenerated with a new physical type; extend the consuming " +
               "operator (see Tables.normalizeTs for the ts precedent), then widen this contract")

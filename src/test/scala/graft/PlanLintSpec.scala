@@ -211,4 +211,32 @@ class PlanLintSpec extends AnyFunSuite {
     assert(rowsOnly == documented,
       s"undocumented rows-only: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
   }
+
+  test("every oracle carries the canonical-type CTE prelude, merged without " +
+      "breaking an existing WITH / WITH RECURSIVE list") {
+    // the prelude is what keeps the DuckDB side on the engine's canonical
+    // types under a re-typed fixture (the general form of the x25 pin);
+    // an oracle that bypassed it would silently re-open the drift gap
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      assert(sql.startsWith("WITH "),
+        s"$name: oracle lacks the canonical prelude")
+      assert(sql.contains("region AS (SELECT * REPLACE"),
+        s"$name: canonical CTE defs missing")
+      // a merged query must not contain a second top-level WITH keyword
+      // immediately after the prelude (the merge joins lists with a comma)
+      assert(!sql.matches("(?s)WITH .*\\) WITH .*"),
+        s"$name: unmerged WITH list")
+    }
+    // merge shapes: plain, WITH, WITH RECURSIVE
+    assert(SparkEntry.withCanon("SELECT 1").startsWith("WITH region AS"))
+    val w = SparkEntry.withCanon("WITH t AS (SELECT 1) SELECT * FROM t")
+    assert(w.startsWith("WITH region AS") && w.contains(", t AS (SELECT 1)"))
+    val r = SparkEntry.withCanon(
+      "WITH RECURSIVE t AS (SELECT 1) SELECT * FROM t")
+    assert(r.startsWith("WITH RECURSIVE region AS") &&
+      r.contains(", t AS (SELECT 1)"))
+    // CTE bodies must reference the catalog-qualified view so a shadow CTE
+    // under WITH RECURSIVE is not a self-reference
+    assert(SparkEntry.withCanon("SELECT 1").contains("FROM main.region"))
+  }
 }

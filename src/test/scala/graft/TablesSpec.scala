@@ -225,4 +225,119 @@ class TablesSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- normalizeNumeric: the last un-armored physical surface (integer
+  // widths, DECIMAL/float measures). A width flip breaks typed reads
+  // (getLong → ClassCastException) and a decimal flip breaks Dataset
+  // upcasts at analysis — both the same silent-outage class as the
+  // r10→r11 timestamp drift.
+
+  // normalizeNumeric iterates a table's FULL canonical column set (a
+  // regeneration that DROPS a column should fail at the loader, not be
+  // skipped), so these synthetic frames carry every numeric column.
+
+  test("normalizeNumeric: canonical types pass through with the plan untouched") {
+    val df = Seq((1L, 2, 2.5)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    assert(Tables.normalizeNumeric(df, "customer") eq df)
+  }
+
+  test("normalizeNumeric: decimal measures cast back to double, exact for 2dp values") {
+    val df = Seq((1L, 2, "123.45"), (2L, 3, "-0.29")).toDF("c_custkey", "c_nationkey", "s")
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("s").cast(DecimalType(15, 2)).as("c_acctbal"))
+    val out = Tables.normalizeNumeric(df, "customer")
+    assert(out.schema("c_acctbal").dataType == DoubleType)
+    assert(out.select("c_acctbal").as[Double].collect().sorted.toSeq ==
+      Seq(-0.29, 123.45))
+  }
+
+  test("normalizeNumeric: float measures widen to double") {
+    val df = Seq((1L, 2L, 1.5f)).toDF("event_id", "user_id", "value")
+    val out = Tables.normalizeNumeric(df, "events")
+    assert(out.schema("value").dataType == DoubleType)
+    assert(out.select("value").as[Double].head() == 1.5)
+  }
+
+  test("normalizeNumeric: integer widths flip back to canonical, both directions") {
+    val df = Seq((5, 7L, 2.5)).toDF("c_custkey", "c_nationkey", "c_acctbal") // widths flipped
+    val out = Tables.normalizeNumeric(df, "customer")
+    assert(out.schema("c_custkey").dataType == LongType)
+    assert(out.schema("c_nationkey").dataType == IntegerType)
+    assert(out.select("c_custkey", "c_nationkey").as[(Long, Int)].head() == ((5L, 7)))
+  }
+
+  test("normalizeNumeric: narrowing an out-of-range value fails loudly (ANSI), not wraps") {
+    val df = Seq((1L, Long.MaxValue, 2.5)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val out = Tables.normalizeNumeric(df, "customer")
+    val e = intercept[Exception](out.collect())
+    assert(e.getMessage.contains("CAST_OVERFLOW") || e.getMessage.contains("overflow"),
+      s"expected a loud ANSI overflow, got: ${e.getMessage}")
+  }
+
+  test("normalizeNumeric: a non-numeric physical type fails loudly naming table.column") {
+    val df = Seq((1L, 2L, "oops")).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val e = intercept[IllegalStateException](Tables.normalizeNumeric(df, "orders"))
+    assert(e.getMessage.contains("orders.o_totalprice"))
+  }
+
+  test("normalizeNumeric: a DROPPED canonical column fails at the loader, not silently skips") {
+    val df = Seq((1L, 2.5)).toDF("c_custkey", "c_acctbal") // c_nationkey missing
+    intercept[Exception](Tables.normalizeNumeric(df, "customer"))
+  }
+
+  // End-to-end: write DECIMAL(15,2)-measure and width-flipped fixtures
+  // (the two realistic generator unifications) and require bit-identical
+  // flagship results vs the real fixture. Every fixture measure value is
+  // 2dp (verified via DuckDB: 0 rows where x <> 2dp-roundtrip), so the
+  // decimal roundtrip is value-exact and identity is the right assertion.
+  test("re-typed decimal-measure fixture: x1/x10 results are identical") {
+    val real = SparkFixture.sfDir
+    val qs = Seq("x1_revenue_by_nation", "x10_pricing_summary")
+    val want = qs.map(q =>
+      q -> SparkEntry.queries(q)(spark, real).collect().map(_.toString).sorted.toSeq).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retype_decimal")
+    for (t <- Tables.names if t != "orders" && t != "lineitem")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$real/$t.parquet"))
+    Tables.orders(spark, real)
+      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(15, 2)))
+      .write.parquet(tmp.resolve("orders.parquet").toString)
+    Tables.lineitem(spark, real)
+      .withColumn("l_extendedprice", col("l_extendedprice").cast(DecimalType(15, 2)))
+      .withColumn("l_discount", col("l_discount").cast(DecimalType(15, 2)))
+      .withColumn("l_quantity", col("l_quantity").cast(DecimalType(15, 2)))
+      .withColumn("l_tax", col("l_tax").cast(DecimalType(15, 2)))
+      .write.parquet(tmp.resolve("lineitem.parquet").toString)
+    for (q <- qs) {
+      val got = SparkEntry.queries(q)(spark, tmp.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want(q), s"$q diverged under decimal-measure fixture")
+    }
+  }
+
+  test("re-typed width-flipped fixture: d1/d14 results are identical") {
+    val real = SparkFixture.sfDir
+    val qs = Seq("d1_dedup_groups", "d14_cosine_topk")
+    val want = qs.map(q =>
+      q -> SparkEntry.queries(q)(spark, real).collect().map(_.toString).sorted.toSeq).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retype_intflip")
+    for (t <- Tables.names if t != "documents" && t != "embeddings")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$real/$t.parquet"))
+    Tables.documents(spark, real)
+      .withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .withColumn("n_chars", col("n_chars").cast(IntegerType))
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    Tables.embeddings(spark, real)
+      .withColumn("vec_id", col("vec_id").cast(IntegerType))
+      .withColumn("label", col("label").cast(LongType))
+      .write.parquet(tmp.resolve("embeddings.parquet").toString)
+    for (q <- qs) {
+      val got = SparkEntry.queries(q)(spark, tmp.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want(q), s"$q diverged under width-flipped fixture")
+    }
+  }
 }
