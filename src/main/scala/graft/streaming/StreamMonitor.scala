@@ -144,7 +144,13 @@ object StreamMonitor {
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
       }
-    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
+    // canonicalize exactly as the batch path: ts (normalizeTs) AND the
+    // numeric widths/measures (normalizeNumeric — casts work on streaming
+    // frames; without this an int32-width regeneration would break the
+    // typed user_id/value reads downstream at micro-batch time)
+    graft.Tables.normalizeNumeric(
+      graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir)),
+      "events")
   }
 
   /** Exactly-once parquet file sink — the durable end of the streaming

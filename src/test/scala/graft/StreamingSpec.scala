@@ -164,6 +164,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("file-source stream over a width-flipped events file (int32 ids, " +
+      "float value) canonicalizes and matches the batch hourly profile") {
+    // the numeric analog of the NANOS reversion: a regeneration that
+    // narrows integer widths / measures would break the typed
+    // user_id/value reads at micro-batch time without the stream-side
+    // normalizeNumeric (same canonicalization as the batch loaders)
+    // (the Spark write yields a DIRECTORY of part files — stream from it
+    // directly; the file source does not recurse into subdirectories)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_intflip")
+      .resolve("events.parquet")
+    Tables.eventsTs(spark, SparkFixture.sfDir)
+      .withColumn("event_id", col("event_id").cast("int"))
+      .withColumn("user_id", col("user_id").cast("int"))
+      .withColumn("value", col("value").cast("float"))
+      .write.parquet(dir.toString)
+    val stream = StreamMonitor.readEventsStream(spark, dir.toString)
+    assert(stream.schema("user_id").dataType == org.apache.spark.sql.types.LongType)
+    assert(stream.schema("value").dataType == org.apache.spark.sql.types.DoubleType)
+    val q = StreamMonitor.hourlyProfile(stream)
+      .writeStream.format("memory").queryName("fif").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("fif")
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventOps.hourlyCounts(Tables.eventsTs(spark, SparkFixture.sfDir))
+      .select(col("hour").cast("timestamp").as("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    q.stop()
+  }
+
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
