@@ -15,7 +15,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * "fixture changed" instead of "operator broke".
   *
   * `ts` deliberately admits every shape `Tables.normalizeTs` canonicalizes,
-  * and `o_orderdate`/`l_shipdate` every shape `Tables.normalizeDate` does.
+  * `o_orderdate`/`l_shipdate` every shape `Tables.normalizeDate` does,
+  * and every numeric column the width/measure shapes
+  * `Tables.normalizeNumeric` does (both integer widths everywhere; any
+  * DecimalType or FloatType where double is canonical).
   * Every table is loaded through `Tables.loadTolerant` (which sets the
   * legacy `nanosAsLong` flag) rather than a plain scan: a plain scan of a
   * TIMESTAMP(NANOS) file doesn't load as some other type — it THROWS
