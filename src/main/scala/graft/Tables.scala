@@ -78,7 +78,16 @@ object Tables {
     *    sessions run ANSI mode, so a genuinely out-of-range value fails
     *    loudly instead of wrapping.
     * Anything else is a fixture change we want to fail loudly on, naming
-    * the table and column. */
+    * the table and column.
+    *
+    * Scale note: on a canonical fixture this is a pure pass-through (the
+    * returned frame is the input, `eq`-identical — zero plan impact).
+    * Under an ACTUAL drift the inserted cast can block parquet filter
+    * pushdown for some predicates (Catalyst's
+    * UnwrapCastInBinaryComparison recovers the integral-width cases);
+    * that is a drift-day contingency cost, and the durable remedy after
+    * a real regeneration is to re-pin [[canonicalNumeric]] to the new
+    * shape so the pass-through returns. */
   private[graft] def normalizeNumeric(df: DataFrame, table: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._

@@ -84,6 +84,16 @@ import graft.{GraftExtensions, SparkEntry}
   * long runs. Same-run default-strategy spot figures: d43 1.85/1.36/2.55,
   * d47 2.40/2.18/3.40.
   *
+  * Round-13 follow-up (after the reliable strategy's compute-once fix —
+  * transient DISK_ONLY persist feeding the checkpoint write): the same
+  * chains under `stageStorage=reliable` are at COST PARITY with disk —
+  * d43_chain_rel 1.53/1.48/2.49 s, d47_chain_rel 1.60/1.57/2.85 s vs
+  * same-run disk 1.63/1.62/2.45 and 1.88/1.77/3.09 across
+  * sf0.001/0.01/0.1. Executor-HOST-loss durability is effectively free
+  * over DISK_ONLY once the stage computes once; before the fix the write
+  * job recomputed every partition from lineage, doubling the most
+  * expensive stage.
+  *
   * Round-12 measurement (event-analytics family, re-probed after the
   * `ts` plans changed shape — NTZ cast replacing nanos-long
   * arithmetic): d10 0.18/0.17/1.12 s, d11 0.16/0.15/0.64 s,
@@ -173,6 +183,35 @@ object ScaleProbe {
         println(f"[scaleprobe] $label%-24s $sf%-28s $dt%.3f s")
       }
       spark.conf.unset("spark.graft.stageStorage")
+    }
+    // the same chain under stageStorage=reliable (executor-HOST-loss-safe
+    // checkpoint files — what a multi-hour cluster run on preemptible
+    // hosts uses): measures what durability costs now that the checkpoint
+    // write re-reads transient DISK_ONLY blocks instead of recomputing the
+    // stage (compute-once). Checkpoint FILES are not reclaimed by
+    // releaseStages (documented lifecycle contract — orchestration owns
+    // the dir), so the probe uses a scratch dir deleted at the end.
+    locally {
+      spark.conf.set("spark.graft.stageStorage", "reliable")
+      val ckroot = java.nio.file.Files.createTempDirectory("graft_probe_ckpt")
+      spark.sparkContext.setCheckpointDir(ckroot.toString)
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
+           q <- Seq("d43_training_sequences", "d47_training_sequences_winnowed")) {
+        def run(): Unit = {
+          SparkEntry.queries(q)(spark, sf).count()
+          graft.operators.Corpus.releaseStages(spark)
+        }
+        run() // warm
+        val t0 = System.nanoTime(); run()
+        val t1 = System.nanoTime(); run()
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        val label = q.take(3) + "_chain_rel"
+        println(f"[scaleprobe] $label%-24s $sf%-28s $dt%.3f s")
+      }
+      spark.conf.unset("spark.graft.stageStorage")
+      // walk-delete the scratch checkpoint tree (deepest first)
+      java.nio.file.Files.walk(ckroot).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
     spark.stop()
   }
