@@ -721,13 +721,11 @@ object SparkEntry {
         "(SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
         "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t) AS n_union_distinct"),
 
-    // o_orderdate is OUTPUT raw here — the one oracle that does — so pin
-    // its type: the Spark side always emits the canonical NTZ timestamp
-    // (Tables.normalizeDate), and without the CAST a DATE-re-typed fixture
-    // would make DuckDB return DATE and fail the compare on type alone.
-    // No-op on the current TIMESTAMP fixture.
+    // o_orderdate is OUTPUT raw here (the one oracle that does); the
+    // canonical-type prelude (withCanon) already pins it to TIMESTAMP, so
+    // a DATE-re-typed fixture can't fail the compare on type alone.
     "x25_shipping_priority" ->
-      ("SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority, " +
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
         "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
@@ -1170,59 +1168,56 @@ object SparkEntry {
         "FROM documents GROUP BY 1 ORDER BY modality"),
   )
 
-  /** Canonical-type CTE prelude for the oracle side, mirroring the engine's
-    * `Tables.canonical` loaders column for column: one CTE per fixture
-    * table that shadows the raw DuckDB view and re-types every
-    * drift-exposed column to its canonical shape — integer widths and
-    * measures→DOUBLE (`Tables.canonicalNumeric`), the date/ts family →
-    * TIMESTAMP (DuckDB's TIMESTAMP_NS→TIMESTAMP cast floors, matching
-    * `Tables.nsToUsFloor`; TIMESTAMPTZ→TIMESTAMP re-labels under the
-    * pinned-UTC oracle session), `embedding` → FLOAT[]. On today's fixture
-    * every cast is a no-op (value- and dtype-identical, re-verified at the
-    * gate); under a drifted fixture both sides canonicalize identically, so
-    * a regeneration can't open a Spark-vs-oracle type gap — the general
-    * form of the x25 `CAST(o_orderdate AS TIMESTAMP)` pin.
+  /** DuckDB spelling of each canonical Spark numeric type. Total over the
+    * types `Tables.canonicalNumeric` uses; a new canonical type without a
+    * pinned spelling fails loudly at object init, not silently at the
+    * gate. */
+  private def duckType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "INTEGER"
+      case LongType    => "BIGINT"
+      case DoubleType  => "DOUBLE"
+      case other => throw new IllegalStateException(
+        s"no DuckDB spelling pinned for canonical type $other — extend " +
+          "SparkEntry.duckType alongside the Tables.canonicalNumeric re-pin")
+    }
+  }
+
+  /** Canonical-type CTE prelude for the oracle side, GENERATED from the
+    * same maps the engine loaders consume (`Tables.canonicalNumeric`,
+    * `Tables.canonicalTemporal`, `Tables.canonicalEmbedding`) so re-pinning
+    * the drift contract after a real regeneration edits exactly one place —
+    * the Spark side and the DuckDB oracle cannot de-sync. One CTE per
+    * fixture table shadows the raw DuckDB view and re-types every
+    * drift-exposed column to its canonical shape: integer widths and
+    * measures→DOUBLE, the date/ts family → TIMESTAMP (DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast floors, matching `Tables.nsToUsFloor`;
+    * TIMESTAMPTZ→TIMESTAMP re-labels under the pinned-UTC oracle session),
+    * `embedding` → FLOAT[]. On today's fixture every cast is a no-op
+    * (value- and dtype-identical, re-verified at the gate); under a drifted
+    * fixture both sides canonicalize identically, so a regeneration can't
+    * open a Spark-vs-oracle type gap — the general form of the x25
+    * `CAST(o_orderdate AS TIMESTAMP)` pin.
     *
     * CTE bodies reference `main.<table>` (schema-qualified names bypass CTE
     * shadowing) so the prelude can be merged into a `WITH RECURSIVE` list
     * without the shadow CTE becoming a self-reference. */
-  private val canonCteDefs: String = Seq(
-    "region"   -> "CAST(r_regionkey AS INTEGER) AS r_regionkey",
-    "nation"   -> ("CAST(n_nationkey AS INTEGER) AS n_nationkey, " +
-                   "CAST(n_regionkey AS INTEGER) AS n_regionkey"),
-    "customer" -> ("CAST(c_custkey AS BIGINT) AS c_custkey, " +
-                   "CAST(c_nationkey AS INTEGER) AS c_nationkey, " +
-                   "CAST(c_acctbal AS DOUBLE) AS c_acctbal"),
-    "supplier" -> ("CAST(s_suppkey AS BIGINT) AS s_suppkey, " +
-                   "CAST(s_nationkey AS INTEGER) AS s_nationkey, " +
-                   "CAST(s_acctbal AS DOUBLE) AS s_acctbal"),
-    "part"     -> ("CAST(p_partkey AS BIGINT) AS p_partkey, " +
-                   "CAST(p_size AS INTEGER) AS p_size, " +
-                   "CAST(p_retailprice AS DOUBLE) AS p_retailprice"),
-    "orders"   -> ("CAST(o_orderkey AS BIGINT) AS o_orderkey, " +
-                   "CAST(o_custkey AS BIGINT) AS o_custkey, " +
-                   "CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
-                   "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate"),
-    "lineitem" -> ("CAST(l_orderkey AS BIGINT) AS l_orderkey, " +
-                   "CAST(l_partkey AS BIGINT) AS l_partkey, " +
-                   "CAST(l_suppkey AS BIGINT) AS l_suppkey, " +
-                   "CAST(l_linenumber AS INTEGER) AS l_linenumber, " +
-                   "CAST(l_quantity AS DOUBLE) AS l_quantity, " +
-                   "CAST(l_extendedprice AS DOUBLE) AS l_extendedprice, " +
-                   "CAST(l_discount AS DOUBLE) AS l_discount, " +
-                   "CAST(l_tax AS DOUBLE) AS l_tax, " +
-                   "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"),
-    "events"   -> ("CAST(event_id AS BIGINT) AS event_id, " +
-                   "CAST(ts AS TIMESTAMP) AS ts, " +
-                   "CAST(user_id AS BIGINT) AS user_id, " +
-                   "CAST(value AS DOUBLE) AS value"),
-    "documents" -> ("CAST(doc_id AS BIGINT) AS doc_id, " +
-                    "CAST(n_chars AS BIGINT) AS n_chars"),
-    "embeddings" -> ("CAST(vec_id AS BIGINT) AS vec_id, " +
-                     "CAST(embedding AS FLOAT[]) AS embedding, " +
-                     "CAST(label AS INTEGER) AS label"))
-    .map { case (t, repl) => s"$t AS (SELECT * REPLACE ($repl) FROM main.$t)" }
-    .mkString(", ")
+  private val canonCteDefs: String = {
+    val tables = (Tables.canonicalNumeric.keySet ++
+      Tables.canonicalTemporal.keySet ++ Tables.canonicalEmbedding.keySet)
+    tables.toSeq.sorted.map { t =>
+      val repl = (
+        Tables.canonicalNumeric.getOrElse(t, Seq.empty).map {
+          case (c, dt) => s"CAST($c AS ${duckType(dt)}) AS $c" } ++
+        Tables.canonicalTemporal.getOrElse(t, Seq.empty).map(c =>
+          s"CAST($c AS TIMESTAMP) AS $c") ++
+        Tables.canonicalEmbedding.getOrElse(t, Seq.empty).map(c =>
+          s"CAST($c AS FLOAT[]) AS $c")
+      ).mkString(", ")
+      s"$t AS (SELECT * REPLACE ($repl) FROM main.$t)"
+    }.mkString(", ")
+  }
 
   /** Merge the canonical prelude into an oracle query, preserving an
     * existing `WITH` / `WITH RECURSIVE` list (RECURSIVE is a property of

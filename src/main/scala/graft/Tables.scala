@@ -59,6 +59,23 @@ object Tables {
       "embeddings" -> Seq("vec_id" -> LongType, "label" -> IntegerType))
   }
 
+  /** Temporal columns the loaders canonicalize to the timestamp family —
+    * [[normalizeTs]] for `events.ts` (→ µs TimestampType), [[normalizeDate]]
+    * for the date columns (→ TIMESTAMP_NTZ). Consumed by the loaders below
+    * AND by [[SparkEntry]]'s oracle canonical-type CTE prelude (where every
+    * entry becomes a DuckDB `CAST(c AS TIMESTAMP)`), so the drift contract
+    * has ONE authoritative column list on both sides of the gate. */
+  private[graft] val canonicalTemporal: Map[String, Seq[String]] = Map(
+    "events"   -> Seq("ts"),
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** Embedding-array columns canonicalized by [[normalizeEmbedding]]
+    * (→ `array<float>`; oracle side `CAST(c AS FLOAT[])`). Same
+    * single-source contract as [[canonicalTemporal]]. */
+  private[graft] val canonicalEmbedding: Map[String, Seq[String]] =
+    Map("embeddings" -> Seq("embedding"))
+
   /** Canonicalize numeric physical-type drift back to [[canonicalNumeric]] —
     * the [[normalizeTs]]/[[normalizeDate]] pattern applied to the last
     * un-armored fixture surface. A regeneration that unifies integer widths
@@ -127,7 +144,8 @@ object Tables {
     * no-ops and the plan is byte-identical to a plain scan. */
   def orders(s: SparkSession, d: String): DataFrame =
     normalizeNumeric(
-      normalizeDate(loadTolerant(s, d, "orders"), "o_orderdate", "orders"),
+      canonicalTemporal("orders").foldLeft(loadTolerant(s, d, "orders"))(
+        normalizeDate(_, _, "orders")),
       "orders")
 
   /** Raw events scan, tolerant of the fixture's physical `ts` type — the
@@ -222,7 +240,8 @@ object Tables {
   /** Lineitem with `l_shipdate` canonicalized ([[normalizeDate]]). */
   def lineitem(s: SparkSession, d: String): DataFrame =
     normalizeNumeric(
-      normalizeDate(loadTolerant(s, d, "lineitem"), "l_shipdate", "lineitem"),
+      canonicalTemporal("lineitem").foldLeft(loadTolerant(s, d, "lineitem"))(
+        normalizeDate(_, _, "lineitem")),
       "lineitem")
   def documents(s: SparkSession, d: String): DataFrame =
     normalizeNumeric(load(s, d, "documents"), "documents")

@@ -209,9 +209,12 @@ object ScaleProbe {
         println(f"[scaleprobe] $label%-24s $sf%-28s $dt%.3f s")
       }
       spark.conf.unset("spark.graft.stageStorage")
-      // walk-delete the scratch checkpoint tree (deepest first)
-      java.nio.file.Files.walk(ckroot).sorted(java.util.Comparator.reverseOrder())
+      // walk-delete the scratch checkpoint tree (deepest first); close the
+      // walk stream — it holds directory fds open until then
+      val walk = java.nio.file.Files.walk(ckroot)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
     spark.stop()
   }

@@ -227,13 +227,14 @@ class PlanLintSpec extends AnyFunSuite {
       assert(!sql.matches("(?s)WITH .*\\) WITH .*"),
         s"$name: unmerged WITH list")
     }
-    // merge shapes: plain, WITH, WITH RECURSIVE
-    assert(SparkEntry.withCanon("SELECT 1").startsWith("WITH region AS"))
+    // merge shapes: plain, WITH, WITH RECURSIVE ("customer" leads the
+    // generated prelude — tables are emitted in sorted order)
+    assert(SparkEntry.withCanon("SELECT 1").startsWith("WITH customer AS"))
     val w = SparkEntry.withCanon("WITH t AS (SELECT 1) SELECT * FROM t")
-    assert(w.startsWith("WITH region AS") && w.contains(", t AS (SELECT 1)"))
+    assert(w.startsWith("WITH customer AS") && w.contains(", t AS (SELECT 1)"))
     val r = SparkEntry.withCanon(
       "WITH RECURSIVE t AS (SELECT 1) SELECT * FROM t")
-    assert(r.startsWith("WITH RECURSIVE region AS") &&
+    assert(r.startsWith("WITH RECURSIVE customer AS") &&
       r.contains(", t AS (SELECT 1)"))
     // CTE bodies must reference the catalog-qualified view so a shadow CTE
     // under WITH RECURSIVE is not a self-reference

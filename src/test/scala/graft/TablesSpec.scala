@@ -340,4 +340,31 @@ class TablesSpec extends AnyFunSuite {
       assert(got == want(q), s"$q diverged under width-flipped fixture")
     }
   }
+
+  test("canonical loaders emit the mapped canonical type for every column " +
+      "in the canonical maps (the same maps generate the oracle prelude)") {
+    // the maps are the single source of truth for BOTH sides of the gate;
+    // this pins that the single-column normalizers (normalizeTs,
+    // normalizeEmbedding — which bind their column by name) actually cover
+    // every column the maps declare, so a map extension without a matching
+    // normalizer can't silently leave the Spark side un-canonicalized
+    val d = SparkFixture.sfDir
+    val all = Tables.canonicalNumeric.keySet ++
+      Tables.canonicalTemporal.keySet ++ Tables.canonicalEmbedding.keySet
+    assert(all == Tables.names.toSet)
+    for (t <- all) {
+      val sch = Tables.canonical(spark, d, t).schema
+      for ((c, dt) <- Tables.canonicalNumeric.getOrElse(t, Seq.empty))
+        assert(sch(c).dataType == dt, s"$t.$c numeric")
+      for (c <- Tables.canonicalTemporal.getOrElse(t, Seq.empty)) {
+        // events.ts canonicalizes to the instant type, dates to NTZ; both
+        // sides of the oracle compare meet at DuckDB TIMESTAMP under UTC
+        val want = if (t == "events") TimestampType else TimestampNTZType
+        assert(sch(c).dataType == want, s"$t.$c temporal")
+      }
+      for (c <- Tables.canonicalEmbedding.getOrElse(t, Seq.empty))
+        assert(sch(c).dataType.asInstanceOf[ArrayType].elementType == FloatType,
+          s"$t.$c embedding")
+    }
+  }
 }

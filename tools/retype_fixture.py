@@ -94,14 +94,19 @@ def main(src, dst, retype="date"):
               file=sys.stderr)  # must not leave a half-built fixture dir
         return 1
     retyped = ARMS[retype]
+    # Pre-scan EVERY dst path before writing anything — a mid-loop bail
+    # after earlier tables were written would leave dst a mixed half-built
+    # fixture dir (same never-half-built rule as the arm validation above).
+    stale = [f"{dst}/{t}.parquet" for t in TABLES
+             if os.path.lexists(f"{dst}/{t}.parquet")]
+    if stale:
+        print("refusing to overwrite: " + ", ".join(stale), file=sys.stderr)
+        return 1
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")  # naive->TZ cast must re-label, not shift
     for t in TABLES:
         s, d = f"{src}/{t}.parquet", f"{dst}/{t}.parquet"
-        if os.path.exists(d):
-            print(f"refusing to overwrite {d}", file=sys.stderr)
-            return 1
         cols = retyped.get(t)
         if cols:
             if "NANOS" in cols.values():
