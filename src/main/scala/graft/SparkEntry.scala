@@ -680,7 +680,7 @@ object SparkEntry {
         "FROM m ORDER BY month"),
     "x17_price_quartiles" ->
       ("WITH t AS (SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile, " +
-        "o_totalprice FROM orders) " +
+        "o_totalprice FROM orders WHERE o_totalprice IS NOT NULL) " +
         "SELECT quartile, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price " +
         "FROM t GROUP BY quartile ORDER BY quartile"),
     "x18_segment_ranks" ->

@@ -29,12 +29,15 @@ object Multimodal {
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
   /** Wrap the documents table as multimodal assets (text payloads standing
-    * in for media blobs; modality assigned round-robin for plumbing tests). */
+    * in for media blobs; modality assigned round-robin for plumbing tests).
+    * `pmod`, not `%`: Spark's `%` keeps the dividend's sign, so a negative
+    * id would index `element_at` at 0 (INVALID_INDEX_OF_ZERO) instead of
+    * picking a modality; a NULL id yields a NULL modality, not an error. */
   def assetsFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("payload"),
       map(lit("lang"), col("lang"), lit("source"), col("source"),
           lit("n_chars"), col("n_chars").cast("string")).as("meta"))
@@ -124,6 +127,13 @@ object Multimodal {
     real.getOrElse(opaqueDecode(payload))
   }
 
+  /** An asset with a NULL id (broken upstream record) is unaddressable —
+    * nothing downstream could join its decode output back — and would
+    * NPE the primitive `getLong` reads in the partition-wise passes, so
+    * the RDD-backed operators drop such rows at their boundary. */
+  private def keyed(assets: DataFrame): DataFrame =
+    assets.where(col("asset_id").isNotNull)
+
   /** Partition-wise decode: binary payload → (codec, width, height,
     * channels, n_pixels, sample_rate, n_samples). One pass, no shuffle;
     * payload dropped after decode. */
@@ -137,7 +147,7 @@ object Multimodal {
       StructField("n_pixels", LongType),
       StructField("sample_rate", IntegerType),
       StructField("n_samples", LongType)))
-    val rdd = assets.select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
+    val rdd = keyed(assets).select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val d = decodePayload(r.getAs[Array[Byte]]("payload"))
         Row(r.getLong(0), r.getString(1), d.codec, d.width, d.height,
@@ -155,7 +165,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
-    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+    val rdd = keyed(assets).select("asset_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
         val emb = new Array[Float](dim)
@@ -187,7 +197,7 @@ object Multimodal {
       StructField("resized", BooleanType),
       StructField("payload", BinaryType),
       StructField("width", IntegerType), StructField("height", IntegerType)))
-    val rdd = assets.select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
+    val rdd = keyed(assets).select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
         val img =

@@ -61,8 +61,12 @@ object RelationalExt {
     // localCheckpoint (not persist): materialized once for the two passes,
     // lineage truncated, and the backing blocks are reference-tracked by the
     // ContextCleaner — nothing left pinned in the cache manager afterwards
+    // quartiles are over OBSERVED prices — a NULL o_totalprice carries no
+    // rank (SQL aggregate semantics; the per-partition `getDouble` below
+    // would otherwise throw ROW_VALUE_IS_NULL on it)
     val sorted = Tables.orders(s, dir)
       .select(col("o_totalprice"), col("o_orderkey"))
+      .where(col("o_totalprice").isNotNull)
       .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
       .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
       .localCheckpoint(true)

@@ -214,11 +214,21 @@ object Similarity {
     * shape: build at ingest, probe at query time. */
   def trainIvfCentroids(embeddings: DataFrame, nLists: Int,
                         seed: Long = 42L): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = embeddings.select(col("embedding"))
+    val sample: Array[Array[Double]] = indexable(embeddings)
+      .select(col("embedding"))
       .limit(10000).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     kmeansLloyd(sample, nLists, iters = 5, seed)
   }
+
+  /** Rows a vector index can hold: NULL or empty embeddings (a failed or
+    * skipped encoder upstream — routine in a 100 TB corpus) can neither
+    * train the quantizer (driver-side `getSeq` NPEs) nor be assigned a
+    * cell or probed, so the IVF paths exclude them up front. The exact and
+    * LSH paths need no such gate — their kernels are null-safe and a NULL
+    * embedding simply never reaches a top-k list. */
+  private def indexable(embeddings: DataFrame): DataFrame =
+    embeddings.where(col("embedding").isNotNull && size(col("embedding")) > 0)
 
   /** Persist a trained IVF quantizer as a (cell, centroid) parquet table —
     * the index artifact a production deployment builds at ingest and ships
@@ -254,6 +264,7 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
+    val corpus = indexable(embeddings)
     // quantizer trains on a capped sample — at corpus scale nobody k-means
     // the full table; centroid quality converges long before full coverage.
     // The sample is bounded (10k × dim doubles ≈ MBs), so Lloyd's runs on
@@ -275,7 +286,7 @@ object Similarity {
       val arr = c.map(dlit).mkString("array(", ", ", ")")
       s"aggregate(zip_with(embedding, $arr, (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
     }
-    val assigned = embeddings
+    val assigned = corpus
       .select(col("vec_id"), col("embedding"),
         expr(distExprs.mkString("array(", ", ", ")")).as("__dists"))
       .select(col("vec_id"), col("embedding"),

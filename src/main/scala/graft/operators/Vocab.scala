@@ -128,7 +128,13 @@ object Vocab {
     import s.implicits._
     val ranks: Map[(String, String), Int] =
       merges.map { case (r, l, rt, _) => (l, rt) -> r }.toMap
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // NULL guards for broken upstream records: a NULL doc_id cannot ride
+    // the primitive-long encoder (NOT_NULL_ASSERT_VIOLATION) and keys
+    // nothing downstream — drop it; NULL text is a present-but-empty
+    // document — zero tokens, same as the whitespace tokenizer on "".
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val n = text.split(" ", -1).iterator.filter(_.nonEmpty)

@@ -1,0 +1,152 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-catalog robustness gates — the catalog-level companion to
+  * [[EmptyInputSpec]]'s operator-level checks.
+  *
+  * At 100 TB two things are routine, not edge cases: an EMPTY slice (a
+  * brand-new partition, a filtered day, a tenant with no data yet) and
+  * HOSTILE-BUT-SCHEMA-VALID rows (a NULL document from a broken scraper,
+  * an empty string, a truncated JSON payload, a zero or empty embedding
+  * from a failed encoder, NaN from a bad ingest, a pre-epoch timestamp
+  * from a corrupted clock). A pipeline that crashes on either is a paging
+  * incident. This spec executes EVERY `SparkEntry.queries` entry against
+  * both fixture shapes and requires each query to either evaluate cleanly
+  * or raise one of the documented precondition errors pinned below — in
+  * both directions (a documented precondition that silently stops firing
+  * is also a behavior change we want to see). Anything undocumented — an
+  * internal Spark error, a ClassCastException, an ANSI arithmetic crash —
+  * fails the suite naming the query.
+  */
+class CatalogRobustnessSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  /** Run the full declared catalog against `dir`; queries must evaluate or
+    * raise an [[IllegalArgumentException]] whose message contains the
+    * allowlisted fragment. Asserts the allowlist exactly (no undocumented
+    * failure, no silently-dead precondition). */
+  private def gateCatalog(dir: String, documented: Map[String, String]): Unit = {
+    val outcomes: Seq[(String, Option[Throwable])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+        val r =
+          try { q(spark, dir).count(); None }
+          catch { case e: Throwable => Some(e) }
+        name -> r
+      }
+
+    val failed = outcomes.collect { case (n, Some(e)) => n -> e }.toMap
+
+    val undocumented = failed.filterNot { case (n, e) =>
+      documented.get(n).exists { frag =>
+        e.isInstanceOf[IllegalArgumentException] &&
+          Option(e.getMessage).exists(_.contains(frag))
+      }
+    }
+    assert(undocumented.isEmpty,
+      s"\nqueries crashed without a documented precondition:\n" +
+        undocumented.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"  $n: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ").take(300)}"
+        }.mkString("\n"))
+
+    val silent = documented.keySet -- failed.keySet
+    assert(silent.isEmpty,
+      s"documented preconditions no longer fire: $silent " +
+        "— if intentional, remove them from the allowlist")
+  }
+
+  // ---------------------------------------------------------------- empty
+
+  /** Queries whose semantics genuinely require a non-empty input, each
+    * raising a named precondition rather than an internal error. Two
+    * families, both inherent to the computation, not robustness gaps:
+    *  - the quantile-threshold consumers: `Metrics.exactPercentile` is the
+    *    fit step that defines their decision threshold, and a quantile of
+    *    zero observations has no value to return — same contract as
+    *    sklearn's `np.quantile([])`;
+    *  - IVF: training a quantizer needs at least one vector (`kmeans
+    *    sample is empty`); the exact/LSH paths (d14/d16/d21) return empty.
+    * First measured 2026-08-14: the remaining 107 declared queries all
+    * evaluate cleanly to empty/zero-row reports on the zero-row fixture. */
+  private val emptyPreconditions: Map[String, String] = Map(
+    "f3_quantile_flag"     -> "exactPercentile over empty relation",
+    "m15_binary_metrics"   -> "exactPercentile over empty relation",
+    "m16_confusion_matrix" -> "exactPercentile over empty relation",
+    "m17_champion_select"  -> "exactPercentile over empty relation",
+    "m20_calibration_bins" -> "exactPercentile over empty relation",
+    "d22_ivf_topk"         -> "kmeans sample is empty")
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf0").toString
+    Tables.names.foreach { t =>
+      spark.read.parquet(s"${SparkFixture.sfDir}/$t.parquet")
+        .limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every declared query on a zero-row fixture evaluates or raises its documented precondition") {
+    gateCatalog(emptyDir, emptyPreconditions)
+  }
+
+  // -------------------------------------------------------------- hostile
+
+  /** Hostile-value generators per physical type, one per hostile row kind:
+    *  - `nulls`: every column NULL (broken upstream record);
+    *  - `zeros`: "" strings, 0 numerics, epoch timestamps, empty arrays
+    *    (the degenerate-but-present record — empty doc, empty embedding);
+    *  - `junk`: whitespace-only text, NaN measures, pre-epoch timestamps
+    *    (the floor-sensitive side of the ns→µs contract), zero vectors
+    *    (cosine's 0/0 case), truncated JSON. */
+  private def hostileValue(dt: DataType, kind: String): Any = (dt, kind) match {
+    case (_, "nulls")              => null
+    case (StringType, "zeros")     => ""
+    case (StringType, "junk")      => " \t\n {"
+    case (LongType, "zeros")       => 0L
+    case (LongType, "junk")        => -1L
+    case (IntegerType, "zeros")    => 0
+    case (IntegerType, "junk")     => -1
+    case (DoubleType, "zeros")     => 0.0
+    case (DoubleType, "junk")      => Double.NaN
+    case (FloatType, "zeros")      => 0.0f
+    case (FloatType, "junk")       => Float.NaN
+    case (TimestampNTZType, "zeros") =>
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0)
+    case (TimestampNTZType, "junk") =>
+      java.time.LocalDateTime.of(1969, 12, 31, 23, 59, 59, 999999000)
+    case (TimestampType, "zeros")  => java.time.Instant.EPOCH
+    case (TimestampType, "junk")   => java.time.Instant.ofEpochMilli(-1L)
+    case (ArrayType(FloatType, _), "zeros") => Seq.empty[Float]
+    case (ArrayType(FloatType, _), "junk")  => Seq.fill(64)(0.0f)
+    case (other, k) => fail(s"no hostile $k value for $other — extend hostileValue")
+  }
+
+  private lazy val hostileDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hostile").toString
+    Tables.names.foreach { t =>
+      val real = spark.read.parquet(s"${SparkFixture.sfDir}/$t.parquet")
+      val hostile = spark.createDataFrame(
+        Seq("nulls", "zeros", "junk")
+          .map(k => Row.fromSeq(real.schema.fields.map(f => hostileValue(f.dataType, k)).toSeq))
+          .asJava,
+        real.schema)
+      real.limit(4).unionByName(hostile)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  /** The hostile fixture is NON-empty (4 sane rows + 3 hostile per table),
+    * so the empty-relation family doesn't fire; what can legitimately fire
+    * are small-corpus preconditions (populated below from measurement). */
+  private val hostilePreconditions: Map[String, String] = Map.empty
+
+  test("every declared query tolerates NULL / degenerate / junk rows mixed into real data") {
+    gateCatalog(hostileDir, hostilePreconditions)
+  }
+}
