@@ -1126,11 +1126,11 @@ object SparkEntry {
     "d10_hourly_events" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"),
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY hour, event_type"),
     "d11_session_counts" ->
       ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
         "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
-        "FROM events) " +
+        "FROM events WHERE ts IS NOT NULL) " +
         "SELECT user_id, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
     "d12_value_profile" ->

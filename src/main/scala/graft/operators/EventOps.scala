@@ -28,8 +28,18 @@ object EventOps {
     * engines, integer summation is order-independent) — `round(sum(double))`
     * was the last remaining order-dependent float sum over raw data, the
     * hazard x28/gapFilledHourly already guard against. */
+  /** Events a time bucket can hold: a NULL `ts` (broken upstream record)
+    * belongs to no hour and no session. Excluding it keeps the batch
+    * aggregates in lockstep with their streaming analogs, where the
+    * watermark drops NULL event times — lambda-architecture parity a
+    * NULL-window group row would silently break (mirrored as
+    * `WHERE ts IS NOT NULL` in the d10/d11 oracles). */
+  private def bucketable(eventsTs: DataFrame): DataFrame =
+    eventsTs.where(col("ts").isNotNull)
+
   def hourlyCounts(eventsTs: DataFrame): DataFrame =
-    eventsTs.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
+    bucketable(eventsTs)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
           .as("sum_value"))
@@ -41,7 +51,7 @@ object EventOps {
   def sessionCounts(eventsTs: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
-    eventsTs
+    bucketable(eventsTs)
       .select(col("user_id"), col("event_id"),
         (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
       .select(col("user_id"),

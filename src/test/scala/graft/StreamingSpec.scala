@@ -195,6 +195,43 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("hostile rows stream without crashing: NULL ts / NULL type / NaN value " +
+      "through the watermarked hourly profile") {
+    // the streaming side of CatalogRobustnessSpec's hostile arm: a broken
+    // upstream record (all-NULL), a degenerate epoch record, and a junk
+    // record (pre-epoch ts, NaN value) land in the source directory mixed
+    // with real events. The stream must keep running — at 100 TB/day one
+    // poison record must not kill a monitor — and the windowed aggregate
+    // must agree with the batch plan over the same directory (both drop
+    // NULL-event-time rows: no window can be assigned).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hostile")
+      .resolve("events.parquet")
+    val real = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
+    val hostile = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, null, null, null, null, null),
+        org.apache.spark.sql.Row(0L, java.time.LocalDateTime.of(1970, 1, 1, 0, 0), 0L, "", 0.0, ""),
+        org.apache.spark.sql.Row(-1L, java.time.LocalDateTime.of(1969, 12, 31, 23, 59, 59), -1L,
+          " \t\n {", Double.NaN, " \t\n {")),
+      real.schema)
+    real.limit(4).unionByName(hostile).write.parquet(dir.toString)
+    val q = StreamMonitor.hourlyProfile(StreamMonitor.readEventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("fh").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("fh")
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventOps.hourlyCounts(
+        Tables.normalizeTs(spark.read.parquet(dir.toString)))
+      .select(col("hour").cast("timestamp").as("hour"), col("event_type"), col("n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the all-NULL record must be absent (no assignable window), the epoch
+    // and pre-epoch records present
+    assert(!streamed.exists(_._1 == "null"))
+    q.stop()
+  }
+
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
