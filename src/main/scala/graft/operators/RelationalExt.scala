@@ -19,8 +19,25 @@ import graft.Tables
   */
 object RelationalExt {
 
-  private def viewsFor(s: SparkSession, dir: String, names: String*): Unit =
-    names.foreach(n => Tables.canonical(s, dir, n).createOrReplaceTempView(n))
+  private val viewEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Run `f` with per-invocation UNIQUE temp-view names for the requested
+    * tables, dropped before returning. Fixed names (`orders`, `customer`)
+    * would make the SQL surface a bad citizen on a SHARED SparkSession —
+    * clobbering a view the caller registered under the same name, and
+    * racing when two threads query different data directories at once
+    * (the session catalog is session-global). `spark.sql` inlines a view's
+    * plan at ANALYSIS time, so dropping the views immediately after `f`
+    * builds its frame is safe — the returned plan no longer references
+    * them — and leaves zero catalog residue. `f` receives the name map and
+    * interpolates; the SQL text is otherwise the one a user would write. */
+  private def withViews(s: SparkSession, dir: String, names: String*)(
+      f: Map[String, String] => DataFrame): DataFrame = {
+    val tag = viewEpoch.incrementAndGet()
+    val m = names.map(n => n -> s"${n}_g$tag").toMap
+    m.foreach { case (n, vn) => Tables.canonical(s, dir, n).createOrReplaceTempView(vn) }
+    try f(m) finally m.values.foreach(s.catalog.dropTempView(_))
+  }
 
   /** Running total per customer (frame: unbounded preceding → current). */
   def runningTotal(s: SparkSession, dir: String): DataFrame = {
@@ -137,39 +154,39 @@ object RelationalExt {
 
   /** Scalar subquery via the SQL interface: orders above the global
     * average price, per priority. */
-  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
-    viewsFor(s, dir, "orders")
-    s.sql(
-      """SELECT o_orderpriority, count(*) AS n,
-        |       round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-  }
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "orders") { v =>
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |       round(sum(o_totalprice), 2) AS sum_price
+           |FROM ${v("orders")}
+           |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM ${v("orders")})
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
 
   /** IN-subquery via the SQL interface: customers holding an urgent order. */
-  def urgentCustomers(s: SparkSession, dir: String): DataFrame = {
-    viewsFor(s, dir, "orders", "customer")
-    s.sql(
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders
-        |                    WHERE o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin)
-  }
+  def urgentCustomers(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "orders", "customer") { v =>
+      s.sql(
+        s"""SELECT c_custkey, c_name FROM ${v("customer")}
+           |WHERE c_custkey IN (SELECT o_custkey FROM ${v("orders")}
+           |                    WHERE o_orderpriority = '1-URGENT')
+           |ORDER BY c_custkey""".stripMargin)
+    }
 
   /** Correlated EXISTS via the SQL interface (planned as a left-semi
     * join — same physical shape as IN, but with the correlated predicate
     * pushed into the join condition): customers with at least one order
     * above a fixed price in a fixed year. */
-  def existsBigSpenders(s: SparkSession, dir: String): DataFrame = {
-    viewsFor(s, dir, "orders", "customer")
-    s.sql(
-      """SELECT c_custkey, c_mktsegment FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o
-        |              WHERE o.o_custkey = c.c_custkey
-        |                AND o.o_totalprice > 400000.0)
-        |ORDER BY c_custkey""".stripMargin)
-  }
+  def existsBigSpenders(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "orders", "customer") { v =>
+      s.sql(
+        s"""SELECT c_custkey, c_mktsegment FROM ${v("customer")} c
+           |WHERE EXISTS (SELECT 1 FROM ${v("orders")} o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_totalprice > 400000.0)
+           |ORDER BY c_custkey""".stripMargin)
+    }
 
   /** RANGE-framed window: per order, the count and total of the SAME
     * customer's orders within ±30 days of it — a value-range frame (all
@@ -283,15 +300,15 @@ object RelationalExt {
 
   /** Explicit GROUPING SETS via the SQL interface (completes the grouped
     * aggregation family next to rollup/cube). */
-  def groupingSets(s: SparkSession, dir: String): DataFrame = {
-    viewsFor(s, dir, "orders")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
-  }
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "orders") { v =>
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |       round(sum(o_totalprice), 2) AS sum_price
+           |FROM ${v("orders")}
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }
 
   /** UNION vs UNION ALL semantics in one relation. */
   def unionSemantics(s: SparkSession, dir: String): DataFrame = {

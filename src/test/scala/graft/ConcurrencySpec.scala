@@ -1,0 +1,76 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalExt
+
+/** Shared-session citizenship of the SQL-surface queries (x21/x22/x27/x32).
+  *
+  * A library running on a user's SparkSession must not treat the session
+  * catalog as its own: registering fixed-name temp views (`orders`,
+  * `customer`) would clobber a view the user owns under that name, leave
+  * residue behind, and race when two threads query different data
+  * directories at once — on a real deployment the session is shared by a
+  * whole application, often across threads (a thriftserver, a notebook
+  * with parallel cells, an orchestrator running independent reports).
+  * `RelationalExt.withViews` therefore registers per-invocation unique
+  * names and drops them post-analysis; this spec pins all three visible
+  * properties. */
+class ConcurrencySpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  test("SQL-surface queries neither clobber the user's same-named view nor leave residue") {
+    val before = spark.catalog.listTables().count()
+    // the user's own `orders` — one sentinel row, nothing like the fixture
+    Seq((42L, "mine")).toDF("user_col", "tag").createOrReplaceTempView("orders")
+    try {
+      val r = RelationalExt.aboveAvgOrders(spark, SparkFixture.sfDir)
+      assert(r.count() > 0)
+      // the user's view is untouched and still theirs
+      val mine = spark.sql("SELECT * FROM orders").collect()
+      assert(mine.length == 1 && mine(0).getString(1) == "mine")
+      // no engine view left behind
+      assert(spark.catalog.listTables().count() == before + 1)
+    } finally spark.catalog.dropTempView("orders")
+  }
+
+  test("concurrent SQL-surface queries over DIFFERENT directories each see their own data") {
+    // second directory: same schemas, half the orders — results must differ
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    Tables.names.foreach { t =>
+      val df = spark.read.parquet(s"${SparkFixture.sfDir}/$t.parquet")
+      (if (t == "orders") df.filter(col("o_orderkey") % 2 === 0) else df)
+        .write.mode("overwrite").parquet(s"$dir2/$t.parquet")
+    }
+    val dirs = Seq(SparkFixture.sfDir, dir2)
+    val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "aboveAvg" -> ((s, d) => RelationalExt.aboveAvgOrders(s, d)),
+        "urgent" -> ((s, d) => RelationalExt.urgentCustomers(s, d)),
+        "exists" -> ((s, d) => RelationalExt.existsBigSpenders(s, d)),
+        "gsets" -> ((s, d) => RelationalExt.groupingSets(s, d)))
+    val serial: Map[(String, String), Seq[String]] =
+      (for { d <- dirs; (qn, q) <- queries }
+        yield (qn, d) -> q(spark, d).collect().map(_.toString).toSeq).toMap
+    // both dirs × all four queries × 3 rounds, all in flight together
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(8))
+    val futs = for { round <- 1 to 3; d <- dirs; (qn, q) <- queries } yield Future {
+      (qn, d, q(spark, d).collect().map(_.toString).toSeq)
+    }
+    val results = Await.result(Future.sequence(futs), 5.minutes)
+    results.foreach { case (qn, d, rows) =>
+      assert(rows == serial((qn, d)),
+        s"$qn over $d diverged from its serial result under concurrency")
+    }
+    // sanity: the two dirs really produce different answers (the race this
+    // spec exists to catch would otherwise be invisible)
+    assert(serial(("aboveAvg", dirs.head)) != serial(("aboveAvg", dirs(1))))
+  }
+}
