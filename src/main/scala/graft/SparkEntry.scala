@@ -73,8 +73,11 @@ object SparkEntry {
     "f5_zscore_clip" -> ((s, d) =>
       Features.zScoreClip(ord(s, d), "o_totalprice")
         .agg(round(sum(col("o_totalprice_clipped")), 2).as("sum_clipped"),
-             sum(when(col("o_totalprice_clipped") =!= col("o_totalprice"), 1L)
-               .otherwise(0L)).as("n_clipped"))),
+             // a NaN was rejected by the clip (NULL clipped value) —
+             // counted as clipped, like the oracle's isnan branch
+             sum(when(isnan(col("o_totalprice")), 1L)
+               .otherwise(when(col("o_totalprice_clipped") =!= col("o_totalprice"), 1L)
+                 .otherwise(0L))).as("n_clipped"))),
     "f6_conditional_clip" -> ((s, d) => ord(s, d).select(
       col("o_orderkey"),
       Features.pround(least(greatest(col("o_totalprice") / 100.0, lit(18.0)), lit(120.0)), 2).as("synth_charge"))
@@ -344,15 +347,18 @@ object SparkEntry {
       (Tables.names.map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
         .mkString(" UNION ALL ") + " ORDER BY table_name"),
     "v8_drift_profile" ->
+      // mean/std over observed finite values (the engine's finiteOrNull
+      // fit domain); nullfrac counts genuine NULLs only
       ("SELECT " + Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .flatMap(c => Seq(
-          s"round(avg($c), 4) AS mean_$c",
-          s"round(stddev_samp($c), 4) AS std_$c",
+          s"round(avg(CASE WHEN isfinite($c) THEN $c END), 4) AS mean_$c",
+          s"round(stddev_samp(CASE WHEN isfinite($c) THEN $c END), 4) AS std_$c",
           s"round(avg(CAST($c IS NULL AS DOUBLE)), 6) AS nullfrac_$c"))
         .mkString(", ") + " FROM lineitem"),
     "v9_psi_drift" ->
       ("WITH f AS (SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bin, " +
-        "(CAST(o_orderdate AS DATE) < DATE '1998-01-01') AS early FROM orders), " +
+        "(CAST(o_orderdate AS DATE) < DATE '1998-01-01') AS early FROM orders " +
+        "WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)), " +
         "c AS (SELECT bin, CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
         "CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM f GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c) " +
@@ -374,7 +380,7 @@ object SparkEntry {
         s"SELECT '$c' AS column_name, " +
           s"CAST(least(floor($c / CAST($w AS DOUBLE)), ${nb - 1}) AS BIGINT) AS bin, " +
           "(CAST(l_shipdate AS DATE) < DATE '1995-06-01') AS early " +
-          s"FROM lineitem WHERE $c IS NOT NULL"
+          s"FROM lineitem WHERE $c IS NOT NULL AND isfinite($c)"
       }.mkString(" UNION ALL ")
       s"WITH f AS ($branches), " +
         "c AS (SELECT column_name, bin, " +
@@ -426,8 +432,8 @@ object SparkEntry {
         "e AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t), " +
         "c AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
         "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e), " +
-        "g AS (SELECT doc_id // 50 AS grp, doc_id, chunk_id, n, " +
-        "row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id, chunk_id) AS rn FROM c), " +
+        "g AS (SELECT CAST(floor(doc_id / 50.0) AS BIGINT) AS grp, doc_id, chunk_id, n, " +
+        "row_number() OVER (PARTITION BY CAST(floor(doc_id / 50.0) AS BIGINT) ORDER BY doc_id, chunk_id) AS rn FROM c), " +
         "pack(grp, rn, doc_id, chunk_id, n, seq, fill) AS (" +
         "SELECT grp, rn, doc_id, chunk_id, n, CAST(0 AS BIGINT), n FROM g WHERE rn = 1 " +
         "UNION ALL " +
@@ -489,8 +495,8 @@ object SparkEntry {
         "e2 AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t2), " +
         "c2 AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
         "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e2), " +
-        "g2 AS (SELECT doc_id // 50 AS grp, doc_id, chunk_id, n, " +
-        "row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id, chunk_id) AS rn FROM c2), " +
+        "g2 AS (SELECT CAST(floor(doc_id / 50.0) AS BIGINT) AS grp, doc_id, chunk_id, n, " +
+        "row_number() OVER (PARTITION BY CAST(floor(doc_id / 50.0) AS BIGINT) ORDER BY doc_id, chunk_id) AS rn FROM c2), " +
         "pack(grp, rn, doc_id, chunk_id, n, seq, fill) AS (" +
         "SELECT grp, rn, doc_id, chunk_id, n, CAST(0 AS BIGINT), n FROM g2 WHERE rn = 1 " +
         "UNION ALL " +
@@ -549,8 +555,8 @@ object SparkEntry {
         "e2 AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t2), " +
         "c2 AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
         "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e2), " +
-        "g2 AS (SELECT doc_id // 50 AS grp, doc_id, chunk_id, n, " +
-        "row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id, chunk_id) AS rn FROM c2), " +
+        "g2 AS (SELECT CAST(floor(doc_id / 50.0) AS BIGINT) AS grp, doc_id, chunk_id, n, " +
+        "row_number() OVER (PARTITION BY CAST(floor(doc_id / 50.0) AS BIGINT) ORDER BY doc_id, chunk_id) AS rn FROM c2), " +
         "pack(grp, rn, doc_id, chunk_id, n, seq, fill) AS (" +
         "SELECT grp, rn, doc_id, chunk_id, n, CAST(0 AS BIGINT), n FROM g2 WHERE rn = 1 " +
         "UNION ALL " +
@@ -579,19 +585,32 @@ object SparkEntry {
         "THEN l_extendedprice / l_quantity ELSE l_extendedprice END) * 10000.0 + 0.5) / 10000.0 " +
         "AS charge_ratio FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "f2_bucket_counts" ->
-      ("SELECT CASE WHEN l_quantity <= 0 THEN 'nan' WHEN l_quantity <= 10 THEN '0-10' " +
+      // leading NULL/isnan branch: DuckDB 1.0's vectorized comparisons
+      // missort NaN (a parquet-read NaN lands in '40-50' while a constant
+      // NaN does not) — route non-values to the 'nan' bucket explicitly,
+      // which is also the engine's when-chain `otherwise` semantics
+      ("SELECT CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 'nan' " +
+        "WHEN l_quantity <= 0 THEN 'nan' WHEN l_quantity <= 10 THEN '0-10' " +
         "WHEN l_quantity <= 20 THEN '10-20' WHEN l_quantity <= 30 THEN '20-30' " +
         "WHEN l_quantity <= 40 THEN '30-40' WHEN l_quantity <= 50 THEN '40-50' " +
         "ELSE 'nan' END AS bucket, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY 1 ORDER BY bucket"),
     "f3_quantile_flag" ->
-      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.75) AS q FROM orders) " +
-        "SELECT CASE WHEN o_totalprice > q THEN 1 ELSE 0 END AS flag, count(*) AS n, " +
+      // threshold over observed finite values (exactPercentile's domain);
+      // NULL price → NULL flag (no observation), NaN → 1 explicitly (NaN
+      // compares greater than any threshold in both engines, but DuckDB
+      // 1.0's vectorized compare can't be trusted with NaN)
+      ("WITH p AS (SELECT quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.75) AS q FROM orders) " +
+        "SELECT CASE WHEN o_totalprice IS NULL THEN NULL WHEN isnan(o_totalprice) THEN 1 " +
+        "WHEN o_totalprice > q THEN 1 ELSE 0 END AS flag, count(*) AS n, " +
         "round(avg(o_totalprice), 2) AS avg_price FROM orders, p GROUP BY 1 ORDER BY flag"),
     "f5_zscore_clip" ->
-      ("WITH s AS (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd FROM orders) " +
-        "SELECT round(sum(LEAST(GREATEST(o_totalprice, m - 3*sd), m + 3*sd)), 2) AS sum_clipped, " +
-        "CAST(sum(CASE WHEN o_totalprice > m + 3*sd OR o_totalprice < m - 3*sd THEN 1 ELSE 0 END) " +
+      ("WITH s AS (SELECT avg(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS m, " +
+        "stddev_samp(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS sd FROM orders) " +
+        "SELECT round(sum(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN NULL " +
+        "ELSE LEAST(GREATEST(o_totalprice, m - 3*sd), m + 3*sd) END), 2) AS sum_clipped, " +
+        "CAST(sum(CASE WHEN isnan(o_totalprice) THEN 1 " +
+        "WHEN o_totalprice > m + 3*sd OR o_totalprice < m - 3*sd THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_clipped FROM orders, s"),
     "f6_conditional_clip" ->
       ("SELECT o_orderkey, floor(LEAST(GREATEST(o_totalprice / 100.0, 18.0), 120.0) * 100.0 + 0.5) / 100.0 " +
@@ -625,13 +644,15 @@ object SparkEntry {
         "CAST(o_orderdate AS DATE)) AS days_since_prev " +
         "FROM orders ORDER BY o_custkey, o_orderkey"),
     "x5_rollup_pricing" ->
-      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
-        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid"),
     "x6_cube_orders" ->
       ("SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS sum_price, " +
-        "count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
-        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+        "count(*) AS n, CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid"),
     "x7_customers_without_orders" ->
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
@@ -650,8 +671,12 @@ object SparkEntry {
         "FROM lineitem WHERE l_quantity < 50 GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus"),
     "x11_monthly_orders" ->
+      // undated orders excluded (no month bucket) — engine convention,
+      // and DuckDB 1.0 missorts a NULL timestamp group even under an
+      // explicit NULLS FIRST, so the NULL group must not exist at all
       ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders, " +
-        "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1 ORDER BY month"),
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "WHERE o_orderdate IS NOT NULL GROUP BY 1 ORDER BY month"),
     "x12_customer_name_features" ->
       ("SELECT c_custkey, upper(c_name) AS name_upper, substr(c_name, 1, 5) AS name_prefix, " +
         "length(c_name) AS name_len, c_name || '#' || CAST(c_custkey AS VARCHAR) AS name_tag " +
@@ -674,7 +699,7 @@ object SparkEntry {
         "FROM orders ORDER BY o_custkey, o_orderkey"),
     "x16_moving_avg" ->
       ("WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, " +
-        "sum(o_totalprice) AS rev FROM orders GROUP BY 1) " +
+        "sum(o_totalprice) AS rev FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1) " +
         "SELECT month, round(rev, 2) AS rev, round(avg(rev) OVER (" +
         "ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_ma3 " +
         "FROM m ORDER BY month"),
@@ -743,16 +768,19 @@ object SparkEntry {
         "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
 
     "m1_standard_scale" ->
-      ("WITH s AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd FROM customer) " +
+      ("WITH s AS (SELECT avg(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END) AS m, " +
+        "stddev_pop(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END) AS sd FROM customer) " +
         "SELECT c_custkey, " + pr("CASE WHEN sd = 0 THEN 0.0 ELSE (c_acctbal - m) / sd END", 6) + " AS acctbal_z " +
         "FROM customer, s ORDER BY c_custkey"),
     "m2_minmax_scale" ->
-      ("WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) " +
+      ("WITH s AS (SELECT min(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS mn, " +
+        "max(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS mx FROM orders) " +
         "SELECT o_orderkey, " + pr("CASE WHEN mx = mn THEN 0.0 ELSE (o_totalprice - mn) / (mx - mn) END", 6) + " AS price_mm " +
         "FROM orders, s ORDER BY o_orderkey"),
     "m3_robust_scale" ->
-      ("WITH s AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.5) AS med, " +
-        "quantile_cont(c_acctbal, 0.75) AS q3 FROM customer) " +
+      ("WITH s AS (SELECT quantile_cont(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 0.25) AS q1, " +
+        "quantile_cont(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 0.5) AS med, " +
+        "quantile_cont(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 0.75) AS q3 FROM customer) " +
         "SELECT c_custkey, " + pr("CASE WHEN q3 = q1 THEN 0.0 ELSE (c_acctbal - med) / (q3 - q1) END", 6) + " AS acctbal_rs " +
         "FROM customer, s ORDER BY c_custkey"),
     "m4_onehot" ->
@@ -767,9 +795,9 @@ object SparkEntry {
       ("SELECT c_mktsegment, CAST(c_custkey % 5 AS INTEGER) AS fold, count(*) AS n " +
         "FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, fold"),
     "m15_binary_metrics" ->
-      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders), " +
+      ("WITH p AS (SELECT quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.5) AS med FROM orders), " +
         "t AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
-        "CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat FROM orders, p), " +
+        "CASE WHEN o_totalprice IS NULL THEN NULL WHEN isnan(o_totalprice) THEN 1 WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat FROM orders, p), " +
         "c AS (SELECT CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
         "CAST(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
         "CAST(sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn, " +
@@ -781,15 +809,15 @@ object SparkEntry {
         "CASE WHEN 2*tp + fp + fn = 0 THEN 0.0 ELSE " + pr("CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)", 6) + " END AS f1 " +
         "FROM c"),
     "m16_confusion_matrix" ->
-      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders) " +
+      ("WITH p AS (SELECT quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.5) AS med FROM orders) " +
         "SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
-        "CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat, count(*) AS n " +
+        "CASE WHEN o_totalprice IS NULL THEN NULL WHEN isnan(o_totalprice) THEN 1 WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat, count(*) AS n " +
         "FROM orders, p GROUP BY 1, 2 ORDER BY y, yhat"),
     "m17_champion_select" ->
-      ("WITH p AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders), " +
+      ("WITH p AS (SELECT quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.5) AS med FROM orders), " +
         "t AS (SELECT c_mktsegment AS model, " +
         "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
-        "CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat " +
+        "CASE WHEN o_totalprice IS NULL THEN NULL WHEN isnan(o_totalprice) THEN 1 WHEN o_totalprice > med THEN 1 ELSE 0 END AS yhat " +
         "FROM orders, p JOIN customer ON o_custkey = c_custkey), " +
         "m AS (SELECT model, CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
         "CAST(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
@@ -943,7 +971,7 @@ object SparkEntry {
         "UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', count(t) FROM s2 ORDER BY step"),
     "d37_gapfilled_hourly" ->
       ("WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, " +
-        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events), " +
+        "CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents FROM events), " +
         "agg AS (SELECT hour, event_type, count(*) AS n, " +
         "CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value_mass FROM e GROUP BY 1, 2), " +
         "bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM agg), " +
@@ -959,16 +987,17 @@ object SparkEntry {
     "m20_calibration_bins" ->
       ("WITH s AS (SELECT o_totalprice, " +
         "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, " +
-        "count(*) OVER () AS n FROM orders), " +
+        "count(*) OVER () AS n FROM orders " +
+        "WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)), " +
         "med AS (SELECT avg(o_totalprice) AS med FROM s " +
         "WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1), " +
         "sc AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
         "floor((1.0 / (1.0 + exp(-((o_totalprice - med) / 10000.0)))) * 1000000.0 + 0.5) / 1000000.0 AS score " +
         "FROM orders, med) " +
-        "SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin, count(*) AS n, " +
+        "SELECT CASE WHEN isfinite(score) THEN CAST(least(floor(score * 10), 9) AS BIGINT) END AS bin, count(*) AS n, " +
         "CAST(sum(y) AS BIGINT) AS n_pos, " +
         pr("CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6) + " AS frac_pos, " +
-        pr("CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+        pr("CAST(sum(CASE WHEN isfinite(score) THEN CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE) " +
           "/ CAST(count(*) AS DOUBLE) / 1000000.0", 6) + " AS mean_score " +
         "FROM sc GROUP BY 1 ORDER BY bin"),
     "x32_exists_big_spenders" ->
@@ -978,7 +1007,7 @@ object SparkEntry {
     "x33_nearby_order_mass" ->
       ("WITH b AS (SELECT o_orderkey, o_custkey, " +
         "date_diff('day', DATE '1970-01-01', o_orderdate) AS d, " +
-        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders) " +
+        "CASE WHEN isfinite(o_totalprice) THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END AS cents FROM orders) " +
         "SELECT o_orderkey, o_custkey, " +
         "CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d " +
         "RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS BIGINT) AS n_nearby, " +
@@ -997,13 +1026,14 @@ object SparkEntry {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         pr("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * " +
           "sqrt(list_dot_product(b.e, b.e)))", 6) + " AS cos_sim " +
-        "FROM s a, s b WHERE a.vec_id < b.vec_id AND " +
+        "FROM s a, s b WHERE a.vec_id < b.vec_id AND len(a.e) = len(b.e) AND " +
         pr("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * " +
           "sqrt(list_dot_product(b.e, b.e)))", 6) + " >= 0.2 " +
         "ORDER BY id_a, id_b"),
     "x28_nation_pair_volume" ->
       ("SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation, " +
-        "CAST(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) " +
+        "CAST(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1.0 - l_discount)) " +
+        "THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) END) " +
         "AS BIGINT) AS DOUBLE) / 100.0 AS revenue, count(*) AS n_items " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
@@ -1014,7 +1044,7 @@ object SparkEntry {
         "GROUP BY 1, 2 ORDER BY cust_nation, supp_nation"),
     "x29_bucketed_segment_spend" ->
       ("SELECT c_mktsegment, " +
-        "CAST(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 " +
+        "CAST(CAST(sum(CASE WHEN isfinite(o_totalprice) THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS DOUBLE) / 100.0 " +
         "AS spend, count(*) AS n_orders " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY 1 ORDER BY c_mktsegment"),
@@ -1038,7 +1068,7 @@ object SparkEntry {
         "WHERE rn = 1 ORDER BY event_id"),
     "x31_attribution_window" ->
       ("SELECT o_orderkey, count(e.user_id) AS n_events, " +
-        "CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS value_mass " +
+        "CAST(sum(CASE WHEN isfinite(e.value) THEN CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS value_mass " +
         "FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey " +
         "AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate " +
         "AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL 7 DAY " +
@@ -1087,9 +1117,10 @@ object SparkEntry {
         "AS avg_subword_tokens FROM documents GROUP BY lang ORDER BY lang"),
     "x27_grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
-        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "round(sum(o_totalprice), 2) AS sum_price, " +
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
-        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid"),
     "d1_dedup_groups" ->
       ("SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),
@@ -1121,11 +1152,16 @@ object SparkEntry {
       ("SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
     "d9_props_summary" ->
-      ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+      // json_valid guard: Spark's from_json is PERMISSIVE (malformed
+      // payload → NULL row, skipped by sum); DuckDB's json_extract_string
+      // ERRORS on malformed JSON — guard to the same skip-the-broken-record
+      // semantics
+      ("SELECT event_type, CAST(sum(CASE WHEN json_valid(props) " +
+        "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k, " +
         "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "d10_hourly_events" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +
-        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value " +
+        "CAST(sum(CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS sum_value " +
         "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY hour, event_type"),
     "d11_session_counts" ->
       ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
@@ -1135,7 +1171,7 @@ object SparkEntry {
         "AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
     "d12_value_profile" ->
       ("SELECT event_type, count(*) AS n, " +
-        pr("CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+        pr("CAST(sum(CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) " +
           "/ 100.0 / CAST(count(*) AS DOUBLE)", 4) + " AS mean_value, " +
         "round(stddev_samp(value), 4) AS std_value, round(min(value), 2) AS min_value, " +
         "round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type"),
@@ -1156,16 +1192,28 @@ object SparkEntry {
         pr("list_dot_product(qe, CAST(embedding AS DOUBLE[])) / " +
           "(sqrt(list_dot_product(qe, qe)) * " +
           "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))", 6) +
-        " AS cos_sim FROM embeddings, q WHERE vec_id <> query_id) " +
+        // len-equality guard: the engine's cosine kernel yields NULL on
+        // mismatched vector lengths (ranked last, never in a top-k with a
+        // full candidate pool); DuckDB's list_dot_product ERRORS instead
+        " AS cos_sim FROM embeddings, q WHERE vec_id <> query_id " +
+        "AND len(embedding) = len(qe)) " +
         "SELECT query_id, nbr_id, cos_sim, rank FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rank FROM c) t " +
+        // cos_sim IS NOT NULL: zero-norm embeddings divide 0/0 → NULL in
+        // both engines (the kernel's explicit undefined case) and are not
+        // rankable candidates
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rank " +
+        "FROM c WHERE cos_sim IS NOT NULL) t " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
     "d18_multimodal_meta" ->
-      ("SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+      // ((x%3)+3)%3 = positive modulus, matching the engine's pmod (a
+      // plain % keeps the dividend's sign for negative ids); NULL-id
+      // documents never become assets (assetSchema's non-null asset_id)
+      ("SELECT CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'image' " +
+        "WHEN ((doc_id % 3) + 3) % 3 = 1 THEN 'audio' " +
         "ELSE 'video' END AS modality, count(*) AS n, " +
         "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
-        "FROM documents GROUP BY 1 ORDER BY modality"),
+        "FROM documents WHERE doc_id IS NOT NULL GROUP BY 1 ORDER BY modality"),
   )
 
   /** DuckDB spelling of each canonical Spark numeric type. Total over the

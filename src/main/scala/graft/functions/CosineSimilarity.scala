@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // nullable even over non-null children: length mismatch produces null
+  // nullable even over non-null children: length mismatch and zero-norm
+  // inputs produce null
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -56,7 +57,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
         dot += xi * yi; na += xi * xi; nb += yi * yi
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      // zero-norm side (zero vector, or an empty array — a failed or
+      // skipped encoder upstream): the similarity is UNDEFINED — return
+      // null like the length-mismatch case, not the 0/0 NaN, which Spark
+      // ranks ABOVE every real similarity in a descending top-k
+      if (na == 0.0 || nb == 0.0) null
+      else dot / (math.sqrt(na) * math.sqrt(nb))
     }
   }
 
@@ -80,7 +86,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($bad) {
+         |  if ($bad || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -41,7 +41,7 @@ object EventOps {
     bucketable(eventsTs)
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+        (sum(Features.qlong(col("value"), 100.0)).cast("double") / 100.0)
           .as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
@@ -113,7 +113,7 @@ object EventOps {
     val e = eventsTs.select(
       date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
       col("event_type"),
-      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      Features.qlong(col("value"), 100.0).as("cents"))
     // feeds the bounds aggregate AND the spine join — materialize once
     val agg = e.groupBy(col("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -142,7 +142,7 @@ object EventOps {
   def valueProfile(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("__sc"),
+        sum(Features.qlong(col("value"), 100.0)).as("__sc"),
         round(stddev_samp(col("value")), 4).as("std_value"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))

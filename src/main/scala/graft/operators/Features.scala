@@ -54,12 +54,20 @@ object Features {
     * `feature_engineering.py:161-176`; pandas `std` is ddof=1 ==
     * stddev_samp). Two passes: 1-row agg, then codegen'd clamp. */
   def zScoreClip(df: DataFrame, c: String, z: Double = 3.0): DataFrame = {
-    val stats = df.agg(avg(col(c)).as("m"), stddev_samp(col(c)).as("sd"))
+    // fit over observed finite values ([[finiteOrNull]]): a single NaN
+    // would otherwise make sd NaN and clip EVERY row to NaN
+    val stats = df.agg(avg(finiteOrNull(col(c))).as("m"),
+      stddev_samp(finiteOrNull(col(c))).as("sd"))
     df.crossJoin(broadcast(stats))
       .withColumn(s"${c}_clipped",
-        when(col("sd").isNull || col("sd") === 0.0, col(c))
-          .otherwise(greatest(least(col(c), col("m") + col("sd") * z),
-                              col("m") - col("sd") * z)))
+        // NULL and NaN can't be meaningfully clipped into the band —
+        // NULL out, explicitly: least/greatest SKIP null arguments and
+        // order NaN greatest, so without the guard a NULL row silently
+        // becomes the UPPER bound in Spark (and the LOWER one in DuckDB)
+        when(col(c).isNull || isnan(col(c)), lit(null))
+          .otherwise(when(col("sd").isNull || col("sd") === 0.0, col(c))
+            .otherwise(greatest(least(col(c), col("m") + col("sd") * z),
+                                col("m") - col("sd") * z))))
       .drop("m", "sd")
   }
 
@@ -87,6 +95,34 @@ object Features {
     * declared query; the oracle SQL uses the literal same formula. */
   def pround(c: Column, digits: Int): Column = {
     val p = math.pow(10.0, digits)
-    floor(c * lit(p) + lit(0.5)) / lit(p)
+    // Non-finite passes through: Spark's floor() converts double→long with
+    // JVM semantics, silently mapping NaN to 0 and ±Inf to Long.Min/Max —
+    // a poisoned value must STAY poisoned (NaN in → NaN out, like both
+    // engines' round()), not come out as a clean-looking 0.0.
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, c)
+      .otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
   }
+
+  /** Integer quantization feeding order-independent sums (`cents`,
+    * micro-units): finite values → `floor(x·scale + 0.5)` as a long;
+    * non-finite → NULL, which SQL sums skip — the explicit analog of the
+    * oracle side's `CASE WHEN isfinite(x) THEN … END`. Without the guard
+    * Spark's floor silently counts a NaN as 0 units (and ±Inf as
+    * Long.Min/Max, corrupting the whole sum); DuckDB refuses the cast.
+    * A NULL contribution keeps the total honest and both engines agree. */
+  def qlong(c: Column, scale: Double): Column =
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(null))
+      .otherwise(floor(c * lit(scale) + lit(0.5)).cast("long"))
+
+  /** The column with non-finite values mapped to NULL — the input to FIT
+    * statistics (scaler means/stds, quantile thresholds, profile stats,
+    * PSI bins): one NaN would otherwise poison the whole statistic (NaN
+    * mean ⇒ every scaled row NaN; NaN sorts greatest ⇒ max/quantiles
+    * garbage), turning a single bad record into a blind monitor at
+    * 100 TB. Per-row TRANSFORMS keep propagating non-finite untouched —
+    * the record stays visibly poisoned; only the fitted statistics are
+    * computed over observed finite values (oracle side:
+    * `CASE WHEN isfinite(x) THEN x END`). */
+  def finiteOrNull(c: Column): Column =
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(null)).otherwise(c)
 }

@@ -33,7 +33,11 @@ object Metrics {
                       partitions: Int = 32): Double = {
     import org.apache.spark.sql.Row
     require(q >= 0.0 && q <= 1.0, s"percentile q out of [0,1]: $q")
-    val vals = df.select(col(valueCol).cast("double").as("__v"))
+    // order statistics over OBSERVED values: NULL carries none, and a
+    // non-finite (NaN sorts greatest) would shift every rank —
+    // SQL-aggregate/numpy-nanquantile convention, mirrored in the oracle
+    // medians' `isfinite` guards
+    val vals = df.select(Features.finiteOrNull(col(valueCol).cast("double")).as("__v"))
       .filter(col("__v").isNotNull)
       .repartitionByRange(partitions, col("__v"))
       .sortWithinPartitions(col("__v"))
@@ -90,7 +94,13 @@ object Metrics {
     val med = exactMedian(orders, "o_totalprice")
     orders.select(
       when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
-      when(col("o_totalprice") > med, 1).otherwise(0).as("yhat"),
+      // an unscorable record (NULL price) carries NO prediction — NULL
+      // yhat, its own confusion-matrix group, excluded from every
+      // metric cell; filing it as a negative would silently skew
+      // precision/recall on poisoned data. NaN predicts 1 (NaN compares
+      // greater than any threshold, consistently in both engines).
+      when(col("o_totalprice").isNull, lit(null))
+        .otherwise(when(col("o_totalprice") > med, 1).otherwise(0)).as("yhat"),
       col("o_totalprice"), col("o_orderkey"))
   }
 
@@ -294,10 +304,14 @@ object Metrics {
         Features.pround(
           Features.sigmoid((col("o_totalprice") - med) / scale), 6).as("score"))
       .select(col("y"), col("score"),
-        least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"))
+        // explicit NULL bin for an unscorable row (NULL/NaN input — a
+        // hostile record): both `floor` (NaN→0 via JVM toLong) and `least`
+        // (skips NULLs → bin 9) would otherwise file it under a REAL bin
+        when(col("score").isNull || isnan(col("score")), lit(null))
+          .otherwise(least(floor(col("score") * 10).cast("long"), lit(9L))).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-        sum(floor(col("score") * 1e6 + 0.5).cast("long")).as("sum_micro"))
+        sum(Features.qlong(col("score"), 1e6)).as("sum_micro"))
       .select(col("bin"), col("n"), col("n_pos"),
         Features.pround(col("n_pos").cast("double") / col("n").cast("double"), 6)
           .as("frac_pos"),

@@ -34,7 +34,11 @@ object Multimodal {
     * id would index `element_at` at 0 (INVALID_INDEX_OF_ZERO) instead of
     * picking a modality; a NULL id yields a NULL modality, not an error. */
   def assetsFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+    // assetSchema declares asset_id non-nullable: a document with no id
+    // cannot become an addressable asset — enforced here so EVERY
+    // multimodal operator (aggregates included) sees the same relation
+    // the partition-wise decode passes do
+    docs.where(col("doc_id").isNotNull).select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),

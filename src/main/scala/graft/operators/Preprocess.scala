@@ -18,7 +18,10 @@ object Preprocess {
     * (`feature_engineering.py:15-19,36-40`; sklearn uses biased std, so
     * `stddev_pop`, NOT Spark/pandas default `stddev_samp`). */
   def standardScale(df: DataFrame, c: String, out: String): DataFrame = {
-    val stats = df.agg(avg(col(c)).as("m"), stddev_pop(col(c)).as("sd"))
+    // fit over observed finite values (Features.finiteOrNull); the
+    // transform below still propagates a non-finite row's own value
+    val stats = df.agg(avg(Features.finiteOrNull(col(c))).as("m"),
+      stddev_pop(Features.finiteOrNull(col(c))).as("sd"))
     df.crossJoin(broadcast(stats))
       .withColumn(out, when(col("sd") === 0.0, lit(0.0))
         .otherwise((col(c) - col("m")) / col("sd")))
@@ -27,7 +30,10 @@ object Preprocess {
 
   /** M2 — MinMaxScaler: (x − min)/(max − min). */
   def minMaxScale(df: DataFrame, c: String, out: String): DataFrame = {
-    val stats = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    // finite fit domain: Spark's min/max sort NaN above every real value,
+    // so one NaN row would otherwise pin mx = NaN and scale everything NaN
+    val stats = df.agg(min(Features.finiteOrNull(col(c))).as("mn"),
+      max(Features.finiteOrNull(col(c))).as("mx"))
     df.crossJoin(broadcast(stats))
       .withColumn(out, when(col("mx") === col("mn"), lit(0.0))
         .otherwise((col(c) - col("mn")) / (col("mx") - col("mn"))))
@@ -38,10 +44,12 @@ object Preprocess {
     * (matches sklearn/NumPy linear interpolation and DuckDB
     * `quantile_cont`). */
   def robustScale(df: DataFrame, c: String, out: String): DataFrame = {
-    val stats = df.agg(
-      expr(s"percentile($c, 0.25)").as("q1"),
-      expr(s"percentile($c, 0.5)").as("med"),
-      expr(s"percentile($c, 0.75)").as("q3"))
+    // finite fit domain (NaN sorts greatest → would shift every quantile)
+    val stats = df.select(Features.finiteOrNull(col(c)).as("__f"))
+      .agg(
+        expr("percentile(__f, 0.25)").as("q1"),
+        expr("percentile(__f, 0.5)").as("med"),
+        expr("percentile(__f, 0.75)").as("q3"))
     df.crossJoin(broadcast(stats))
       .withColumn(out, when(col("q3") === col("q1"), lit(0.0))
         .otherwise((col(c) - col("med")) / (col("q3") - col("q1"))))

@@ -81,22 +81,30 @@ object Relational {
   }
 
   /** ROLLUP over returnflag × linestatus (grouping-set aggregation). */
+  /** `gid` (grouping_id bitmask) disambiguates a subtotal row from a
+    * group whose KEY VALUE is NULL — without it the two are
+    * indistinguishable in the output and their relative order is
+    * engine-unspecified (ill-posed on any data with NULL keys). Same
+    * bitmask convention in Spark and DuckDB (first column = MSB). */
   def rollupPricing(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-           count(lit(1)).as("n"))
+           count(lit(1)).as("n"),
+           grouping_id().as("gid"))
       .orderBy(col("l_returnflag").asc_nulls_first,
-               col("l_linestatus").asc_nulls_first)
+               col("l_linestatus").asc_nulls_first, col("gid"))
 
   /** CUBE over orderstatus × orderpriority. */
+  /** CUBE with the same `gid` disambiguator as [[rollupPricing]]. */
   def cubeOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
-           count(lit(1)).as("n"))
+           count(lit(1)).as("n"),
+           grouping_id().as("gid"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
-               col("o_orderpriority").asc_nulls_first)
+               col("o_orderpriority").asc_nulls_first, col("gid"))
 
   /** Customers with no orders — left-anti join (EXCEPT-style). */
   def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
@@ -141,8 +149,13 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Monthly order volume — date_trunc grouping. */
+  /** An undated order belongs to no month — excluded, the same
+    * no-bucket-for-missing-timestamps convention as
+    * [[EventOps.hourlyCounts]] (and a NULL month group also trips a
+    * DuckDB 1.0 grouped-sort bug in the oracle). */
   def monthlyOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
+      .where(col("o_orderdate").isNotNull)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
       .agg(count(lit(1)).as("n_orders"),
            round(sum(col("o_totalprice")), 2).as("sum_price"))

@@ -53,7 +53,9 @@ object RelationalExt {
   /** Centered-trailing moving average (3-month window) over the monthly
     * revenue series — window over a pre-aggregated tiny relation. */
   def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    // undated orders excluded — same convention as Relational.monthlyOrders
     val monthly = Tables.orders(s, dir)
+      .where(col("o_orderdate").isNotNull)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
       .agg(sum(col("o_totalprice")).as("rev"))
     val w = Window.orderBy(col("month")).rowsBetween(-2, 0)
@@ -201,7 +203,7 @@ object RelationalExt {
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("d"),
-        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+        Features.qlong(col("o_totalprice"), 100.0).as("cents"))
       .select(col("o_orderkey"), col("o_custkey"),
         count(lit(1)).over(w).as("n_nearby"),
         (sum(col("cents")).over(w).cast("double") / 100.0).as("nearby_mass"))
@@ -283,8 +285,8 @@ object RelationalExt {
       // engines, and integer summation is order-independent — so the group
       // total is deterministic where a double sum differs in the last ulp
       // (observed: 4/600 groups split by round(·,2) at sf0.01)
-      .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
-          .cast("long")).cast("double") / 100.0).as("revenue"),
+      .agg((sum(Features.qlong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 100.0))
+          .cast("double") / 100.0).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("cust_nation"), col("supp_nation"))
   }
@@ -302,12 +304,15 @@ object RelationalExt {
     * aggregation family next to rollup/cube). */
   def groupingSets(s: SparkSession, dir: String): DataFrame =
     withViews(s, dir, "orders") { v =>
+      // grouping_id disambiguates a subtotal row from a group whose key
+      // value is NULL (same marker as rollupPricing/cubeOrders)
       s.sql(
         s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           |       round(sum(o_totalprice), 2) AS sum_price
+           |       round(sum(o_totalprice), 2) AS sum_price,
+           |       grouping_id() AS gid
            |FROM ${v("orders")}
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid""".stripMargin)
     }
 
   /** UNION vs UNION ALL semantics in one relation. */

@@ -110,7 +110,7 @@ object Scale {
     writes.foreach(Await.result(_, Duration.Inf))
     bucketedJoin(s, "graft_bucketed_orders", "graft_bucketed_customer", "custkey")
       .groupBy(col("c_mktsegment"))
-      .agg((sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .agg((sum(Features.qlong(col("o_totalprice"), 100.0))
           .cast("double") / 100.0).as("spend"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))

@@ -67,6 +67,11 @@ object Similarity {
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id"))
     scored
+      // a NULL similarity (length mismatch, zero-norm/empty embedding —
+      // [[graft.functions.CosineSimilarity]]'s undefined cases) is not a
+      // rankable candidate; without the filter it would fill top-k slots
+      // whenever the candidate pool is smaller than k
+      .where(col("cos_sim").isNotNull)
       .withColumn("__salt", pmod(col("nbr_id"), lit(salts)))
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= k)

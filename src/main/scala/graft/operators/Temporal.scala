@@ -187,7 +187,7 @@ object Temporal {
         "left")
       .groupBy(col("o_orderkey"))
       .agg(count(col("user_id")).as("n_events"),
-        (sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+        (sum(Features.qlong(col("value"), 100.0)).cast("double") / 100.0)
           .as("value_mass"))
       .orderBy(col("o_orderkey"))
   }

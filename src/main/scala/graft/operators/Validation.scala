@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Validation aggregates — the reference's data-quality surface
@@ -69,16 +69,23 @@ object Validation {
   /** V8 — drift profile (ref `data_quality_dag.py:48-62`): per numeric
     * column mean / sample-std (pandas ddof=1 == stddev_samp) / null
     * fraction, one wide row. Single-pass multi-aggregate. */
-  def driftProfile(df: DataFrame, numericCols: Seq[String]): DataFrame =
+  /** mean/std are fitted over observed FINITE values
+    * ([[Features.finiteOrNull]]): one NaN row would otherwise make every
+    * statistic NaN and the drift monitor blind. `nullfrac` keeps counting
+    * genuine NULLs only — non-finite presence shows up in [[rangeProfile]]
+    * (v4), whose raw min/max deliberately surface a NaN. */
+  def driftProfile(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    def fin(c: String) = Features.finiteOrNull(col(c))
     df.agg(
-      round(avg(col(numericCols.head)), 4).as(s"mean_${numericCols.head}"),
+      round(avg(fin(numericCols.head)), 4).as(s"mean_${numericCols.head}"),
       numericCols.flatMap { c =>
         val tail = Seq(
-          round(stddev_samp(col(c)), 4).as(s"std_$c"),
+          round(stddev_samp(fin(c)), 4).as(s"std_$c"),
           round(avg(col(c).isNull.cast("double")), 6).as(s"nullfrac_$c"))
         if (c == numericCols.head) tail
-        else round(avg(col(c)), 4).as(s"mean_$c") +: tail
+        else round(avg(fin(c)), 4).as(s"mean_$c") +: tail
       }: _*)
+  }
 
   /** V8 extension — Population Stability Index between two time slices of
     * the SAME relation: fixed-width value bins, Laplace-smoothed bin
@@ -90,14 +97,30 @@ object Validation {
     *
     * Scale: one scan, one nBins-key aggregate, totals broadcast from a
     * 1-row relation. */
+  /** Fixed-width PSI bin for a measurable value; NULL for a NULL or
+    * non-finite one. The NULL guard must wrap the WHOLE expression:
+    * Spark's `least` SKIPS null arguments, so `least(floor(NULL/w), 9)`
+    * silently returns 9 — an excluded row would land in the clamp bin
+    * instead of nowhere, inflating both that bin and the Laplace totals
+    * every psi_term divides by. */
+  private def finiteBin(c: Column, width: Double, nBins: Int): Column = {
+    val f = Features.finiteOrNull(c)
+    when(f.isNull, lit(null))
+      .otherwise(least(floor(f / width).cast("long"), lit(nBins - 1L)))
+  }
+
   def psiDrift(orders: DataFrame, splitDate: String = "1998-01-01",
                binWidth: Double = 50000.0, nBins: Int = 10): DataFrame = {
     // localCheckpoint: counts feeds BOTH the totals aggregate and the final
     // projection — without materializing this ≤ nBins-row relation the scan
     // + partial aggregate would run twice (no CSE across DataFrame reuse)
+    // unmeasurable rows (NULL or non-finite value) carry no distribution
+    // mass: NULL bin, dropped, matching the oracle's IS NOT NULL +
+    // isfinite guard
     val counts = orders.select(
-        least(floor(col("o_totalprice") / binWidth).cast("long"), lit(nBins - 1L)).as("bin"),
+        finiteBin(col("o_totalprice"), binWidth, nBins).as("bin"),
         (col("o_orderdate").cast("date") < lit(splitDate).cast("date")).as("early"))
+      .filter(col("bin").isNotNull)
       .groupBy(col("bin"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))
@@ -167,8 +190,7 @@ object Validation {
     val cols = binWidths.keys.toSeq.sorted
     val pairs = array(cols.map { c =>
       struct(lit(c).as("column_name"),
-        least(floor(col(c) / binWidths(c)).cast("long"), lit(nBins - 1L))
-          .as("bin"))
+        finiteBin(col(c), binWidths(c), nBins).as("bin"))
     }: _*)
     df.select(explode(pairs).as("cb"),
         (col(timeCol).cast("date") < lit(splitValue).cast("date")).as("early"))

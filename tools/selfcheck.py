@@ -32,6 +32,12 @@ def main(sf_dir, out_dir):
     # "timestamp" drift arm) instant->wall-clock by the local offset in
     # every CAST/date_trunc and fail the compare spuriously
     con.execute("SET TimeZone='UTC'")
+    # engine ordering convention: NULL keys sort FIRST under ascending
+    # ORDER BY (Spark's asc default). On the real fixture no sort key is
+    # ever NULL so this is inert for the driver's compare; it matters when
+    # replaying the gate against tools/hostile_fixture.py's poisoned copy,
+    # where DuckDB's nulls-last default would shift every group ordering.
+    con.execute("SET default_null_order='nulls_first'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
