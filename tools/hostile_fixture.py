@@ -65,6 +65,11 @@ def hostile(name, typ, kind):
         return 0 if kind == "zeros" else -1
     if pa.types.is_floating(typ):
         return 0.0 if kind == "zeros" else float("nan")
+    if pa.types.is_decimal(typ):
+        # decimals carry no NaN — negative stands in as the junk value, so
+        # the tool also composes with retype_fixture.py's `decimal` arm
+        import decimal
+        return decimal.Decimal(0) if kind == "zeros" else decimal.Decimal(-1)
     if pa.types.is_timestamp(typ):
         return ZEROS_US if kind == "zeros" else JUNK_US
     if pa.types.is_list(typ):
