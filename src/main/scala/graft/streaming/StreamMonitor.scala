@@ -42,7 +42,15 @@ object StreamMonitor {
         col("event_type"), col("n"))
 
   /** Exactly-once event ingestion: duplicate event_ids arriving within the
-    * watermark are dropped with bounded state. */
+    * watermark are dropped with bounded state.
+    *
+    * Poisoned-record semantics (pinned in StreamingSpec's hostile test):
+    * a record older than the watermark is dropped as late, but a NULL
+    * event time is NOT late — dedup is not a window aggregate, so such a
+    * record flows through keyed by its (possibly NULL) id. Callers that
+    * require event-time completeness must filter `ts IS NOT NULL`
+    * upstream; the windowed monitors ([[hourlyProfile]] etc.) drop those
+    * rows inherently. */
   def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")

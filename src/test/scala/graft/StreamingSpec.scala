@@ -230,6 +230,28 @@ class StreamingSpec extends AnyFunSuite {
     // and pre-epoch records present
     assert(!streamed.exists(_._1 == "null"))
     q.stop()
+
+    // the other watermarked monitors survive the same poisoned source.
+    // dedup semantics under poison (pinned, not assumed): the duplicate
+    // id 0 is dropped; the pre-epoch junk record is dropped as LATE
+    // (decades behind the watermark the 2024 events establish); the
+    // all-NULL record PASSES — a NULL event time is not "late", and
+    // dropDuplicatesWithinWatermark is not a window aggregate, so rows
+    // flow through with their NULL id as a key (callers needing
+    // event-time completeness must filter, per the scaladoc)
+    val qd = StreamMonitor.dedupedEvents(StreamMonitor.readEventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("fhd").outputMode("append").start()
+    qd.processAllAvailable()
+    val ids = spark.table("fhd").select(col("event_id"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSet
+    assert(ids == Set[Any](0L, 1L, 2L, 3L, null))
+    qd.stop()
+    // sessionization parses and runs (append emits only after the
+    // watermark closes a session — the no-crash property is the gate here)
+    val qs = StreamMonitor.userSessions(StreamMonitor.readEventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("fhs").outputMode("append").start()
+    qs.processAllAvailable()
+    qs.stop()
   }
 
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
