@@ -7,6 +7,11 @@ package graft
   * never need applying in two places. Escapes backslash, quote, and ALL
   * control chars (<0x20), since builder-authored SQL carries tabs/newlines. */
 object Json {
+  /** A double as a JSON value: finite → its literal; NaN/±Inf → `null`
+    * (bare `NaN` is not JSON and breaks the consumer's `json.load`). */
+  private[graft] def num(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
   private[graft] def quote(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"

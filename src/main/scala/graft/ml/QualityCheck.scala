@@ -38,7 +38,11 @@ object QualityCheck {
       val bMean = baseline(s"mean_$c"); val cMean = current(s"mean_$c")
       val bStd = math.max(baseline(s"std_$c"), 1e-12)
       val shift = math.abs(cMean - bMean) / bStd
-      Drift(c, bMean, cMean, shift, shift > relThreshold)
+      // a NaN shift means a column the profiler could not characterize
+      // (NaN values poisoning the mean, an all-null column, an empty
+      // slice) — that WARNS: `NaN > t` is false, so without the explicit
+      // branch exactly the dirtiest data would silently pass the gate
+      Drift(c, bMean, cMean, shift, shift > relThreshold || shift.isNaN)
     }
 
   /** End-to-end check used by the runner/test: baseline from one dataset,
@@ -67,8 +71,13 @@ object QualityCheck {
     val width = math.max((hi - lo) / nBins, 1e-12)
     // nulls carry no position in the value distribution — excluded here,
     // surfaced by profile()'s nullfrac instead
+    // non-finite excluded like null: floor(NaN)/least/greatest would
+    // otherwise silently file every NaN under the TOP bin (Spark orders
+    // NaN greatest and least/greatest skip nulls) and misattribute a
+    // data-poisoning incident as a top-of-range distribution shift; the
+    // poisoning itself warns through compare()'s NaN-shift branch
     def binned(df: DataFrame) = df
-      .filter(col(column).isNotNull)
+      .filter(col(column).isNotNull && !isnan(col(column)))
       .select(
         least(greatest(floor((col(column) - lo) / width), lit(0.0)), lit(nBins - 1.0))
           .cast("long").as("bin"))
@@ -98,11 +107,11 @@ object QualityCheck {
     val current = DataGen.generate(spark, 5000, 43L)
     val drifts = run(baseline, current, numeric)
     val json = drifts.map(d =>
-      s"""{"column": "${d.column}", "rel_shift": ${d.relShift}, "warned": ${d.warned}}""")
+      s"""{"column": "${d.column}", "rel_shift": ${graft.Json.num(d.relShift)}, "warned": ${d.warned}}""")
       .mkString("[", ", ", "]")
     val psis = numeric.map(c => psiCheck(baseline, current, c))
     val psiJson = psis.map(p =>
-      s"""{"column": "${p.column}", "psi": ${p.psi}, "warned": ${p.warned}}""")
+      s"""{"column": "${p.column}", "psi": ${graft.Json.num(p.psi)}, "warned": ${p.warned}}""")
       .mkString("[", ", ", "]")
     println(s"""{"drift_check": $json, "psi_check": $psiJson}""")
     spark.stop()

@@ -87,8 +87,8 @@ object RunPipeline {
     val dir = java.nio.file.Paths.get(config.modelDir)
     java.nio.file.Files.createDirectories(dir)
     val perModel = scores.map(s =>
-      s"""    "${s.name}": {"accuracy": ${s.accuracy}, "precision": ${s.precision}, """ +
-        s""""recall": ${s.recall}, "f1": ${s.f1}, "roc_auc": ${s.rocAuc}}""")
+      s"""    "${s.name}": {"accuracy": ${graft.Json.num(s.accuracy)}, "precision": ${graft.Json.num(s.precision)}, """ +
+        s""""recall": ${graft.Json.num(s.recall)}, "f1": ${graft.Json.num(s.f1)}, "roc_auc": ${graft.Json.num(s.rocAuc)}}""")
       .mkString(",\n")
     val json =
       s"""{
@@ -111,11 +111,11 @@ object RunPipeline {
     java.nio.file.Files.createDirectories(dir)
     val items = importance.map(r =>
       s"""    {"feature": "feature_${r.getAs[Int]("feature_idx")}", """ +
-        s""""importance": ${r.getAs[Double]("mean_abs_shap")}}""")
+        s""""importance": ${graft.Json.num(r.getAs[Double]("mean_abs_shap"))}}""")
       .mkString(",\n")
     val json =
       s"""{
-         |  "expected_value": $expectedValue,
+         |  "expected_value": ${graft.Json.num(expectedValue)},
          |  "sample_size": $sampleSize,
          |  "feature_importance": [
          |$items
@@ -135,11 +135,11 @@ object RunPipeline {
         .mkString("{", ", ", "}")
     val perModel = detailed.map { case (t, cvResults) =>
       val combos = cvResults.map(r =>
-        s"""      {"params": ${paramsJson(r.params)}, "mean_f1": ${r.meanScore}}""")
+        s"""      {"params": ${paramsJson(r.params)}, "mean_f1": ${graft.Json.num(r.meanScore)}}""")
         .mkString(",\n")
       s"""    "${t.name}": {
          |      "best_params": ${paramsJson(t.params)},
-         |      "best_cv_f1": ${t.cvScore},
+         |      "best_cv_f1": ${graft.Json.num(t.cvScore)},
          |      "cv_results": [
          |$combos
          |      ]

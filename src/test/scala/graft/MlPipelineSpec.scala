@@ -168,6 +168,24 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(drifts.filter(_.column != "monthly_charges").forall(!_.warned))
   }
 
+  test("quality check: a NaN-poisoned column WARNS instead of silently passing the gate") {
+    // NaN > threshold is false — without the explicit NaN-shift branch
+    // exactly the dirtiest data would slip the gate unwarned
+    val numeric = Seq("tenure", "monthly_charges")
+    val base = DataGen.generate(spark, 2000, 42L)
+    val poisoned = DataGen.generate(spark, 2000, 99L)
+      .withColumn("monthly_charges",
+        when(col("tenure") % 10 === 0, lit(Double.NaN)).otherwise(col("monthly_charges")))
+    val drifts = QualityCheck.run(base, poisoned, numeric)
+    val d = drifts.find(_.column == "monthly_charges").get
+    assert(d.relShift.isNaN && d.warned)
+    assert(!drifts.find(_.column == "tenure").get.warned)
+    // PSI excludes the NaN rows from the bins (a poisoning incident is
+    // not a top-of-range distribution shift) and stays finite
+    val psi = QualityCheck.psiCheck(base, poisoned, "monthly_charges")
+    assert(java.lang.Double.isFinite(psi.psi) && !psi.warned, s"psi=${psi.psi}")
+  }
+
   test("quality check PSI: same distribution passes, shape change warns") {
     val base = DataGen.generate(spark, 2000, 42L)
     val same = DataGen.generate(spark, 2000, 99L)
