@@ -84,8 +84,26 @@ object FeaturePipeline {
   def fit(df: DataFrame, clipSigma: Double = 3.0): (DataFrame, PipelineModel) = {
     val engineered = addEngineeredFeatures(clipOutliers(df, clipSigma))
       .withColumn("label", col("churn").cast("double"))
+    requireCleanNumerics(engineered)
     val model = buildPipeline().fit(engineered)
     (model.transform(engineered), model)
+  }
+
+  /** sklearn's own contract, named: `StandardScaler` raises "Input
+    * contains NaN" — a NULL/NaN numeric here would otherwise surface as
+    * an opaque assembler error (or, pre-clip-hardening, silently fit a
+    * poisoned model). One aggregate pass at fit time, trivial next to the
+    * fit itself; the message routes the operator to the quality gate. */
+  private def requireCleanNumerics(engineered: DataFrame): Unit = {
+    val counts = engineered.agg(
+      count(lit(1)).as("__n"),
+      numericCols.map(c =>
+        sum((col(c).isNull || isnan(col(c))).cast("long")).as(c)): _*).collect()(0)
+    val dirty = numericCols.filter(c => counts.getAs[Long](c) > 0L)
+    require(dirty.isEmpty,
+      s"training input contains NULL/NaN numeric features in ${dirty.mkString(", ")} — " +
+        "clean or impute upstream (QualityCheck.run flags poisoned columns); " +
+        "sklearn's StandardScaler enforces the same precondition")
   }
 
   /** Transform path for inference (engineered features recomputed, fitted

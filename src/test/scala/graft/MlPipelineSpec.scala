@@ -186,6 +186,14 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(java.lang.Double.isFinite(psi.psi) && !psi.warned, s"psi=${psi.psi}")
   }
 
+  test("feature fit refuses dirty numeric input with a named error (sklearn's contract)") {
+    val dirty = DataGen.generate(spark, 500, 42L)
+      .withColumn("monthly_charges",
+        when(col("tenure") % 7 === 0, lit(Double.NaN)).otherwise(col("monthly_charges")))
+    val e = intercept[IllegalArgumentException] { FeaturePipeline.fit(dirty) }
+    assert(e.getMessage.contains("monthly_charges") && e.getMessage.contains("QualityCheck"))
+  }
+
   test("quality check PSI: same distribution passes, shape change warns") {
     val base = DataGen.generate(spark, 2000, 42L)
     val same = DataGen.generate(spark, 2000, 99L)
