@@ -55,6 +55,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("qlong/finiteOrNull: finite values quantize by the literal formula, non-finite vanish") {
+    val xs = samples(Gen.chooseNum(-1e7, 1e7), 200) ++
+      Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, -0.0)
+    val out = xs.toDF("v")
+      .select(col("v"), Features.qlong(col("v"), 100.0).as("q"),
+        Features.finiteOrNull(col("v")).as("f"))
+      .collect()
+    out.foreach { r =>
+      val x = r.getDouble(0)
+      if (java.lang.Double.isFinite(x)) {
+        assert(!r.isNullAt(1) && r.getLong(1) == math.floor(x * 100.0 + 0.5).toLong, s"x=$x")
+        assert(!r.isNullAt(2) && r.getDouble(2) == x)
+      } else {
+        assert(r.isNullAt(1) && r.isNullAt(2), s"x=$x must vanish")
+      }
+    }
+  }
+
+  test("exactPercentile over poisoned data equals the in-plan percentile over its finite subset") {
+    val finite = samples(Gen.chooseNum(-1e4, 1e4), 150)
+    val poisoned = (finite ++ Seq(Double.NaN, Double.NaN, Double.PositiveInfinity))
+      .map(Option(_)) ++ Seq(None, None)
+    val df = poisoned.toDF("v")
+    Seq(0.25, 0.5, 0.75, 0.9).foreach { q =>
+      val exact = graft.operators.Metrics.exactPercentile(df, "v", q)
+      val oracle = finite.toDF("v")
+        .agg(expr(s"percentile(v, $q)")).collect()(0).getDouble(0)
+      assert(exact == oracle, s"q=$q: $exact vs $oracle")
+    }
+  }
+
   test("sigmoid: bounded (0,1) and antisymmetric about 0.5") {
     // |x| ≤ 30: beyond ~36, 1/(1+exp(-x)) saturates to exactly 1.0 in
     // binary64 — the open-interval invariant only holds pre-saturation
