@@ -69,13 +69,37 @@ object Deployment {
   /** S6 — the serving boundary (`deployment.py:128-144`): JSON request
     * bodies → typed rows → engineered features → fitted preprocessor →
     * predictions. One request batch = one small DataFrame; the same
-    * function scores a 10^11-row backfill unchanged. */
+    * function scores a 10^11-row backfill unchanged.
+    *
+    * Per-request isolation: one malformed or incomplete request (invalid
+    * JSON, a missing or NaN numeric — anything the fitted assembler would
+    * reject) must not kill the whole batch. Requests are keyed by
+    * `request_index` (input order), unscoreable ones come back with NULL
+    * `prediction`/`p1`, and the caller correlates by index — the batch
+    * analog of the reference's per-request 400. Unknown/NULL categoricals
+    * are NOT rejections: the fitted StringIndexer keeps them as an
+    * explicit unseen bucket. */
   def scoreJson(spark: SparkSession, jsonRows: Seq[String], model: Model[_],
                 preprocessor: PipelineModel): DataFrame = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    val ds = spark.createDataset(jsonRows)(org.apache.spark.sql.Encoders.STRING)
-    val df = spark.read.schema(graft.sources.ChurnCsv.schema).json(ds)
-    score(df, model, preprocessor)
+    val parsed = jsonRows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("request_index", "__json")
+      .select(col("request_index"),
+        from_json(col("__json"), graft.sources.ChurnCsv.schema).as("__r"))
+      .select(col("request_index"), col("__r.*"))
+    // scoreable ⇔ the raw numerics the pipeline consumes are present and
+    // finite (engineered features derive from them; categoricals are
+    // handled by the indexer's keep bucket)
+    val rawNumerics = Seq("tenure", "monthly_charges", "total_charges",
+      "num_support_tickets", "avg_monthly_usage_gb")
+    val dirty = rawNumerics
+      .map(c => col(c).isNull || isnan(col(c).cast("double"))).reduce(_ || _)
+    val scored = score(parsed.filter(!dirty), model, preprocessor)
+      .select(col("request_index"), col("prediction"), col("p1"))
+    val rejected = parsed.filter(dirty).select(col("request_index"),
+      lit(null).cast("double").as("prediction"), lit(null).cast("double").as("p1"))
+    scored.unionByName(rejected).orderBy(col("request_index"))
   }
 
   /** Count archived champions (for re-promotion tests,

@@ -154,6 +154,19 @@ class MlPipelineSpec extends AnyFunSuite {
       assert(Set(0.0, 1.0).contains(r.getDouble(0)))
       assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
     }
+    // per-request isolation: a malformed request and one with a missing
+    // numeric come back as NULL predictions AT THEIR INDEX — they must
+    // not kill the batch (the fitted assembler would otherwise reject the
+    // whole thing) nor shift the valid requests' positions
+    val mixed = Seq(rows.head, """not json at all{""",
+      """{"tenure": 5, "contract_type": "month-to-month"}""", rows(1))
+    val out = Deployment.scoreJson(spark, mixed, model, pre)
+      .orderBy(col("request_index")).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(!out(0).isNullAt(1) && !out(3).isNullAt(1))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
   test("quality check: same-seed data does not drift; shifted data warns") {
