@@ -102,11 +102,15 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     *    (the degenerate-but-present record — empty doc, empty embedding);
     *  - `junk`: whitespace-only text, NaN measures, pre-epoch timestamps
     *    (the floor-sensitive side of the ns→µs contract), zero vectors
-    *    (cosine's 0/0 case), truncated JSON. */
+    *    (cosine's 0/0 case), truncated JSON;
+    *  - `exotic`: multibyte/astral text with RTL + zero-width + combining
+    *    marks + CRLF — the char-vs-byte / regex / hashing class. */
   private def hostileValue(dt: DataType, kind: String): Any = (dt, kind) match {
     case (_, "nulls")              => null
     case (StringType, "zeros")     => ""
     case (StringType, "junk")      => " \t\n {"
+    case (StringType, "exotic")    => "مرحبا 𝔘𝔫​ é\r\nfin"
+    case (other, "exotic")         => hostileValue(other, "zeros")
     case (LongType, "zeros")       => 0L
     case (LongType, "junk")        => -1L
     case (IntegerType, "zeros")    => 0
@@ -131,7 +135,7 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     Tables.names.foreach { t =>
       val real = spark.read.parquet(s"${SparkFixture.sfDir}/$t.parquet")
       val hostile = spark.createDataFrame(
-        Seq("nulls", "zeros", "junk")
+        Seq("nulls", "zeros", "junk", "exotic")
           .map(k => Row.fromSeq(real.schema.fields.map(f => hostileValue(f.dataType, k)).toSeq))
           .asJava,
         real.schema)
@@ -146,7 +150,7 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     * are small-corpus preconditions (populated below from measurement). */
   private val hostilePreconditions: Map[String, String] = Map.empty
 
-  test("every declared query tolerates NULL / degenerate / junk rows mixed into real data") {
+  test("every declared query tolerates NULL / degenerate / junk / exotic-unicode rows mixed into real data") {
     gateCatalog(hostileDir, hostilePreconditions)
   }
 }

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Build a hostile copy of a testdata SF dir: every table gets three
+"""Build a hostile copy of a testdata SF dir: every table gets four
 adversarial-but-schema-valid rows appended to the real data.
 
 Usage: python3 tools/hostile_fixture.py <srcSfDir> <dstDir>
@@ -8,7 +8,10 @@ Row kinds (mirroring CatalogRobustnessSpec's hostile arm):
   - nulls: every column NULL (a broken upstream record);
   - zeros: "" strings, 0 numerics, epoch timestamps, empty arrays;
   - junk:  whitespace-and-truncated-JSON strings, -1 ids, NaN measures,
-           pre-epoch timestamps, a zero vector.
+           a zero vector;
+  - exotic: multibyte/astral text (RTL, zero-width, combining marks,
+           CRLF) — the char-vs-byte / regex / hashing divergence class
+           (recorded clean: no engine disagrees on any of it).
 
 Lets the FULL driver gate (Verify + selfcheck) be replayed against
 poisoned data, measuring not just that the engine survives (the spec
@@ -49,9 +52,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 ZEROS_US = 86_400_000_000       # 1970-01-02
 JUNK_US = 13_046_400_000_000    # 1970-06-01
 
+# exotic arm: multibyte/astral text with RTL + zero-width + combining
+# marks + CRLF — the class where char-vs-byte length, regex splitting,
+# and hashing could diverge between engines
+EXOTIC_TEXT = "مرحبا \U0001D518\U0001D52B​ é\r\nfin"
+
 def hostile(name, typ, kind):
     if kind == "nulls":
         return None
+    if kind == "exotic":
+        if pa.types.is_string(typ):
+            return EXOTIC_TEXT
+        kind = "zeros"  # non-string columns: plain benign values
+        if name.endswith("_id") or "key" in name:
+            return -3
     # id/key columns get UNIQUE sentinels (-2/-1, disjoint from the real
     # non-negative key space): a hostile id that collides with a real one
     # (e.g. 0) makes tie order and per-key partitions ill-defined, so the
@@ -82,14 +96,15 @@ def main(src, dst):
         tbl = pq.read_table(f"{src}/{t}.parquet")
         cols = []
         for f in tbl.schema:
-            vals = [hostile(f.name, f.type, k) for k in ("nulls", "zeros", "junk")]
+            vals = [hostile(f.name, f.type, k)
+                    for k in ("nulls", "zeros", "junk", "exotic")]
             if pa.types.is_timestamp(f.type):
                 cols.append(pa.array(vals, type=pa.timestamp("us")).cast(f.type))
             else:
                 cols.append(pa.array(vals, type=f.type))
         extra = pa.table(dict(zip(tbl.column_names, cols)), schema=tbl.schema)
         pq.write_table(pa.concat_tables([tbl, extra]), f"{dst}/{t}.parquet")
-        print(f"[hostile] {t}: {tbl.num_rows} real + 3 hostile rows")
+        print(f"[hostile] {t}: {tbl.num_rows} real + 4 hostile rows")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
