@@ -73,4 +73,30 @@ class ConcurrencySpec extends AnyFunSuite {
     // spec exists to catch would otherwise be invisible)
     assert(serial(("aboveAvg", dirs.head)) != serial(("aboveAvg", dirs(1))))
   }
+
+  test("checkpoint-backed and driver-loop operators are safe under concurrent invocation") {
+    // the operators with per-invocation STATE beyond the plan: localCheckpoint
+    // materializations (corpus chain, bucketed as-of's pinned row ids), a
+    // driver-side k-means fit (IVF), and a driver-side merge loop (BPE).
+    // Two of each in flight at once must reproduce their serial results —
+    // one shared SparkContext, no cross-talk between materializations.
+    val d = SparkFixture.sfDir
+    val queries: Seq[(String, () => Seq[String])] = Seq(
+      "d43" -> (() => SparkEntry.queries("d43_training_sequences")(spark, d)
+        .collect().map(_.toString).toSeq),
+      "d22" -> (() => SparkEntry.queries("d22_ivf_topk")(spark, d)
+        .collect().map(_.toString).toSeq),
+      "x34" -> (() => SparkEntry.queries("x34_asof_bucketed")(spark, d)
+        .collect().map(_.toString).toSeq),
+      "d46" -> (() => SparkEntry.queries("d46_bpe_merges")(spark, d)
+        .collect().map(_.toString).toSeq))
+    val serial = queries.map { case (n, q) => n -> q() }.toMap
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(8))
+    val futs = for { _ <- 1 to 2; (n, q) <- queries } yield Future((n, q()))
+    Await.result(Future.sequence(futs), 10.minutes).foreach { case (n, rows) =>
+      assert(rows == serial(n), s"$n diverged under concurrency")
+    }
+  }
 }
