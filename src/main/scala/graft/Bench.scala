@@ -137,7 +137,12 @@ object Bench {
     // total + the slowest 25 — so it parses from the captured tail.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$loadMarker,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     // best-effort: a read-only or foreign cwd must not discard the ~40 s
-    // of measurement behind it — the printed line below is the contract
+    // of measurement behind it — the printed line below is the contract.
+    // BENCH_DETAIL.json is this run's SCRATCH output, freely overwritten
+    // by every bench run (driver or local); the committed quiet-host
+    // record lives in BENCH_RECORD.json, which this program NEVER writes —
+    // the separation exists because two rounds in a row clobbered the
+    // record by benching into the same path it was stored at.
     try {
       val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))

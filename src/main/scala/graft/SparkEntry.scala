@@ -1155,9 +1155,12 @@ object SparkEntry {
       // json_valid guard: Spark's from_json is PERMISSIVE (malformed
       // payload → NULL row, skipped by sum); DuckDB's json_extract_string
       // ERRORS on malformed JSON — guard to the same skip-the-broken-record
-      // semantics
+      // semantics. TRY_CAST for the value itself: valid JSON with a
+      // non-numeric $.k casts to NULL (skipped) in Spark's PERMISSIVE
+      // from_json+cast, while a plain DuckDB CAST would error — TRY_CAST
+      // restores full skip-the-broken-record parity.
       ("SELECT event_type, CAST(sum(CASE WHEN json_valid(props) " +
-        "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k, " +
+        "THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k, " +
         "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "d10_hourly_events" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +

@@ -89,12 +89,19 @@ object Deployment {
         from_json(col("__json"), graft.sources.ChurnCsv.schema).as("__r"))
       .select(col("request_index"), col("__r.*"))
     // scoreable ⇔ the raw numerics the pipeline consumes are present and
-    // finite (engineered features derive from them; categoricals are
-    // handled by the indexer's keep bucket)
+    // finite — NaN or ±Inf alike (the engine-wide non-finite predicate,
+    // [[graft.operators.Features.finiteOrNull]]): an Inf request would
+    // otherwise flow into the fitted scaler and come back as a garbage
+    // non-NULL prediction instead of a rejection. Engineered features
+    // derive from these; categoricals are handled by the indexer's keep
+    // bucket.
     val rawNumerics = Seq("tenure", "monthly_charges", "total_charges",
       "num_support_tickets", "avg_monthly_usage_gb")
     val dirty = rawNumerics
-      .map(c => col(c).isNull || isnan(col(c).cast("double"))).reduce(_ || _)
+      .map { c =>
+        val d = col(c).cast("double")
+        col(c).isNull || isnan(d) || abs(d) === Double.PositiveInfinity
+      }.reduce(_ || _)
     val scored = score(parsed.filter(!dirty), model, preprocessor)
       .select(col("request_index"), col("prediction"), col("p1"))
     val rejected = parsed.filter(dirty).select(col("request_index"),

@@ -89,19 +89,24 @@ object FeaturePipeline {
     (model.transform(engineered), model)
   }
 
-  /** sklearn's own contract, named: `StandardScaler` raises "Input
-    * contains NaN" — a NULL/NaN numeric here would otherwise surface as
-    * an opaque assembler error (or, pre-clip-hardening, silently fit a
-    * poisoned model). One aggregate pass at fit time, trivial next to the
+  /** sklearn's own contract, named: `StandardScaler` rejects non-finite
+    * input ("Input contains NaN" / "infinity") — a NULL/NaN/±Inf numeric
+    * here would otherwise surface as an opaque assembler error or, worse,
+    * silently fit a poisoned mean (±Inf passes an isnan-only gate and
+    * turns every scaled row into NaN). Non-finite is the same predicate
+    * everywhere in this engine ([[graft.operators.Features.finiteOrNull]]):
+    * NaN or ±Infinity. One aggregate pass at fit time, trivial next to the
     * fit itself; the message routes the operator to the quality gate. */
   private def requireCleanNumerics(engineered: DataFrame): Unit = {
     val counts = engineered.agg(
       count(lit(1)).as("__n"),
       numericCols.map(c =>
-        sum((col(c).isNull || isnan(col(c))).cast("long")).as(c)): _*).collect()(0)
+        sum((col(c).isNull || isnan(col(c)) ||
+          abs(col(c)) === Double.PositiveInfinity).cast("long")).as(c)): _*)
+      .collect()(0)
     val dirty = numericCols.filter(c => counts.getAs[Long](c) > 0L)
     require(dirty.isEmpty,
-      s"training input contains NULL/NaN numeric features in ${dirty.mkString(", ")} — " +
+      s"training input contains NULL/NaN/Inf numeric features in ${dirty.mkString(", ")} — " +
         "clean or impute upstream (QualityCheck.run flags poisoned columns); " +
         "sklearn's StandardScaler enforces the same precondition")
   }

@@ -71,13 +71,15 @@ object QualityCheck {
     val width = math.max((hi - lo) / nBins, 1e-12)
     // nulls carry no position in the value distribution — excluded here,
     // surfaced by profile()'s nullfrac instead
-    // non-finite excluded like null: floor(NaN)/least/greatest would
-    // otherwise silently file every NaN under the TOP bin (Spark orders
-    // NaN greatest and least/greatest skip nulls) and misattribute a
-    // data-poisoning incident as a top-of-range distribution shift; the
-    // poisoning itself warns through compare()'s NaN-shift branch
+    // non-finite excluded like null — the engine-wide predicate
+    // (Features.finiteOrNull: NaN or ±Inf): floor(NaN)/least/greatest
+    // would otherwise silently file every NaN (and +Inf) under the TOP
+    // bin and -Inf under bin 0 (Spark orders NaN greatest; least/greatest
+    // skip nulls), misattributing a data-poisoning incident as a
+    // range-edge distribution shift; the poisoning itself warns through
+    // compare()'s NaN-shift branch
     def binned(df: DataFrame) = df
-      .filter(col(column).isNotNull && !isnan(col(column)))
+      .filter(graft.operators.Features.finiteOrNull(col(column)).isNotNull)
       .select(
         least(greatest(floor((col(column) - lo) / width), lit(0.0)), lit(nBins - 1.0))
           .cast("long").as("bin"))

@@ -90,10 +90,36 @@ object Scale {
     }
   }
 
+  /** Per-invocation epoch for bucketed-layout table names: concurrent
+    * invocations on a shared session must not race on catalog entries
+    * (one call dropping/overwriting tables the other is reading) — the
+    * same good-citizen isolation `RelationalExt.withViews` gives temp
+    * views. */
+  private val tableEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Lazy aggregate over two already-bucketed tables (orders side
+    * `custkey`/`o_totalprice`, customer side `custkey`/`c_mktsegment`):
+    * shuffle-free join (no Exchange on custkey — asserted in ScaleSpec),
+    * only the O(segments) aggregate shuffles. Exposed separately so tests
+    * can inspect the physical plan over a live layout. */
+  def bucketedSegmentSpendPlan(s: SparkSession, ordersTable: String,
+                               customerTable: String): DataFrame =
+    bucketedJoin(s, ordersTable, customerTable, "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(Features.qlong(col("o_totalprice"), 100.0))
+          .cast("double") / 100.0).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
   def bucketedSegmentSpend(s: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
     import graft.Tables
-    dropManaged(s, "graft_bucketed_orders")
-    dropManaged(s, "graft_bucketed_customer")
+    // per-invocation unique names: the epoch isolates concurrent calls in
+    // this JVM; dropManaged clears any same-named leftover a previous JVM
+    // left in the shared warehouse directory
+    val e = tableEpoch.getAndIncrement()
+    val ordersT = s"graft_bucketed_orders_$e"
+    val customerT = s"graft_bucketed_customer_$e"
+    dropManaged(s, ordersT); dropManaged(s, customerT)
     // the two layout writes are independent Spark jobs — submit them
     // concurrently (the scheduler interleaves their stages across cores;
     // serial submission leaves the cluster half-idle per write)
@@ -103,16 +129,22 @@ object Scale {
     val writes = Seq(
       Future(writeBucketed(Tables.orders(s, dir)
         .select(col("o_custkey").as("custkey"), col("o_totalprice")),
-        "graft_bucketed_orders", "custkey", buckets)),
+        ordersT, "custkey", buckets)),
       Future(writeBucketed(Tables.customer(s, dir)
         .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
-        "graft_bucketed_customer", "custkey", buckets)))
+        customerT, "custkey", buckets)))
     writes.foreach(Await.result(_, Duration.Inf))
-    bucketedJoin(s, "graft_bucketed_orders", "graft_bucketed_customer", "custkey")
-      .groupBy(col("c_mktsegment"))
-      .agg((sum(Features.qlong(col("o_totalprice"), 100.0))
-          .cast("double") / 100.0).as("spend"),
-        count(lit(1)).as("n_orders"))
-      .orderBy(col("c_mktsegment"))
+    try {
+      // materialize the bounded O(market segments) result (≤ a handful of
+      // rows) so the backing tables can be dropped before returning — the
+      // caller's DataFrame must not depend on catalog state another
+      // invocation could never see or this one is about to clean up
+      val agg = bucketedSegmentSpendPlan(s, ordersT, customerT)
+      val rows = agg.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, agg.schema)
+    } finally {
+      dropManaged(s, ordersT); dropManaged(s, customerT)
+    }
   }
 }

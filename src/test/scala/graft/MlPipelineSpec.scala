@@ -207,6 +207,68 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("monthly_charges") && e.getMessage.contains("QualityCheck"))
   }
 
+  test("feature fit refuses ±Infinity numerics too — the silent scaler-poisoning class") {
+    // isnan-only gating would pass ±Inf straight into StandardScaler's
+    // mean (Inf mean ⇒ every scaled row NaN, a silently poisoned model);
+    // non-finite is NaN OR ±Inf everywhere in this engine (finiteOrNull),
+    // and sklearn rejects inf under the same contract. The poisoned
+    // column must be one clipOutliers does NOT touch: the three clipped
+    // columns absorb ±Inf into the mean±kσ band at the clip stage — the
+    // same thing pandas .clip does to inf, i.e. reference parity.
+    for (inf <- Seq(Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val dirty = DataGen.generate(spark, 500, 42L)
+        .withColumn("avg_monthly_usage_gb",
+          when(col("tenure") % 7 === 0, lit(inf)).otherwise(col("avg_monthly_usage_gb")))
+      val e = intercept[IllegalArgumentException] { FeaturePipeline.fit(dirty) }
+      assert(e.getMessage.contains("avg_monthly_usage_gb"), s"inf=$inf: ${e.getMessage}")
+    }
+    // clipped columns: ±Inf is absorbed to the clip bound (pandas-clip
+    // parity), so the fit succeeds and the fitted stats stay finite
+    val clippedInf = DataGen.generate(spark, 500, 42L)
+      .withColumn("total_charges",
+        when(col("tenure") % 7 === 0, lit(Double.PositiveInfinity))
+          .otherwise(col("total_charges")))
+    val (feats, _) = FeaturePipeline.fit(clippedInf)
+    val tc = feats.agg(max(col("total_charges"))).collect()(0).getDouble(0)
+    assert(java.lang.Double.isFinite(tc), s"clip must absorb Inf, got max=$tc")
+  }
+
+  test("serving boundary rejects an Infinity numeric per-request (1e999 JSON overflow)") {
+    // a JSON numeric like 1e999 parses to Double.PositiveInfinity — an
+    // isnan-only dirty filter would score it through the fitted scaler
+    // and return a garbage non-NULL prediction; it must come back as a
+    // rejected request (NULL prediction at its index), batch unharmed
+    assert(result.champion.isDefined)
+    val (model, pre, _) = Deployment.load(spark, config.modelDir)
+    val good =
+      """{"tenure": 12, "contract_type": "month-to-month", "payment_method": "electronic_check",
+         "internet_service": "fiber_optic", "monthly_charges": 85.5, "total_charges": 1026.0,
+         "num_support_tickets": 4, "avg_monthly_usage_gb": 22.3, "churn": 0}"""
+        .replaceAll("\n\\s*", " ")
+    val infReq = good.replace("\"monthly_charges\": 85.5", "\"monthly_charges\": 1e999")
+    val negInfReq = good.replace("\"total_charges\": 1026.0", "\"total_charges\": -1e999")
+    val out = Deployment.scoreJson(spark, Seq(good, infReq, negInfReq), model, pre)
+      .orderBy(col("request_index")).collect()
+    assert(out.length == 3)
+    assert(!out(0).isNullAt(1))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2), "+Inf request must be rejected")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2), "-Inf request must be rejected")
+  }
+
+  test("quality check PSI excludes ±Inf like NaN — no range-edge misattribution") {
+    // +Inf would land in the clamped TOP bin and -Inf in bin 0 under an
+    // isnan-only filter, misreading a poisoning incident as a range-edge
+    // distribution shift; excluded, the PSI stays finite and un-warned
+    val base = DataGen.generate(spark, 2000, 42L)
+    val poisoned = DataGen.generate(spark, 2000, 99L)
+      .withColumn("monthly_charges",
+        when(col("tenure") % 10 === 0, lit(Double.PositiveInfinity))
+          .when(col("tenure") % 10 === 1, lit(Double.NegativeInfinity))
+          .otherwise(col("monthly_charges")))
+    val psi = QualityCheck.psiCheck(base, poisoned, "monthly_charges")
+    assert(java.lang.Double.isFinite(psi.psi) && !psi.warned, s"psi=${psi.psi}")
+  }
+
   test("quality check PSI: same distribution passes, shape change warns") {
     val base = DataGen.generate(spark, 2000, 42L)
     val same = DataGen.generate(spark, 2000, 99L)

@@ -37,10 +37,22 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("x29 declared bucketed query: custkey join shuffle-free, values match plain join") {
-    val res = Scale.bucketedSegmentSpend(spark, sfDir)
-    val plan = res.queryExecution.executedPlan.toString
+    // plan shape: assert the lazy aggregate over a live bucketed layout
+    // (bucketedSegmentSpend itself returns a materialized bounded result
+    // so its backing tables can be dropped before it returns)
+    Scale.writeBucketed(Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+      "x29_plan_orders", "custkey", 8)
+    Scale.writeBucketed(Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+      "x29_plan_cust", "custkey", 8)
+    val lazyAgg = Scale.bucketedSegmentSpendPlan(spark, "x29_plan_orders", "x29_plan_cust")
+    val plan = lazyAgg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning(custkey"),
       s"bucketed join side must not shuffle on custkey:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS x29_plan_orders")
+    spark.sql("DROP TABLE IF EXISTS x29_plan_cust")
+    val res = Scale.bucketedSegmentSpend(spark, sfDir)
     val plain = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
@@ -48,8 +60,21 @@ class ScaleSpec extends AnyFunSuite {
           .cast("double") / 100.0).as("spend"), count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment")).collect().map(_.toSeq)
     assert(res.collect().map(_.toSeq).toSeq == plain.toSeq)
-    spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_bucketed_customer")
+    // per-epoch tables are dropped by bucketedSegmentSpend itself — no
+    // bucketed-layout leftovers in the catalog
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bucketed_")))
+  }
+
+  test("x29 concurrent invocations on a shared session do not race") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futures = (1 to 3).map(_ => Future(
+      Scale.bucketedSegmentSpend(spark, sfDir).collect().map(_.toSeq).toSeq))
+    val results = futures.map(Await.result(_, Duration.Inf))
+    assert(results.toSet.size == 1, "concurrent x29 results must be identical")
+    assert(results.head.nonEmpty)
   }
 
   test("partitioned write prunes at scan time") {
