@@ -783,10 +783,15 @@ object SparkEntry {
         "quantile_cont(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 0.75) AS q3 FROM customer) " +
         "SELECT c_custkey, " + pr("CASE WHEN q3 = q1 THEN 0.0 ELSE (c_acctbal - med) / (q3 - q1) END", 6) + " AS acctbal_rs " +
         "FROM customer, s ORDER BY c_custkey"),
+    // static form enumerates the clean fixture's domain (AUTOMOBILE
+    // dropped as first); Verify overlays the fit-time-aware regeneration
+    // (oracleSqlDynamic / m4OracleFor) so a drifted or hostile fixture's
+    // observed domain replaces this enumeration at dump time
     "m4_onehot" ->
       ("SELECT c_custkey, " +
         Seq("BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").map(c =>
-          s"CAST(c_mktsegment = '$c' AS INTEGER) AS c_mktsegment_$c").mkString(", ") +
+          s"CASE WHEN c_mktsegment = '$c' THEN 1 ELSE 0 END AS c_mktsegment_$c")
+          .mkString(", ") +
         " FROM customer ORDER BY c_custkey"),
     "m6_stratified_split" ->
       ("SELECT c_mktsegment, CASE WHEN c_custkey % 5 = 0 THEN 'test' ELSE 'train' END AS split, " +
@@ -1286,4 +1291,41 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleSqlRaw.map { case (name, sql) => name -> withCanon(sql) }
+
+  /** m4's oracle as a function of the fit-time category domain. The
+    * indicator set IS fit-time metadata (sklearn: `fit` DISCOVERS the
+    * categories), so a static SQL can only enumerate the clean fixture's
+    * domain — the one inherent hostile-replay divergence at round 13
+    * (100/101: poisoned data grows a junk-category column no hand-written
+    * oracle can know). CASE-not-CAST for the indicator: a NULL segment is
+    * NOT a category (pandas get_dummies NaN semantics) and must read 0,
+    * while `CAST(NULL = 'X' AS INTEGER)` would read NULL. Junk categories
+    * can carry quotes/control chars — escaped for both the string literal
+    * (''-doubling) and the quoted column identifier (""-doubling). */
+  private[graft] def m4OracleFor(cats: Seq[String]): String = {
+    def strLit(v: String) = "'" + v.replace("'", "''") + "'"
+    def ident(v: String) = "\"" + v.replace("\"", "\"\"") + "\""
+    val cols = cats.drop(1).map(c =>
+      s"CASE WHEN c_mktsegment = ${strLit(c)} THEN 1 ELSE 0 END AS " +
+        ident("c_mktsegment_" + c))
+    (Seq("c_custkey") ++ cols)
+      .mkString("SELECT ", ", ", " FROM customer ORDER BY c_custkey")
+  }
+
+  /** Fixture-dependent oracles, regenerated by [[Verify]] at dump time
+    * against the ACTUAL fixture — the same fixture-derived-prelude idea
+    * [[withCanon]] uses for drifted physical types, extended to m4's
+    * fit-time category domain. Only the domain (column set) comes from
+    * the engine-side fit rule ([[graft.operators.Preprocess
+    * .observedCategories]], the exact capped rule the encoder uses); the
+    * indicator VALUES are still computed independently by DuckDB. Any
+    * generation failure (e.g. the over-cap named error) degrades to the
+    * static entry: the query itself lands in errors.json and selfcheck
+    * flags it regardless. */
+  def oracleSqlDynamic(s: SparkSession, dir: String): Map[String, String] =
+    try {
+      val cats = graft.operators.Preprocess.observedCategories(
+        cust(s, dir), "c_mktsegment")
+      Map("m4_onehot" -> withCanon(m4OracleFor(cats)))
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

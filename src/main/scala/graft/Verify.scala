@@ -36,7 +36,10 @@ object Verify {
       }
     }
     def q(s: String): String = Json.quote(s)
-    val json = SparkEntry.oracleSql
+    // fixture-dependent oracles (m4's fit-time category domain) overlay
+    // the static map — regenerated against the ACTUAL sfDir under verify,
+    // the category-domain analog of withCanon's type prelude
+    val json = (SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errs.result()

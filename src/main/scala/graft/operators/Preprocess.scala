@@ -69,7 +69,14 @@ object Preprocess {
     * the collect, so even producing the error never ships more than
     * `max + 1` rows to the driver. `maxCategories` is the intended
     * encoding width bound; raise it only deliberately. */
-  def oneHotDropFirst(df: DataFrame, c: String, maxCategories: Int = 1000): DataFrame = {
+  /** The fit-time category domain: distinct non-null values, sorted
+    * (Java string order — the same order `.sorted` gives the encoder).
+    * Extracted so the m4 verify-time oracle can regenerate its indicator
+    * set from the SAME capped rule the encoder fits with — the domain is
+    * fit-time metadata, like withCanon's type prelude. Cap enforced by
+    * `limit(max + 1)` BEFORE the collect (see [[oneHotDropFirst]]). */
+  def observedCategories(df: DataFrame, c: String,
+                         maxCategories: Int = 1000): Seq[String] = {
     val cats = df.select(col(c)).filter(col(c).isNotNull).distinct()
       .limit(maxCategories + 1).collect()
       .map(_.getString(0)).sorted.toSeq
@@ -78,6 +85,11 @@ object Preprocess {
         "not a bounded categorical domain (an id-like column would OOM the " +
         "driver and emit an absurd encoding width); pass a larger " +
         "maxCategories only if that width is intended")
+    cats
+  }
+
+  def oneHotDropFirst(df: DataFrame, c: String, maxCategories: Int = 1000): DataFrame = {
+    val cats = observedCategories(df, c, maxCategories)
     val kept = cats.drop(1)
     val indicators = kept.map(cat =>
       when(col(c) === lit(cat), 1).otherwise(0).as(s"${c}_$cat"))

@@ -153,4 +153,36 @@ class CatalogRobustnessSpec extends AnyFunSuite {
   test("every declared query tolerates NULL / degenerate / junk / exotic-unicode rows mixed into real data") {
     gateCatalog(hostileDir, hostilePreconditions)
   }
+
+  test("m4's verify-time oracle regenerates from the fit-time category domain") {
+    import graft.operators.Preprocess
+    import spark.implicits._
+    // domain rule = the encoder's own fit rule: distinct, non-null,
+    // Java-string-sorted (so hostile "" sorts FIRST and becomes the
+    // dropped category, growing an AUTOMOBILE column — sklearn semantics)
+    val df = Seq(Option("B"), Option("A"), None, Option("B"), Option(""),
+      Option("q'u\"o\nte")).toDF("c_mktsegment")
+    val cats = Preprocess.observedCategories(df, "c_mktsegment")
+    assert(cats == Seq("", "A", "B", "q'u\"o\nte"))
+    val sql = SparkEntry.m4OracleFor(cats)
+    // drop-first: "" is dropped, the other three get indicator columns
+    assert(!sql.contains("c_mktsegment = ''"))
+    assert(sql.contains("CASE WHEN c_mktsegment = 'A' THEN 1 ELSE 0 END AS \"c_mktsegment_A\""))
+    // junk categories escape BOTH the string literal (''-doubling) and the
+    // quoted identifier (""-doubling); raw control chars pass through
+    assert(sql.contains("c_mktsegment = 'q''u\"o\nte'"))
+    assert(sql.contains("AS \"c_mktsegment_q'u\"\"o\nte\""))
+    // NULL segment reads 0, not NULL (CASE, not CAST(NULL = x)):
+    assert(!sql.contains("CAST(c_mktsegment ="))
+    // empty domain degrades to the key projection alone
+    assert(SparkEntry.m4OracleFor(Nil) ==
+      "SELECT c_custkey FROM customer ORDER BY c_custkey")
+    // clean fixture: the dynamic overlay reproduces the static enumeration
+    // (AUTOMOBILE dropped, four indicator columns)
+    val dyn = SparkEntry.oracleSqlDynamic(spark, SparkFixture.sfDir)("m4_onehot")
+    Seq("BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").foreach { c =>
+      assert(dyn.contains(s"c_mktsegment = '$c'"), s"missing $c in:\n$dyn")
+    }
+    assert(!dyn.contains("'AUTOMOBILE'"))
+  }
 }

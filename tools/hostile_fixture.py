@@ -21,11 +21,14 @@ pins that) but where the two engines' semantics diverge off-contract:
     SPARK_GRAFT_CPUS=8 sbt "runMain graft.Verify /tmp/hostile001 /tmp/v_h"
     python3 tools/selfcheck.py /tmp/hostile001 /tmp/v_h
 
-Recorded 2026-08-14: 100 pass / 1 fail. The one divergence is inherent:
-m4's oracle enumerates the clean fixture's category domain statically,
-while the engine's one-hot fit DISCOVERS the domain (sklearn semantics) —
-on poisoned data the engine correctly grows a column for the junk
-category that a hand-written oracle cannot know. Known oracle-engine
+Recorded 2026-08-14 (round 14): 101 pass / 0 fail at BOTH sf0.001 and
+sf0.01. The round-13 divergence (100/101: m4's static oracle enumerated
+the clean fixture's category domain while the engine's one-hot fit
+DISCOVERS it, sklearn-style) is closed — Verify now overlays a
+fit-time-aware m4 oracle regenerated from the observed domain
+(SparkEntry.oracleSqlDynamic / m4OracleFor, same capped rule the encoder
+fits with), so a junk category grows the same indicator column on both
+sides. Known oracle-engine
 (DuckDB 1.0.0) limitations this replay must route around, all verified
 against constant-fold behavior: vectorized NaN comparisons are
 inconsistent (hence explicit isnan branches in oracles), grouped ORDER BY
