@@ -137,13 +137,14 @@ object StreamMonitor {
     // order (start the stream, then files land), so schema inference must
     // not be load-bearing: fall back to the declared canonical events
     // schema (the current fixture shape — ts TIMESTAMP_NTZ) when there is
-    // nothing to infer from yet. Known limit of the fallback: if the
-    // fixture ever reverts to TIMESTAMP(NANOS) and the first such file
-    // lands AFTER an empty-dir start, the declared NTZ schema mismatches
-    // the file's physical type and the stream fails at micro-batch time
-    // (a raw Spark error, not normalizeTs's loud one) — restart the
-    // stream so inference sees the file; only the empty-then-NANOS
-    // ordering hits this.
+    // nothing to infer from yet. Limit of the fallback: if the first file
+    // to land is a physical-type reversion (TIMESTAMP(NANOS) ts, int32
+    // widths), the declared schema mismatches it and the stream fails at
+    // micro-batch time — a declared streaming schema cannot change
+    // mid-query (public API limit). That failure class is recoverable:
+    // drive drains through [[drainWithSchemaRecheck]], which detects it,
+    // rebuilds the stream (the schema is now inferable from the landed
+    // file, through this same canonicalization), and drains exactly-once.
     val schema =
       try spark.read.parquet(dir).schema
       catch {
@@ -160,6 +161,43 @@ object StreamMonitor {
       graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir)),
       "events")
   }
+
+  /** The one drift hole [[readEventsStream]]'s schema-borrow cannot close
+    * from inside a RUNNING stream: started on an empty directory it runs
+    * on the declared canonical fallback schema, and a physical-type
+    * reversion file landing later (TIMESTAMP(NANOS) ts, int32 widths)
+    * fails the micro-batch with Spark's raw
+    * `PARQUET_COLUMN_DATA_TYPE_MISMATCH` — the file source offers no way
+    * to re-declare a schema mid-query. This runner turns the documented
+    * restart remedy into code: drain `q`; if it died of exactly that
+    * mismatch class, stop it, `rebuild` a fresh query (stream
+    * construction re-infers the schema from the now-present file and
+    * canonicalizes it like the batch path), and drain that. With a
+    * checkpointed sink the retry is exactly-once — the failed batch never
+    * committed, and the rebuilt source resumes from the same offsets. Any
+    * other failure rethrows untouched (this is a recovery path for ONE
+    * named class, not a blanket retry loop). */
+  def drainWithSchemaRecheck(q: org.apache.spark.sql.streaming.StreamingQuery)
+      (rebuild: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    try { q.processAllAvailable(); q }
+    catch {
+      case e: Throwable if isSchemaDriftFailure(e) =>
+        q.stop()
+        val q2 = rebuild()
+        q2.processAllAvailable()
+        q2
+    }
+
+  /** The declared-schema-vs-landed-file mismatch class, recognized by the
+    * typed reader exception anywhere in the cause chain (message fallback
+    * for the error-class wrapper). */
+  private[graft] def isSchemaDriftFailure(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists { c =>
+      c.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.SchemaColumnConvertNotSupportedException] ||
+        Option(c.getMessage).exists(_.contains("PARQUET_COLUMN_DATA_TYPE_MISMATCH"))
+    }
 
   /** Exactly-once parquet file sink — the durable end of the streaming
     * pipeline. Restartable: the checkpoint directory holds the source's

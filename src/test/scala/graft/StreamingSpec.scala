@@ -136,6 +136,71 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("empty-dir start then a NANOS file lands: drainWithSchemaRecheck " +
+      "rebuilds the stream and restores batch parity (exactly-once)") {
+    // the empty-then-reversion ordering readEventsStream's fallback could
+    // previously only DOCUMENT: started on an empty dir the stream runs on
+    // the declared NTZ schema, and the committed 500-row TIMESTAMP(NANOS)
+    // fixture landing later kills the micro-batch with Spark's raw
+    // PARQUET_COLUMN_DATA_TYPE_MISMATCH (a declared streaming schema
+    // cannot change mid-query). The recheck runner must recognize exactly
+    // that class, rebuild (inference now sees the file), and drain to the
+    // same rows the batch path computes — through a CHECKPOINTED parquet
+    // sink so the retry is provably exactly-once
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_ens")
+    val dir = base.resolve("in"); val out = base.resolve("out"); val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(dir)
+    def mkQuery() = StreamMonitor.parquetSink(
+      StreamMonitor.readEventsStream(spark, dir.toString), out.toString, ckpt.toString)
+    // drain 1: started empty — runs on the declared fallback schema, 0 rows
+    val q0 = mkQuery(); q0.awaitTermination() // AvailableNow: drains then stops
+    // the reversion file lands AFTER the empty-dir start
+    val res = getClass.getResourceAsStream("/events_nanos/events.parquet")
+    java.nio.file.Files.copy(res, dir.resolve("events.parquet"))
+    // drain 2: the NEXT scheduled drain would re-infer and succeed — the
+    // hole is a LIVE query built while the dir was empty. Reproduce that:
+    // rebuild from an empty sibling view of the same checkpoint lineage is
+    // impossible, so pin the live-query path via a memory-sink stream
+    // below; here pin the scheduled-drain path end-to-end first
+    val q1 = mkQuery(); q1.awaitTermination()
+    val sunk = spark.read.parquet(out.toString)
+    val batchNs = Tables.normalizeTs {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(dir.toString)
+    }
+    assert(sunk.count() == 500L && sunk.count() == batchNs.count())
+    // live-query path: a stream BUILT while the dir was empty fails on the
+    // landed NANOS file; drainWithSchemaRecheck recovers it to parity
+    val dir2 = base.resolve("in2"); java.nio.file.Files.createDirectories(dir2)
+    val live = StreamMonitor.hourlyProfile(
+        StreamMonitor.readEventsStream(spark, dir2.toString))
+      .writeStream.format("memory").queryName("ens_live").outputMode("complete").start()
+    live.processAllAvailable() // empty drain on the fallback schema
+    val res2 = getClass.getResourceAsStream("/events_nanos/events.parquet")
+    java.nio.file.Files.copy(res2, dir2.resolve("events.parquet"))
+    val recovered = StreamMonitor.drainWithSchemaRecheck(live) { () =>
+      spark.catalog.dropTempView("ens_live")
+      StreamMonitor.hourlyProfile(
+          StreamMonitor.readEventsStream(spark, dir2.toString))
+        .writeStream.format("memory").queryName("ens_live").outputMode("complete").start()
+    }
+    val streamed = spark.table("ens_live")
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventOps.hourlyCounts(batchNs)
+      .select(col("hour").cast("timestamp").as("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    recovered.stop()
+    // the rebuild path fires ONLY for the named mismatch class — an
+    // unrelated failure (or a nested unrelated cause chain) rethrows
+    assert(!StreamMonitor.isSchemaDriftFailure(
+      new RuntimeException("unrelated", new IllegalStateException("also unrelated"))))
+    assert(StreamMonitor.isSchemaDriftFailure(new RuntimeException("wrapped",
+      new org.apache.spark.sql.execution.datasources
+        .SchemaColumnConvertNotSupportedException("ts", "INT64", "timestamp_ntz"))))
+  }
+
   test("file-source stream over a TIMESTAMP(NANOS) events file (the round-10 " +
       "fixture shape) floors to µs and matches the batch path") {
     // the drift REVERSION readEventsStream's fallback caveat documents: a
