@@ -15,10 +15,22 @@ import graft.operators.{Features, Metrics}
   *  - logistic_regression → MLlib LogisticRegression; sklearn C ↔
   *    regParam = 1/(C·n) (L2, elasticNetParam=0)
   *  - random_forest → RandomForestClassifier; min_samples_leaf ↔
-  *    minInstancesPerNode. min_samples_split has no MLlib analog (a
-  *    pre-split node-size gate vs MLlib's child-size gate); it stays a
-  *    swept grid dimension for combo-count parity with the reference
-  *    (`pipeline_config.yaml:37-43` — 24 RF combos) but binds to no knob.
+  *    minInstancesPerNode. min_samples_split has NO MLlib analog — the
+  *    first gap a user migrating the reference's RF grid hits
+  *    (`pipeline_config.yaml:37-43` sweeps it; `training.py:15-19` binds
+  *    it). Nearest knob: minInstancesPerNode, but the semantics differ —
+  *    sklearn's min_samples_split stops a node with fewer than N samples
+  *    from being CONSIDERED for splitting (pre-split gate on the parent),
+  *    while minInstancesPerNode rejects any split whose CHILD would get
+  *    fewer than N samples (post-split gate on the children). A split of
+  *    an N-sample node into (N−1, 1) passes sklearn with
+  *    min_samples_split=N but fails MLlib with minInstancesPerNode=N;
+  *    conversely minInstancesPerNode=k implies every split parent has
+  *    ≥ 2k samples, so min_samples_split≈2·minInstancesPerNode is the
+  *    closest practical mapping (equivalent only for balanced splits).
+  *    The dimension stays a swept grid axis here for combo-count parity
+  *    with the reference (24 RF combos) but binds to no knob; trees are
+  *    typically slightly DEEPER than sklearn's at equal settings.
   *  - xgboost → GBTClassifier surrogate (xgboost4j not shippable offline);
   *    subsample ↔ subsamplingRate, learning_rate ↔ stepSize.
   *
