@@ -94,6 +94,35 @@ import graft.{GraftExtensions, SparkEntry}
   * job recomputed every partition from lineage, doubling the most
   * expensive stage.
   *
+  * Round-14 measurement (skewed-key join rehearsal, the new block below;
+  * 4M-row large side, 90% on one key, 100k dim, broadcast disabled,
+  * payload kept across the shuffle): unsalted AQE-off wall 2.92 s,
+  * maxTask 2236 ms vs p50 88 ms — task-time spread 25× (the
+  * 1000-executor straggler in miniature). AQE's skew split (thresholds
+  * at compressed-byte scale) engages — task count 97 → 128 — and cuts
+  * the run to wall 0.87 s, maxTask 348 ms, spread 2.6; the explicit
+  * 16-way salted path under AQE-off lands at wall 1.16 s, maxTask
+  * 577 ms, spread 3.7. Both remedies bound the straggler; AQE wins when
+  * its thresholds see the skew (moderate, detectable), salting remains
+  * the deterministic path for the pathological key AQE's compressed-size
+  * heuristics can miss (measured here: an all-identical key column
+  * compresses ~100×, and at the default-shaped 1m threshold the split
+  * did NOT fire). Plan/value side pinned in ScaleSpec ("skew rehearsal").
+  *
+  * Round-14 measurement (~1000× corpus-chain evidence, the new block
+  * below): sf0.1's 5000 documents amplified 10× with perturbed NEAR-dup
+  * copies (the densest realistic candidate-graph shape), chains under
+  * stageStorage=reliable: d43 2.45 s → 10.31 s and d47 2.85 s → 6.49 s
+  * across the last 10× — so across the full 1000× (sf0.001 → amp10x,
+  * same run: d43 1.61 s, d47 1.86 s at sf0.001) wall grows only
+  * 6.4×/3.5×. Peak reliable-checkpoint footprint scales linearly with
+  * the data (d43 9.9 → 97.9 MB per 10×, d47 0.9 → 1.8 MB) — the
+  * checkpoint-storage sizing number for a cluster run: ~2 KB/doc for the
+  * d43 chain's materialized base+component stages, ~0.4 KB/doc for
+  * d47's winnowed fingerprints. No superlinear stage: the df-capped
+  * shingle equijoin holds its C(maxDf,2) fan-out bound even with every
+  * document in a 10-member near-dup cluster.
+  *
   * Round-12 measurement (event-analytics family, re-probed after the
   * `ts` plans changed shape — NTZ cast replacing nanos-long
   * arithmetic): d10 0.18/0.17/1.12 s, d11 0.16/0.15/0.64 s,
@@ -215,6 +244,127 @@ object ScaleProbe {
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close()
+    }
+    // Skewed-key join rehearsal (round 14): a planted 90%-one-key large
+    // side (4M rows) joined to a 100k dim — the 1000-executor straggler
+    // shape. Three variants, each with wall time AND the task-duration
+    // spread (max/p50 across all tasks of the timed run) from a listener:
+    // the unsalted AQE-off baseline concentrates ~90% of the join in one
+    // task; AQE's skew split (thresholds lowered to fixture scan sizes,
+    // factor 2 — production defaults are 256 MB/factor 5) and the explicit
+    // 16-way salted path must both bound that spread. Broadcast disabled:
+    // skew split requires the sort-merge path, which is also the only
+    // regime where skew matters at 100 TB (a broadcastable dim never
+    // stragglers). Plan-shape side is pinned in ScaleSpec ("skew
+    // rehearsal" test: skew=true in the adaptive final plan, salted
+    // max-partition fan-in < plain/3, all variants value-equal).
+    locally {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      import org.apache.spark.sql.functions._
+      val ns = spark.newSession()
+      ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      ns.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // AQE sizes partitions from COMPRESSED map-output bytes, and the hot
+      // partition's key column is a run of one identical value (compresses
+      // ~100×) — thresholds must be set against compressed sizes or the
+      // split silently never fires (measured: at 1m it did not)
+      ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val hot = 7L
+      val large = ns.range(0, 4000000L)
+        .select(when(col("id") % 10 < 9, lit(hot)).otherwise(col("id")).as("key"),
+          concat_ws("-", lit("payload"), col("id"), lit("x" * 48)).as("payload"))
+      val small = ns.range(0, 100000L).select(col("id").as("key"),
+        concat_ws("_", lit("dim"), col("id")).as("dim"))
+      // the measured action keeps the payload column crossing the join
+      // shuffle (a bare count() would prune it, leaving only the
+      // hyper-compressible key and starving the skew detector of bytes)
+      def drain(df: org.apache.spark.sql.DataFrame): Unit =
+        df.agg(count(lit(1)), sum(length(col("payload")))).collect()
+      def variant(label: String, aqe: Boolean)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        ns.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        drain(mk) // warm: codegen + JIT, no listener
+        val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+        val lst = new SparkListener {
+          override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+            if (e.taskInfo != null) durs.add(e.taskInfo.duration)
+        }
+        spark.sparkContext.addSparkListener(lst)
+        val t0 = System.nanoTime(); drain(mk)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // the listener bus posts asynchronously
+        spark.sparkContext.removeSparkListener(lst)
+        import scala.jdk.CollectionConverters._
+        val ds = durs.asScala.map(_.toLong).toSeq.sorted
+        val p50 = if (ds.isEmpty) 0L else ds(ds.size / 2)
+        val mx = if (ds.isEmpty) 0L else ds.last
+        val spread = if (p50 == 0L) 0.0 else mx.toDouble / p50
+        println(f"[scaleprobe] $label%-24s wall=$wall%.2f s maxTask=${mx}%d ms p50Task=${p50}%d ms spread=$spread%.1f nTasks=${ds.size}%d")
+      }
+      variant("skew_plain_aqe_off", aqe = false)(large.join(small, "key"))
+      variant("skew_plain_aqe_skew", aqe = true)(large.join(small, "key"))
+      variant("skew_salted16_aqe_off", aqe = false)(
+        graft.operators.Scale.saltedJoin(large, small, "key", 16))
+    }
+    // ~1000× corpus-chain evidence (round 14): the reliable-strategy chain
+    // figures above stop at sf0.1 (100× over sf0.001). Amplify sf0.1's
+    // 5000 documents 10× with PERTURBED duplicates (deterministic: copy i
+    // keeps the text for i=0 and appends a distinct "dup<i>" tail
+    // otherwise, so the copies are NEAR-dups, densifying the shingle/
+    // minhash candidate graph — the worst realistic shape for the
+    // df-capped equijoins) and run the d43/d47 chains under
+    // stageStorage=reliable at sf0.1 and at the 50k-doc amplified point
+    // (= 1000× sf0.001's 500 docs). Also records the peak reliable-stage
+    // checkpoint footprint per run — the number a cluster operator sizes
+    // checkpoint storage with.
+    locally {
+      import org.apache.spark.sql.functions._
+      def dirBytes(p: java.nio.file.Path): Long = {
+        if (!java.nio.file.Files.exists(p)) return 0L
+        val w = java.nio.file.Files.walk(p)
+        try w.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally w.close()
+      }
+      def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      val ampRoot = java.nio.file.Files.createTempDirectory("graft_amp_docs")
+      graft.Tables.documents(spark, "/root/testdata/sf0.1")
+        .withColumn("__i", explode(array((0 until 10).map(lit): _*)))
+        .withColumn("doc_id", col("doc_id") * lit(16L) + col("__i"))
+        .withColumn("text", when(col("__i") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" dup"), col("__i").cast("string"))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$ampRoot/documents.parquet")
+      spark.conf.set("spark.graft.stageStorage", "reliable")
+      val ck = java.nio.file.Files.createTempDirectory("graft_amp_ckpt")
+      for (sf <- Seq("/root/testdata/sf0.1", ampRoot.toString);
+           q <- Seq("d43_training_sequences", "d47_training_sequences_winnowed")) {
+        def run(): Unit = {
+          SparkEntry.queries(q)(spark, sf).count()
+          graft.operators.Corpus.releaseStages(spark)
+        }
+        rmTree(ck); java.nio.file.Files.createDirectories(ck)
+        spark.sparkContext.setCheckpointDir(ck.toString)
+        run() // warm
+        rmTree(ck); java.nio.file.Files.createDirectories(ck)
+        spark.sparkContext.setCheckpointDir(ck.toString)
+        val t0 = System.nanoTime(); run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ckMb = dirBytes(ck) / 1e6
+        val label = q.take(3) + (if (sf == ampRoot.toString) "_amp10x_rel" else "_sf0.1_rel")
+        println(f"[scaleprobe] $label%-24s $sf%-40s $dt%.3f s ckptMB=$ckMb%.1f")
+      }
+      spark.conf.unset("spark.graft.stageStorage")
+      rmTree(ck); rmTree(ampRoot)
     }
     spark.stop()
   }

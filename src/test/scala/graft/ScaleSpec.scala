@@ -77,6 +77,63 @@ class ScaleSpec extends AnyFunSuite {
     assert(results.head.nonEmpty)
   }
 
+  test("skew rehearsal: AQE splits the planted hot partition, salting bounds per-partition fan-in, both match the plain join") {
+    // a genuinely skewed key distribution (90% of the large side on ONE
+    // key), not just an equality test: prove (a) AQE's skew-join split
+    // actually engages at probe thresholds — the automatic path for
+    // moderate skew — and (b) the explicit salted path bounds the hot
+    // partition's fan-in for the pathological case AQE's thresholds miss.
+    // Conf-isolated session: thresholds lowered to test-data scan sizes,
+    // broadcast disabled so the join is sort-merge (skew split requires it)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // enough shuffle partitions that (hot, salt) pairs don't re-collide
+    // into the same few buckets (the cluster shape, not the 4-bucket one)
+    ns.conf.set("spark.sql.shuffle.partitions", "32")
+    import org.apache.spark.sql.functions.{concat_ws, spark_partition_id}
+    val hotKey = 7L
+    // 100k rows, 90% on hotKey, with a payload wide enough that the hot
+    // partition crosses the lowered byte threshold
+    val large = ns.range(0, 100000)
+      .select(when(col("id") % 10 < 9, lit(hotKey)).otherwise(col("id")).as("key"),
+        concat_ws("-", lit("payload"), col("id"), lit("x" * 32)).as("payload"))
+    val small = ns.range(0, 1000).select(col("id").as("key"),
+      concat_ws("_", lit("dim"), col("id")).as("dim"))
+    def partMax(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(spark_partition_id().as("p")).groupBy("p").count()
+        .agg(max("count")).collect()(0).getLong(0)
+    // AQE on (default): the skew split must engage — the executed plan's
+    // final adaptive form marks the sort-merge join skew=true
+    val aqe = large.join(small, "key")
+    // execute THIS queryExecution (count() would plan a clone and leave
+    // this one isFinalPlan=false) so the adaptive final plan materializes
+    val nAqe = aqe.collect().length.toLong
+    val aqePlan = aqe.queryExecution.executedPlan.toString
+    assert(aqePlan.contains("skew=true"),
+      s"AQE skew-join split did not engage:\n$aqePlan")
+    // AQE off: the hot key lands in ONE shuffle partition (the 1000-task
+    // straggler shape at cluster scale)
+    ns.conf.set("spark.sql.adaptive.enabled", "false")
+    val plain = large.join(small, "key")
+    val nPlain = plain.count()
+    val plainMax = partMax(plain)
+    assert(plainMax >= 90000L, s"fixture not skewed as planted: $plainMax")
+    // salted path under the same AQE-off regime: the hot key spreads over
+    // `salts` partitions — max fan-in drops by ~the salt factor
+    val salted = Scale.saltedJoin(large, small, "key", salts = 16)
+    val nSalted = salted.count()
+    val saltedMax = partMax(salted)
+    assert(nSalted == nPlain && nAqe == nPlain, s"$nSalted/$nAqe vs $nPlain")
+    assert(saltedMax * 3 < plainMax,
+      s"salting must bound the hot partition: salted=$saltedMax plain=$plainMax")
+    ns.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("partitioned write prunes at scan time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     Scale.writePartitioned(
