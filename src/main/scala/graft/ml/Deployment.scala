@@ -98,10 +98,8 @@ object Deployment {
     val rawNumerics = Seq("tenure", "monthly_charges", "total_charges",
       "num_support_tickets", "avg_monthly_usage_gb")
     val dirty = rawNumerics
-      .map { c =>
-        val d = col(c).cast("double")
-        col(c).isNull || isnan(d) || abs(d) === Double.PositiveInfinity
-      }.reduce(_ || _)
+      .map(c => graft.operators.Features.finiteOrNull(col(c).cast("double")).isNull)
+      .reduce(_ || _)
     val scored = score(parsed.filter(!dirty), model, preprocessor)
       .select(col("request_index"), col("prediction"), col("p1"))
     val rejected = parsed.filter(dirty).select(col("request_index"),

@@ -101,8 +101,8 @@ object FeaturePipeline {
     val counts = engineered.agg(
       count(lit(1)).as("__n"),
       numericCols.map(c =>
-        sum((col(c).isNull || isnan(col(c)) ||
-          abs(col(c)) === Double.PositiveInfinity).cast("long")).as(c)): _*)
+        sum(graft.operators.Features.finiteOrNull(col(c)).isNull
+          .cast("long")).as(c)): _*)
       .collect()(0)
     val dirty = numericCols.filter(c => counts.getAs[Long](c) > 0L)
     require(dirty.isEmpty,

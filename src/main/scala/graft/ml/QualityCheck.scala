@@ -61,12 +61,18 @@ object QualityCheck {
     * thresholds: 0.1 watch, 0.2 act. */
   def psiCheck(baselineDf: DataFrame, currentDf: DataFrame, column: String,
                nBins: Int = 10, threshold: Double = 0.2): PsiResult = {
-    val mm = baselineDf.agg(min(col(column)).cast("double"),
-      max(col(column)).cast("double")).collect()(0)
-    // an empty (or all-null) baseline has no distribution to compare
-    // against — a documented precondition error, not an NPE
+    // the bin anchors come from the FINITE baseline values only — one
+    // stray ±Inf in the baseline would otherwise make width infinite and
+    // collapse every value (both relations) into bin 0, so psi≈0 and a
+    // genuinely shifted current distribution passes the gate; NaN anchors
+    // likewise poison every bin via least/greatest
+    val fin = graft.operators.Features.finiteOrNull(col(column))
+    val mm = baselineDf.agg(min(fin).cast("double"),
+      max(fin).cast("double")).collect()(0)
+    // an empty (or no-finite-values) baseline has no distribution to
+    // compare against — a documented precondition error, not an NPE
     require(!mm.isNullAt(0) && !mm.isNullAt(1),
-      s"psiCheck: baseline has no non-null values in '$column'")
+      s"psiCheck: baseline has no finite values in '$column'")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = math.max((hi - lo) / nBins, 1e-12)
     // nulls carry no position in the value distribution — excluded here,

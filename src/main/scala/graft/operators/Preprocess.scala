@@ -56,19 +56,6 @@ object Preprocess {
       .drop("q1", "med", "q3")
   }
 
-  /** M4 — OneHotEncoder, sklearn semantics (`feature_engineering.py:42-44`):
-    * categories sorted lexicographically, `drop="first"`, unknown → all
-    * zeros. Null is NOT a category (pandas `get_dummies` NaN semantics):
-    * null rows get all-zero indicators. The vocabulary is collected at fit
-    * time (bounded domain — it is the encoding width), mirroring sklearn's
-    * `fit`.
-    *
-    * The collect is CAPPED: a mistakenly-encoded high-cardinality column
-    * (user ids, free text) on a 100× corpus must become this named error,
-    * not a driver OOM — and the cap is enforced by `limit(max + 1)` BEFORE
-    * the collect, so even producing the error never ships more than
-    * `max + 1` rows to the driver. `maxCategories` is the intended
-    * encoding width bound; raise it only deliberately. */
   /** The fit-time category domain: distinct non-null values, sorted
     * (Java string order — the same order `.sorted` gives the encoder).
     * Extracted so the m4 verify-time oracle can regenerate its indicator
@@ -88,6 +75,20 @@ object Preprocess {
     cats
   }
 
+  /** M4 — OneHotEncoder, sklearn semantics (`feature_engineering.py:42-44`):
+    * categories sorted lexicographically, `drop="first"`, unknown → all
+    * zeros. Null is NOT a category (pandas `get_dummies` NaN semantics):
+    * null rows get all-zero indicators. The vocabulary is collected at fit
+    * time (bounded domain — it is the encoding width), mirroring sklearn's
+    * `fit`.
+    *
+    * The collect is CAPPED: a mistakenly-encoded high-cardinality column
+    * (user ids, free text) on a 100× corpus must become a named error,
+    * not a driver OOM — and the cap is enforced by `limit(max + 1)` BEFORE
+    * the collect ([[observedCategories]], the extracted fit rule), so even
+    * producing the error never ships more than `max + 1` rows to the
+    * driver. `maxCategories` is the intended encoding width bound; raise
+    * it only deliberately. */
   def oneHotDropFirst(df: DataFrame, c: String, maxCategories: Int = 1000): DataFrame = {
     val cats = observedCategories(df, c, maxCategories)
     val kept = cats.drop(1)

@@ -79,7 +79,7 @@ object Scale {
   /** Drop a managed table AND clear its warehouse directory: a fresh
     * session whose catalog has no entry for `table` cannot overwrite a
     * leftover location from a previous JVM (LOCATION_ALREADY_EXISTS). */
-  private def dropManaged(s: SparkSession, table: String): Unit = {
+  private[graft] def dropManaged(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = java.nio.file.Paths.get(warehouse, table)
@@ -90,12 +90,35 @@ object Scale {
     }
   }
 
-  /** Per-invocation epoch for bucketed-layout table names: concurrent
-    * invocations on a shared session must not race on catalog entries
-    * (one call dropping/overwriting tables the other is reading) — the
-    * same good-citizen isolation `RelationalExt.withViews` gives temp
-    * views. */
-  private val tableEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Per-invocation unique suffix for bucketed-layout table names:
+    * concurrent invocations — in this JVM or in ANOTHER JVM sharing the
+    * warehouse directory (sbt test next to a Verify run) — must never
+    * race on catalog entries or table locations. A monotonic counter is
+    * JVM-local (two JVMs both start at 0, and one would delete the files
+    * the other's in-flight scan is reading); a random token is unique
+    * across processes. Same good-citizen isolation
+    * `RelationalExt.withViews` gives temp views. */
+  private def freshToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** Clean crash-orphaned bucketed layouts: with per-invocation unique
+    * names no later call ever reuses a stranded name, so a JVM killed
+    * mid-invocation would leak its tables forever. Age-gated (default
+    * 1 h) so a LIVE concurrent JVM's in-flight tables — necessarily
+    * recent — are never swept. */
+  private def sweepStale(s: SparkSession, maxAgeMs: Long = 60L * 60 * 1000): Unit = {
+    val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val root = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val ds = java.nio.file.Files.newDirectoryStream(root, "graft_bucketed_*")
+    try {
+      import scala.jdk.CollectionConverters._
+      ds.iterator().asScala.toSeq
+        .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(p => dropManaged(s, p.getFileName.toString))
+    } finally ds.close()
+  }
 
   /** Lazy aggregate over two already-bucketed tables (orders side
     * `custkey`/`o_totalprice`, customer side `custkey`/`c_mktsegment`):
@@ -113,13 +136,13 @@ object Scale {
 
   def bucketedSegmentSpend(s: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
     import graft.Tables
-    // per-invocation unique names: the epoch isolates concurrent calls in
-    // this JVM; dropManaged clears any same-named leftover a previous JVM
-    // left in the shared warehouse directory
-    val e = tableEpoch.getAndIncrement()
-    val ordersT = s"graft_bucketed_orders_$e"
-    val customerT = s"graft_bucketed_customer_$e"
-    dropManaged(s, ordersT); dropManaged(s, customerT)
+    // per-invocation unique names: no concurrent or future call — in any
+    // JVM — can collide with these, so no pre-write drop is needed; the
+    // age-gated sweep reclaims what a crashed JVM stranded
+    sweepStale(s)
+    val tok = freshToken()
+    val ordersT = s"graft_bucketed_orders_$tok"
+    val customerT = s"graft_bucketed_customer_$tok"
     // the two layout writes are independent Spark jobs — submit them
     // concurrently (the scheduler interleaves their stages across cores;
     // serial submission leaves the cluster half-idle per write)

@@ -269,6 +269,32 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(java.lang.Double.isFinite(psi.psi) && !psi.warned, s"psi=${psi.psi}")
   }
 
+  test("quality check PSI: a non-finite BASELINE value cannot disable the gate") {
+    // the bin anchors come from the baseline min/max — one stray +Inf
+    // there would make the bin width infinite, collapse BOTH relations
+    // into bin 0, and return psi≈0 for a genuinely shifted current
+    // distribution (the gate silently off, the exact opposite of the
+    // row-filter hardening above); anchors must come from the FINITE
+    // baseline values only
+    val base = DataGen.generate(spark, 2000, 42L)
+      .withColumn("monthly_charges",
+        when(col("tenure") % 10 === 5, lit(Double.PositiveInfinity))
+          .otherwise(col("monthly_charges")))
+    val shifted = DataGen.generate(spark, 2000, 99L)
+      .withColumn("monthly_charges",
+        when(col("tenure") % 2 === 0, col("monthly_charges") + 500.0)
+          .otherwise(col("monthly_charges")))
+    val bad = QualityCheck.psiCheck(base, shifted, "monthly_charges")
+    assert(bad.warned, s"Inf baseline anchor disabled the PSI gate: psi=${bad.psi}")
+    // an all-non-finite baseline has NO distribution — named precondition
+    val allInf = base.withColumn("monthly_charges",
+      when(lit(true), lit(Double.PositiveInfinity)))
+    val e = intercept[IllegalArgumentException] {
+      QualityCheck.psiCheck(allInf, shifted, "monthly_charges")
+    }
+    assert(e.getMessage.contains("no finite values"))
+  }
+
   test("quality check PSI: same distribution passes, shape change warns") {
     val base = DataGen.generate(spark, 2000, 42L)
     val same = DataGen.generate(spark, 2000, 99L)

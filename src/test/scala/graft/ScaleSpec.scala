@@ -25,33 +25,42 @@ class ScaleSpec extends AnyFunSuite {
       .select(col("o_custkey"), col("o_totalprice"))
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("o_custkey"), col("c_acctbal"))
-    Scale.writeBucketed(orders, "b_orders", "o_custkey", 4)
-    Scale.writeBucketed(cust, "b_cust", "o_custkey", 4)
-    val joined = Scale.bucketedJoin(spark, "b_orders", "b_cust", "o_custkey")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join should be shuffle-free:\n$plan")
-    assert(joined.count() > 0)
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_cust")
+    // dropManaged both before (a previous interrupted run's leftover
+    // location would fail saveAsTable with LOCATION_ALREADY_EXISTS) and
+    // in a finally (so THIS run failing cannot strand one either)
+    Scale.dropManaged(spark, "b_orders"); Scale.dropManaged(spark, "b_cust")
+    try {
+      Scale.writeBucketed(orders, "b_orders", "o_custkey", 4)
+      Scale.writeBucketed(cust, "b_cust", "o_custkey", 4)
+      val joined = Scale.bucketedJoin(spark, "b_orders", "b_cust", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      Scale.dropManaged(spark, "b_orders"); Scale.dropManaged(spark, "b_cust")
+    }
   }
 
   test("x29 declared bucketed query: custkey join shuffle-free, values match plain join") {
     // plan shape: assert the lazy aggregate over a live bucketed layout
     // (bucketedSegmentSpend itself returns a materialized bounded result
     // so its backing tables can be dropped before it returns)
-    Scale.writeBucketed(Tables.orders(spark, sfDir)
-      .select(col("o_custkey").as("custkey"), col("o_totalprice")),
-      "x29_plan_orders", "custkey", 8)
-    Scale.writeBucketed(Tables.customer(spark, sfDir)
-      .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
-      "x29_plan_cust", "custkey", 8)
-    val lazyAgg = Scale.bucketedSegmentSpendPlan(spark, "x29_plan_orders", "x29_plan_cust")
-    val plan = lazyAgg.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning(custkey"),
-      s"bucketed join side must not shuffle on custkey:\n$plan")
-    spark.sql("DROP TABLE IF EXISTS x29_plan_orders")
-    spark.sql("DROP TABLE IF EXISTS x29_plan_cust")
+    Scale.dropManaged(spark, "x29_plan_orders"); Scale.dropManaged(spark, "x29_plan_cust")
+    try {
+      Scale.writeBucketed(Tables.orders(spark, sfDir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        "x29_plan_orders", "custkey", 8)
+      Scale.writeBucketed(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        "x29_plan_cust", "custkey", 8)
+      val lazyAgg = Scale.bucketedSegmentSpendPlan(spark, "x29_plan_orders", "x29_plan_cust")
+      val plan = lazyAgg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(custkey"),
+        s"bucketed join side must not shuffle on custkey:\n$plan")
+    } finally {
+      Scale.dropManaged(spark, "x29_plan_orders"); Scale.dropManaged(spark, "x29_plan_cust")
+    }
     val res = Scale.bucketedSegmentSpend(spark, sfDir)
     val plain = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
@@ -60,8 +69,8 @@ class ScaleSpec extends AnyFunSuite {
           .cast("double") / 100.0).as("spend"), count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment")).collect().map(_.toSeq)
     assert(res.collect().map(_.toSeq).toSeq == plain.toSeq)
-    // per-epoch tables are dropped by bucketedSegmentSpend itself — no
-    // bucketed-layout leftovers in the catalog
+    // per-invocation tables are dropped by bucketedSegmentSpend itself —
+    // no bucketed-layout leftovers in the catalog
     assert(!spark.catalog.listTables().collect()
       .exists(_.name.startsWith("graft_bucketed_")))
   }
