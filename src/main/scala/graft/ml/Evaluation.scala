@@ -26,7 +26,7 @@ object Evaluation {
     val pred = predict(model, test)
       .select(col("label").cast("int").as("y"),
         col("prediction").cast("int").as("yhat"),
-        col("p1").as("o_totalprice"))
+        col("p1"))
       .cache()
     val m = Metrics.binaryMetrics(pred).collect()(0)
     // tie-aware midrank AUC (sklearn roc_auc_score semantics): model
@@ -34,7 +34,7 @@ object Evaluation {
     // row-id tie-break would bias the statistic with physical row order.
     // Metrics.aucRank stays as the oracle-checkable declared-query form
     // (its (price, orderkey) ranking HAS a semantic tie-break key).
-    val auc = Metrics.aucDistributedMidrank(pred)
+    val auc = Metrics.aucDistributedMidrank(pred, scoreCol = "p1")
     pred.unpersist()
     ModelScore(name, m.getAs[Double]("accuracy"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), m.getAs[Double]("f1"), auc)

@@ -37,15 +37,25 @@ object Shap {
     }
   }
 
+  /** Per-feature means of an already-projected `x: array<double>` relation
+    * — the ONE implementation of the background E[x] aggregate
+    * ([[backgroundMeans]] and [[ablationAttribution]] both delegate; two
+    * copies could silently drift). An empty background has no mean to
+    * explain against — a named precondition error, not a driver NPE. */
+  private def meansOfArray(xDf: DataFrame, nFeat: Int): Array[Double] = {
+    val row = xDf
+      .select((0 until nFeat).map(i => avg(col("x").getItem(i)).as(s"m$i")): _*)
+      .collect()(0)
+    require(!row.isNullAt(0),
+      "SHAP background sample is empty — no E[x] to explain against")
+    (0 until nFeat).map(row.getDouble).toArray
+  }
+
   /** Per-feature means of a `features`-vector relation — the SHAP
     * background E[x]. Exposed so callers needing both the means (for the
     * expected value) and attributions pay for ONE aggregation pass. */
-  def backgroundMeans(df: DataFrame, nFeat: Int): Array[Double] = {
-    val row = df.select(vector_to_array(col("features")).as("x"))
-      .select((0 until nFeat).map(i => avg(col("x").getItem(i)).as(s"m$i")): _*)
-      .collect()(0)
-    (0 until nFeat).map(row.getDouble).toArray
-  }
+  def backgroundMeans(df: DataFrame, nFeat: Int): Array[Double] =
+    meansOfArray(df.select(vector_to_array(col("features")).as("x")), nFeat)
 
   /** E2 core — attributions for the given rows against a FIXED background:
     * φᵢ = wᵢ·(xᵢ − bgMeansᵢ). Long form (row_id, feature_idx, shap). */
@@ -90,8 +100,7 @@ object Shap {
     import spark.implicits._
     val sample = sampleRows(df, sampleSize, seed)
       .select(vector_to_array(col("features")).as("x")).cache()
-    val bg = sample.select((0 until nFeat).map(i => avg(col("x").getItem(i)).as(s"m$i")): _*)
-      .collect()(0)
+    val bg = meansOfArray(sample, nFeat)
     def meanP1(d: DataFrame): Double = {
       val withVec = d.map(r => Tuple1(Vectors.dense(r.getSeq[Double](0).toArray)))
         .toDF("features")
@@ -100,8 +109,13 @@ object Shap {
     }
     val baseMean = meanP1(sample)
     val rows = (0 until nFeat).map { i =>
-      val ablated = sample.select(expr(
-        s"transform(x, (v, j) -> CASE WHEN j = $i THEN CAST(${bg.getDouble(i)} AS DOUBLE) ELSE v END)").as("x"))
+      // Column literal, not SQL-string interpolation: a NaN/Infinity
+      // background mean rendered into an expr string parses as a COLUMN
+      // REFERENCE and dies with UNRESOLVED_COLUMN; lit() carries any
+      // double, and a NaN mean propagates visibly into the attribution
+      // instead of crashing the explainer
+      val ablated = sample.select(
+        transform(col("x"), (v, j) => when(j === i, lit(bg(i))).otherwise(v)).as("x"))
       (i, math.abs(baseMean - meanP1(ablated)))
     }
     sample.unpersist()

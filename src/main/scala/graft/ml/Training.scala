@@ -52,7 +52,15 @@ object Training {
   def build(name: String, params: Map[String, Double], nTrain: Long): Classifier[_, _, _] =
     name match {
       case "logistic_regression" =>
+        // standardization OFF: sklearn's LogisticRegression penalizes RAW
+        // coefficients (it never standardizes internally), and the
+        // C ↔ regParam = 1/(C·n) mapping below is exact only under the
+        // same objective. MLlib's default standardization=true penalizes
+        // wⱼ·σⱼ instead — the unscaled one-hot dims (σ ≤ 0.5) would be
+        // regularized up to ~4× weaker than the sklearn C being swept,
+        // so CV would score a different effective hyperparameter
         new LogisticRegression().setMaxIter(1000).setElasticNetParam(0.0)
+          .setStandardization(false)
           .setRegParam(1.0 / (params.getOrElse("C", 1.0) * nTrain))
       case "random_forest" =>
         new RandomForestClassifier().setSeed(42L)
@@ -83,8 +91,7 @@ object Training {
   def f1Score(model: Model[_], df: DataFrame): Double = {
     val pred = model.asInstanceOf[Model[_ <: Model[_]]].transform(df)
       .select(col("label").cast("int").as("y"),
-        col("prediction").cast("int").as("yhat"),
-        lit(0.0).as("o_totalprice"), monotonically_increasing_id().as("o_orderkey"))
+        col("prediction").cast("int").as("yhat"))
     Metrics.binaryMetrics(pred).collect()(0).getAs[Double]("f1")
   }
 
@@ -98,14 +105,18 @@ object Training {
     import scala.concurrent.duration.Duration
     val folded = Split.foldAssign(train.select("features", "label"), "label", cvFolds, seed)
       .cache()
-    val nTrain = folded.count()
     // regParam = 1/(C·n) must use the rows each fit actually sees: a fold
     // fit trains on (k-1)/k of the data, so passing the FULL count would
     // regularize fold models ~k/(k-1) harder than the sklearn C being
     // swept — CV would score a different effective hyperparameter than
-    // the one selected. One cheap count per fold over the cached relation.
+    // the one selected. ONE grouped aggregation derives every count
+    // (total and per-fold complement) instead of k+1 sequential
+    // full-scan count jobs before the pool even starts.
+    val foldSizes: Map[Int, Long] = folded.groupBy(col("fold")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nTrain = foldSizes.values.sum
     val nPerFold: Map[Int, Long] = (0 until cvFolds).map(f =>
-      f -> folded.filter(col("fold") =!= f).count()).toMap
+      f -> (nTrain - foldSizes.getOrElse(f, 0L))).toMap
     val combos = gridCombos(grid)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, combos.size * cvFolds)))

@@ -7,7 +7,10 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Interventional (path-dependent) TreeSHAP for MLlib tree ensembles — the
+/** Path-dependent TreeSHAP (shap's `feature_perturbation=
+  * "tree_path_dependent"` — NOT the interventional variant, which needs a
+  * background dataset and yields different values on correlated features)
+  * for MLlib tree ensembles — the
   * §7.4.1 hard item. Implements the polynomial-time path-weight algorithm
   * from Lundberg et al., "Consistent Individualized Feature Attribution for
   * Tree Ensembles" (public paper), over trees flattened from
@@ -187,11 +190,27 @@ object TreeShap {
     total
   }
 
+  /** Reusable per-traversal arena: one PathState per recursion level,
+    * allocated once per PARTITION and reused across every (row, tree) —
+    * a per-node `new PathState` allocated ~2 KB × nodes × trees of pure
+    * GC churn per row in the mapPartitions hot loop. Level-indexed reuse
+    * is safe: recursion level l only ever writes states(l), and a
+    * parent's state must survive exactly until its second (cold) child
+    * call returns, which the level indexing guarantees. Slot 0 is the
+    * empty root parent; levels ≤ 65 for depth-64 trees, capacity 66. */
+  private final class PathArena(levels: Int = 66) {
+    val states: Array[PathState] = Array.fill(levels)(new PathState(levels))
+  }
+
   /** SHAP values of one instance under one tree; adds into phi. */
-  def treeShap(tree: FlatTree, x: Array[Double], phi: Array[Double]): Unit = {
-    val maxDepth = 64
-    def recurse(j: Int, parent: PathState, pz: Double, po: Double, pi: Int): Unit = {
-      val p = new PathState(maxDepth)
+  def treeShap(tree: FlatTree, x: Array[Double], phi: Array[Double]): Unit =
+    treeShap(tree, x, phi, new PathArena())
+
+  private def treeShap(tree: FlatTree, x: Array[Double], phi: Array[Double],
+                       arena: PathArena): Unit = {
+    def recurse(j: Int, parent: PathState, level: Int,
+                pz: Double, po: Double, pi: Int): Unit = {
+      val p = arena.states(level)
       p.copyFrom(parent)
       extend(p, pz, po, pi)
       if (tree.childLeft(j) < 0) {
@@ -217,11 +236,13 @@ object TreeShap {
           iz = p.zeroFractions(found); io = p.oneFractions(found)
           unwind(p, found)
         }
-        recurse(hot, p, iz * tree.cover(hot) / tree.cover(j), io, f)
-        recurse(cold, p, iz * tree.cover(cold) / tree.cover(j), 0.0, f)
+        recurse(hot, p, level + 1, iz * tree.cover(hot) / tree.cover(j), io, f)
+        recurse(cold, p, level + 1, iz * tree.cover(cold) / tree.cover(j), 0.0, f)
       }
     }
-    recurse(0, new PathState(maxDepth), 1.0, 1.0, -1)
+    val root = arena.states(0)
+    root.length = 0
+    recurse(0, root, 1, 1.0, 1.0, -1)
   }
 
   /** Ensemble SHAP for every row of a `features` DataFrame: long-form
@@ -239,10 +260,11 @@ object TreeShap {
     val rows = withId.select(vector_to_array(col("features")).as("x"), col("row_id"))
       .rdd.mapPartitions { it =>
         val ts = bc.value
+        val arena = new PathArena() // reused by every (row, tree) in the partition
         it.flatMap { r =>
           val x = r.getSeq[Double](0).toArray
           val phi = new Array[Double](nFeat)
-          ts.foreach(t => treeShap(t, x, phi))
+          ts.foreach(t => treeShap(t, x, phi, arena))
           val id = r.getLong(1)
           (0 until nFeat).iterator.map(i => Row(id, i, phi(i)))
         }

@@ -225,9 +225,10 @@ object Metrics {
     * range-repartition by score (ties co-locate — range boundaries fall
     * between distinct values), per-partition group walk, driver combine
     * with cumulative offsets. No single-partition stage. */
-  def aucDistributedMidrank(labeled: DataFrame, partitions: Int = 32): Double = {
+  def aucDistributedMidrank(labeled: DataFrame, partitions: Int = 32,
+                            scoreCol: String = "o_totalprice"): Double = {
     import org.apache.spark.sql.Row
-    val grouped = labeled.groupBy(col("o_totalprice").as("s"))
+    val grouped = labeled.groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("c"), sum(col("y").cast("long")).as("p"))
     val sorted = grouped.repartitionByRange(partitions, col("s"))
       .sortWithinPartitions(col("s"))

@@ -95,7 +95,10 @@ object Multimodal {
       val step = 8L + size + (size & 1L) // chunks are word-aligned
       off = if (off + step > b.length.toLong) b.length else (off + step).toInt
     }
-    if (channels <= 0 || blockAlign <= 0 || dataBytes < 0) None
+    // sampleRate is read as a signed int: a crafted fmt chunk with the
+    // high bit set would otherwise flow a NEGATIVE sample_rate into the
+    // decode audit instead of falling back to the opaque pseudo-decode
+    if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || dataBytes < 0) None
     else Some(Decoded("wav", null, null, channels, null, sampleRate,
       dataBytes / blockAlign))
   }
@@ -233,7 +236,13 @@ object Multimodal {
     * Null or empty payloads yield zero frames — without the guard,
     * `sequence(0, -1)` auto-descends and emits two phantom frames for an
     * empty blob, and a null payload propagates to `size(null) = -1`. */
-  def sampleFrames(assets: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
+  def sampleFrames(assets: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    // frameBytes = 0 would make the floor() division NULL (non-ANSI ÷0),
+    // so sequence(0, NULL) → NULL frames → n_frames = -1 — the same
+    // silent-poison class the empty-payload guard below closes; everyK = 0
+    // would make `i % 0` NULL and silently drop every frame
+    require(frameBytes >= 1 && everyK >= 1,
+      s"sampleFrames: frameBytes ($frameBytes) and everyK ($everyK) must be >= 1")
     assets.select(col("asset_id"),
         when(coalesce(length(col("payload")), lit(0)) === 0,
           expr("CAST(array() AS ARRAY<BINARY>)"))
@@ -244,6 +253,7 @@ object Multimodal {
       .select(col("asset_id"),
         expr(s"filter(frames, (f, i) -> i % $everyK = 0)").as("sampled_frames"))
       .withColumn("n_frames", size(col("sampled_frames")))
+  }
 
   /** Decoded-asset profile: per (modality, codec) counts and pixel/sample
     * mass — the query-able audit of the decode pass (one narrow decode

@@ -152,11 +152,19 @@ object Similarity {
   /** Seeded k-means++ init + Lloyd iterations over a bounded in-memory
     * sample (the IVF coarse quantizer). Deterministic for a fixed seed;
     * an emptied cluster keeps its previous centroid. */
-  private[operators] def kmeansLloyd(points: Array[Array[Double]], k: Int,
+  private[operators] def kmeansLloyd(rawPoints: Array[Array[Double]], k: Int,
                                      iters: Int, seed: Long): Array[Array[Double]] = {
-    require(points.nonEmpty, "kmeans sample is empty")
+    require(rawPoints.nonEmpty, "kmeans sample is empty")
+    // fix the quantizer dimension to the sample's MODAL vector length and
+    // drop the stragglers: one truncated embedding in the sample (a
+    // partial encoder failure — the same hostile class CosineSimilarity
+    // returns NULL for) would otherwise either crash sqDist's fixed-dim
+    // loop (AIOOBE) or, if it happened to be points(0), silently truncate
+    // every distance to its prefix — wrong centroids with no error
+    val dim = rawPoints.map(_.length).groupBy(identity)
+      .maxBy { case (len, g) => (g.length, len) }._1
+    val points = rawPoints.filter(_.length == dim)
     val rng = new scala.util.Random(seed)
-    val dim = points(0).length
     def sqDist(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var j = 0
       while (j < dim) { val t = a(j) - b(j); d += t * t; j += 1 }
@@ -226,14 +234,17 @@ object Similarity {
     kmeansLloyd(sample, nLists, iters = 5, seed)
   }
 
-  /** Rows a vector index can hold: NULL or empty embeddings (a failed or
-    * skipped encoder upstream — routine in a 100 TB corpus) can neither
-    * train the quantizer (driver-side `getSeq` NPEs) nor be assigned a
-    * cell or probed, so the IVF paths exclude them up front. The exact and
-    * LSH paths need no such gate — their kernels are null-safe and a NULL
-    * embedding simply never reaches a top-k list. */
+  /** Rows a vector index can hold: NULL, empty, or null-ELEMENT embeddings
+    * (a failed or partially-failed encoder upstream — routine in a 100 TB
+    * corpus) can neither train the quantizer (driver-side `getSeq` unboxing
+    * NPEs — a null Float element crashes `.map(_.toDouble)` just like a
+    * null array) nor be assigned a cell or probed, so the IVF paths
+    * exclude them up front. The exact and LSH paths need no such gate —
+    * their kernels are null-safe and a NULL embedding simply never reaches
+    * a top-k list. */
   private def indexable(embeddings: DataFrame): DataFrame =
-    embeddings.where(col("embedding").isNotNull && size(col("embedding")) > 0)
+    embeddings.where(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+      !expr("exists(embedding, x -> x IS NULL)"))
 
   /** Persist a trained IVF quantizer as a (cell, centroid) parquet table —
     * the index artifact a production deployment builds at ingest and ships

@@ -143,6 +143,9 @@ object Vocab {
         }
       }
       .toDF("doc_id", "n_bpe_tokens")
-      .orderBy(col("doc_id"))
+    // no global orderBy: a whole-corpus range-shuffle+sort purely for
+    // cosmetic output order is the one step that cannot run at 100 TB,
+    // and no consumer needs it (aggregates and the rows-only check are
+    // order-independent; tests compare as Maps)
   }
 }

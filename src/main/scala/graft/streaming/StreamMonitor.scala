@@ -80,8 +80,19 @@ object StreamMonitor {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
-      col("value").as[Double](org.apache.spark.sql.Encoders.scalaDouble))
+    // hostile-row gate, BEFORE the primitive-encoder conversion: a NULL
+    // user_id or value would otherwise hit AssertNotNull in the tuple
+    // deserializer and kill the whole query permanently (one poison record
+    // must not take down a lifetime monitor — same contract as the
+    // watermarked monitors above); a NaN/±Inf value would poison that
+    // user's running total FOREVER, the accumulator analog of the fitted-
+    // statistic rule, so only rows with a keyed user and a finite value
+    // count
+    val typed = events
+      .where(col("user_id").isNotNull &&
+        graft.operators.Features.finiteOrNull(col("value")).isNotNull)
+      .select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
+        col("value").as[Double](org.apache.spark.sql.Encoders.scalaDouble))
       .as[(Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[UserState, (Long, Long, Double)](

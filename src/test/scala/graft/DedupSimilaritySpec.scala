@@ -114,6 +114,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(base == shuffled)
   }
 
+  test("D4 IVF: null-element and truncated embeddings cannot crash the " +
+      "driver paths or reach a top-k list") {
+    // the two partial-encoder-failure shapes CosineSimilarity treats as
+    // routine (returns NULL): an embedding with a null ELEMENT would NPE
+    // the driver-side getSeq unboxing in trainIvfCentroids/the query
+    // collect, and a TRUNCATED embedding would either crash kmeans'
+    // fixed-dim distance loop or (as points(0)) silently truncate every
+    // distance — the gate and the modal-dimension filter close both
+    val sub = emb.filter(col("vec_id") < 300)
+    val dirty = spark.range(1).selectExpr(
+        "CAST(100000 AS BIGINT) AS vec_id",
+        "array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(3.0 AS FLOAT)) AS embedding")
+      .unionByName(spark.range(1).selectExpr(
+        "CAST(100001 AS BIGINT) AS vec_id",
+        "array(CAST(1.0 AS FLOAT)) AS embedding"))
+    val mixed = sub.select(col("vec_id"), col("embedding")).unionByName(dirty)
+    val dim = sub.select(size(col("embedding"))).collect()(0).getInt(0)
+    val centroids = Similarity.trainIvfCentroids(mixed, nLists = 8)
+    assert(centroids.length == 8 && centroids.forall(_.length == dim),
+      "quantizer dimension must be the corpus's modal dimension")
+    val res = Similarity.ivfTopK(mixed, nQueries = 5, k = 5, nLists = 8, nProbe = 3)
+      .collect()
+    assert(res.nonEmpty)
+    assert(!res.exists(_.getAs[Long]("nbr_id") >= 100000L),
+      "unindexable embeddings must never appear as neighbors")
+  }
+
   test("D4 IVF: index save/load round-trips centroids exactly") {
     val sub = emb.filter(col("vec_id") < 300)
     val centroids = Similarity.trainIvfCentroids(sub, nLists = 8)

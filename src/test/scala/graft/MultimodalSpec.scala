@@ -47,6 +47,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling rejects degenerate parameters loudly") {
+    // frameBytes = 0 would silently yield n_frames = -1 (÷0 → NULL →
+    // size(NULL)) and everyK = 0 would silently drop every frame (i % 0
+    // is NULL) — both the silent-poison class, both named errors instead
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(assets, frameBytes = 0, everyK = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(assets, frameBytes = 32, everyK = 0)
+    }
+  }
+
   test("decode: real PNG payload yields true width/height/channels") {
     import spark.implicits._
     // a real 7×5 RGB PNG written through the same codec family that reads it
@@ -129,6 +141,30 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("asset_id", "modality", "payload", "meta")
     val rows = Multimodal.decodeAssets(df).orderBy("asset_id").collect()
     assert(rows.forall(_.getAs[String]("codec") == "opaque"))
+  }
+
+  test("decode: a crafted WAV with a high-bit sample rate falls back to opaque") {
+    import spark.implicits._
+    // sample-rate bytes >= 0x80000000 read back as a NEGATIVE signed int —
+    // a well-formed RIFF/WAVE container with corrupt metadata must reject
+    // to the opaque pseudo-decode, not flow sample_rate < 0 into the audit
+    val channels = 2; val bps = 16; val nSamples = 4
+    val blockAlign = channels * bps / 8
+    val dataBytes = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(0x80000001)
+      .putInt(8000 * blockAlign).putShort(blockAlign.toShort).putShort(bps.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    (0 until dataBytes / 2).foreach(i => buf.putShort((i * 13).toShort))
+    val df = Seq((11L, "audio", buf.array(), Map.empty[String, String]))
+      .toDF("asset_id", "modality", "payload", "meta")
+    val r = Multimodal.decodeAssets(df).collect()(0)
+    assert(r.getAs[String]("codec") == "opaque", s"got codec=${r.getAs[String]("codec")}")
+    assert(r.isNullAt(r.fieldIndex("sample_rate")))
   }
 
   test("decode stats: per (modality, codec) totals cover every asset") {

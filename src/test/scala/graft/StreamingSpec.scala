@@ -319,6 +319,40 @@ class StreamingSpec extends AnyFunSuite {
     qs.stop()
   }
 
+  test("runningUserTotals survives hostile rows: NULL user/value dropped, " +
+      "NaN cannot poison a lifetime total") {
+    // the stateful lifetime monitor reads through PRIMITIVE encoders — an
+    // unguarded NULL user_id or value would hit AssertNotNull in the tuple
+    // deserializer and kill the query permanently (one poison record
+    // taking down a monitor, the class the watermarked operators already
+    // gate); and a NaN value would poison that user's running total for
+    // the life of the query. Hostile rows must be dropped, keyed-finite
+    // rows must keep counting.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_rut")
+      .resolve("events.parquet")
+    val real = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
+    val hostile = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, null, null, null, null, null),
+        org.apache.spark.sql.Row(0L, java.time.LocalDateTime.of(1970, 1, 1, 0, 0), 0L, "", 0.0, ""),
+        org.apache.spark.sql.Row(-1L, java.time.LocalDateTime.of(1969, 12, 31, 23, 59, 59), -1L,
+          " \t\n {", Double.NaN, " \t\n {")),
+      real.schema)
+    real.limit(4).unionByName(hostile).write.parquet(dir.toString)
+    val q = StreamMonitor.runningUserTotals(
+        StreamMonitor.readEventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("rut_h").outputMode("update").start()
+    q.processAllAvailable()
+    val rows = spark.table("rut_h").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty, "the query must survive the poisoned batch")
+    assert(!rows.contains(-1L), "the NaN-value record must not create a user")
+    assert(rows.contains(0L), "the finite epoch record keeps counting")
+    assert(rows.values.forall { case (_, t) => java.lang.Double.isFinite(t) },
+      s"no lifetime total may be poisoned: $rows")
+    q.stop()
+  }
+
   test("userSessions: 30-min silence splits sessions (append after watermark)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
