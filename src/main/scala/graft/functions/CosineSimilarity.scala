@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * lengths and NULL ELEMENTS both yield NULL, also matching the composed
   * `zip_with` form (whose null-padded/null-element products poison the
   * aggregate) — truncating to the shared prefix or reading a null slot as
-  * 0.0 would silently score malformed embeddings. */
+  * 0.0 would silently score malformed embeddings. Non-finite elements
+  * (NaN/±Inf — a partially-failed encoder) likewise yield NULL: the
+  * similarity of a malformed vector is undefined, and the NaN the raw
+  * arithmetic would produce ranks ABOVE every real similarity in a
+  * descending top-k. */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -60,8 +64,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // zero-norm side (zero vector, or an empty array — a failed or
       // skipped encoder upstream): the similarity is UNDEFINED — return
       // null like the length-mismatch case, not the 0/0 NaN, which Spark
-      // ranks ABOVE every real similarity in a descending top-k
-      if (na == 0.0 || nb == 0.0) null
+      // ranks ABOVE every real similarity in a descending top-k.
+      // Non-finite ELEMENTS (NaN/±Inf — a partially-failed encoder) are
+      // the same undefined class: one O(1) post-loop check (any NaN
+      // element makes its norm NaN, any ±Inf makes it +Inf — float² sums
+      // cannot overflow a double) instead of a per-element branch; a NaN
+      // similarity would otherwise rank #1 for EVERY query it meets
+      if (na == 0.0 || nb == 0.0 ||
+          !java.lang.Double.isFinite(na) || !java.lang.Double.isFinite(nb)) null
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
   }
@@ -86,7 +96,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($bad || $na == 0.0 || $nb == 0.0) {
+         |  if ($bad || $na == 0.0 || $nb == 0.0 ||
+         |      !java.lang.Double.isFinite($na) || !java.lang.Double.isFinite($nb)) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Up to 64 planes (one long of sign bits).
   *
   * A vector whose length differs from the plane dimension, or with a null
-  * element, yields NULL — truncating to the shared prefix would silently
-  * bucket malformed embeddings into wrong LSH tables (recall loss with no
-  * error anywhere), the same contract as [[CosineSimilarity]].
+  * or NON-FINITE element, yields NULL — truncating to the shared prefix
+  * would silently bucket malformed embeddings into wrong LSH tables
+  * (recall loss with no error anywhere), and a NaN dot product's
+  * `acc >= 0.0 == false` would deterministically co-bucket every
+  * malformed vector; the same contract as [[CosineSimilarity]].
   *
   * `planes` is a Seq-of-Seq so the case class gets STRUCTURAL equality —
   * an Array field compares by reference, which would defeat
@@ -51,7 +53,7 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
     if (x.numElements() != dim) return null
     var i = 0
     while (i < dim) {
-      if (x.isNullAt(i)) return null
+      if (x.isNullAt(i) || !java.lang.Float.isFinite(x.getFloat(i))) return null
       i += 1
     }
     var bits = 0L
@@ -79,7 +81,9 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
          |} else {
          |  boolean $bad = false;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    if ($x.isNullAt($i)) { $bad = true; break; }
+         |    if ($x.isNullAt($i) || !java.lang.Float.isFinite($x.getFloat($i))) {
+         |      $bad = true; break;
+         |    }
          |  }
          |  if ($bad) {
          |    ${ev.isNull} = true;

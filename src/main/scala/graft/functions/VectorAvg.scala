@@ -23,6 +23,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * equivalent computes; dividing every slot by the total row count would
   * silently shrink all trailing elements instead.
   *
+  * Non-finite elements (NaN/±Inf — a partially-failed encoder) are
+  * excluded from their slot like a missing trailing element: a centroid
+  * is a fitted statistic (the engine-wide `finiteOrNull` rule), and the
+  * raw quantization would otherwise LAUNDER the poison — NaN quantizes
+  * to 0L (counted as a clean 0.0 sample) and ±Inf to Long.MaxValue/
+  * MinValue, wrapping the integer sum into an arbitrary finite mean
+  * with no error anywhere. A slot with NO finite samples yields NaN
+  * (0/0), visibly undefined.
+  *
   * The finish mean is `pround(sum / count / 10⁶, 6)` per element — one
   * exact integer division path, same contract as the repo's other float
   * outputs. */
@@ -39,7 +48,11 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Long], Array[Long]), Seq[
     val s = if (sums.length >= a.length) sums else java.util.Arrays.copyOf(sums, a.length)
     val c = if (counts.length >= a.length) counts else java.util.Arrays.copyOf(counts, a.length)
     var i = 0
-    while (i < a.length) { s(i) += quantize(a(i)); c(i) += 1L; i += 1 }
+    while (i < a.length) {
+      val v = a(i)
+      if (java.lang.Float.isFinite(v)) { s(i) += quantize(v); c(i) += 1L }
+      i += 1
+    }
     (s, c)
   }
 

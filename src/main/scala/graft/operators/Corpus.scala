@@ -129,7 +129,16 @@ object Corpus {
         val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         try df.checkpoint(true)
         finally p.unpersist(blocking = false)
-      case _ => df.localCheckpoint(true)
+      case "local" => df.localCheckpoint(true)
+      case other =>
+        // fail loudly: a typo ('DISK', 'realiable') silently running the
+        // multi-hour job in the non-fault-tolerant default mode is exactly
+        // the class the reliable branch's early validation exists to stop
+        throw new IllegalArgumentException(
+          s"spark.graft.stageStorage='$other' is not a strategy: use " +
+            "'local' (default, executor-local checkpoint), 'disk' " +
+            "(DISK_ONLY persist, releaseStages reclaims), or 'reliable' " +
+            "(durable checkpoint, requires setCheckpointDir)")
     }
 
   /** Disk-strategy stage handles per session, so [[releaseStages]] can
@@ -145,6 +154,18 @@ object Corpus {
     scala.collection.mutable.Map
       .empty[org.apache.spark.sql.SparkSession,
         scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Registry-independent construction of the native shingle expression —
+    * same pattern as `Dedup.minhashSignature`: an `expr("shingle_md5s(…)")`
+    * string would require [[graft.GraftExtensions]] registration on the
+    * session and fail a plain session with a generic UNRESOLVED_ROUTINE,
+    * while every sibling operator works registration-free. */
+  private def shingleMd5s(textCol: org.apache.spark.sql.Column,
+                          k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ShingleMd5s(
+      GraftColumnBridge.expression(textCol), k))
+  }
 
   /** Unpersists every `stageStorage=disk` stage this module persisted for
     * `spark` (see the contract on [[stageMaterialize]]). Call after the
@@ -233,8 +254,7 @@ object Corpus {
     // exploded shingle set; see [[stageMaterialize]] for the storage/
     // fault-tolerance tradeoff at cluster scale
     val sh0 = materialize(kept
-      .select(col("doc_id"),
-        explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
+      .select(col("doc_id"), explode(shingleMd5s(col("text"), shingleK)).as("sh"))
       .distinct())
     // feeds both sides of the pair join
     val shc = materialize(sh0.join(shingleDfSurvivors(sh0, maxDf), "sh")
@@ -305,6 +325,10 @@ object Corpus {
                     minShared: Int = 1): DataFrame = {
     val s = stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
       budget, docsPerGroup, minShared)
+    auditOf(docs0, s)
+  }
+
+  private def auditOf(docs0: DataFrame, s: Stages): DataFrame = {
     def row(stage: String, df: DataFrame,
             tok: org.apache.spark.sql.Column): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
@@ -317,6 +341,25 @@ object Corpus {
       .unionByName(row("04_chunks", s.chunks, col("n_chunk_tokens")))
       .unionByName(row("05_sequences", s.packed, col("total_tokens")))
       .orderBy(col("stage"))
+  }
+
+  /** Pipeline output AND its audit from ONE stage construction — the
+    * production pattern ("audit next to output") without paying the
+    * pipeline twice: calling [[trainingSequences]] then [[pipelineAudit]]
+    * re-materializes every stage (the eager localCheckpoint/DISK_ONLY
+    * copies of the uncapped exploded shingle set, doubled block-store
+    * footprint) and re-runs the label-propagation driver loop. The audit
+    * rows here aggregate the SAME materialized stage relations the
+    * returned output derives from. */
+  def trainingSequencesWithAudit(docs0: DataFrame,
+                                 rates: Map[String, Double],
+                                 shingleK: Int = 12, maxDf: Int = 20,
+                                 chunkTokens: Int = 50, stride: Int = 40,
+                                 budget: Int = 512, docsPerGroup: Int = 50,
+                                 minShared: Int = 1): (DataFrame, DataFrame) = {
+    val s = stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
+      budget, docsPerGroup, minShared)
+    (s.packed, auditOf(docs0, s))
   }
 
   /** The 100 TB scale path for [[trainingSequences]]: identical pipeline
@@ -382,8 +425,7 @@ object Corpus {
                     shingleK: Int = 8): DataFrame = {
     require(shingleK >= 1, "shingleK >= 1")
     def raw(df: DataFrame): DataFrame = df
-      .select(col("doc_id"),
-        explode(expr(s"shingle_md5s(text, $shingleK)")).as("sh"))
+      .select(col("doc_id"), explode(shingleMd5s(col("text"), shingleK)).as("sh"))
     val bs = raw(benchmark).select(col("sh")).distinct()
     // auto-gate reads bs — the relation the join broadcasts or shuffles —
     // while the bloom builds from the pre-distinct benchmark shingles
@@ -514,12 +556,20 @@ object Corpus {
     // cluster-scale persist tradeoff)
     val tf = stageMaterialize(fps(train))
     // TRAIN-side df per fp (groupBy → map-side partial combine on the hot
-    // boilerplate keys); > maxDf = stop-fingerprints
-    val stop = tf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select(col("fp"))
-    val bfAll = fps(benchmark).select(col("fp")).distinct()
-    val bf = bfAll.join(stop, Seq("fp"), "left_anti")
+    // boilerplate keys); > maxDf = stop-fingerprints. MATERIALIZED: the
+    // unmaterialized plan would re-run this full-corpus aggregate — the
+    // pipeline's dominant shuffle — once inside the bloom's scalar
+    // subquery, once on the verdict's join side, and once in
+    // massSuspects' semi-join ("ONE train-df aggregate" is the module's
+    // contract, not just its doc). stop/bfAll/bf are all small
+    // (boilerplate- resp. benchmark-bounded), so the extra stage
+    // storage is negligible.
+    val stop = stageMaterialize(
+      tf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(col("fp")))
+    val bfAll = stageMaterialize(fps(benchmark).select(col("fp")).distinct())
+    val bf = stageMaterialize(bfAll.join(stop, Seq("fp"), "left_anti"))
     // same operator-planted bloom prune as [[decontaminate]] (Spark's
     // injection rule cannot see through the winnow Generate either):
     // thins the train side's join exchange to fps that might match the

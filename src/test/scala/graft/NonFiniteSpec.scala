@@ -80,6 +80,43 @@ class NonFiniteSpec extends AnyFunSuite {
     assert(viaEntry.filter(col("c").isNull).count() == 2)
   }
 
+  test("vector kernels: a non-finite element is undefined — NULL similarity, " +
+      "NULL LSH bits, excluded from centroid slots") {
+    // cosine_sim: NaN arithmetic would rank the malformed vector #1 in
+    // every descending top-k; ±Inf likewise. Undefined → NULL, both paths.
+    val df = Seq(1L).toDF("id").selectExpr("id",
+      "array(CAST('NaN' AS FLOAT), CAST(1.0 AS FLOAT)) AS bad_nan",
+      "array(CAST('Infinity' AS FLOAT), CAST(1.0 AS FLOAT)) AS bad_inf",
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS good")
+    val r = df.select(
+      expr("cosine_sim(bad_nan, good)").as("cn"),
+      expr("cosine_sim(bad_inf, good)").as("ci"),
+      expr("cosine_sim(good, good)").as("cg")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // hyperplane_bits: a NaN dot product's `acc >= 0` is false, which
+    // would deterministically co-bucket every malformed vector (recall
+    // poison with no error); undefined → NULL instead
+    import org.apache.spark.sql.GraftColumnBridge
+    def bits(c: String) = GraftColumnBridge.column(
+      graft.functions.HyperplaneBits(
+        GraftColumnBridge.expression(col(c)), Seq(Seq(1.0, -1.0), Seq(0.5, 0.5))))
+    val hb = df.select(bits("bad_nan").as("bn"), bits("bad_inf").as("bi"),
+      bits("good").as("bg")).collect()(0)
+    assert(hb.isNullAt(0) && hb.isNullAt(1) && !hb.isNullAt(2))
+    // VectorAvg: raw quantization LAUNDERS poison — NaN → 0L counted as a
+    // clean 0.0 sample, ±Inf → Long.MaxValue wrapping the integer sum —
+    // so non-finite elements are excluded per-slot (the fitted-statistic
+    // rule); finite slots of the same vector still count
+    val vecs = Seq(0L, 8L, 16L).toDF("vec_id").selectExpr("vec_id",
+        "CASE WHEN vec_id = 0 THEN array(CAST('NaN' AS FLOAT), CAST(4.0 AS FLOAT)) " +
+          "WHEN vec_id = 8 THEN array(CAST('Infinity' AS FLOAT), CAST(8.0 AS FLOAT)) " +
+          "ELSE array(CAST(3.0 AS FLOAT), CAST(6.0 AS FLOAT)) END AS embedding")
+    val cents = Similarity.embeddingCentroids(vecs, nClusters = 8)
+      .collect().map(rr => rr.getLong(2) -> rr.getDouble(3)).toMap
+    assert(cents(0L) == 3.0, s"slot 0 must average the one finite sample: $cents")
+    assert(cents(1L) == 6.0, s"slot 1 averages all three finite samples: $cents")
+  }
+
   test("labeledOrders: a NULL price carries no prediction (NULL yhat); NaN predicts 1") {
     val orders = Seq(
       (1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 30.0), (4L, "O", 40.0))
