@@ -428,8 +428,8 @@ object SparkEntry {
       // chunking CTEs mirror d33; the recursive CTE walks each pack group's
       // chunks in (doc_id, chunk_id) order applying the same next-fit rule
       // as packChunks' aggregate fold (base case = first chunk opens seq 0)
-      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "e AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t), " +
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL), " +
+        "e AS (SELECT doc_id, unnest(range(0, greatest(1, CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1))) AS chunk_id, toks FROM t), " +
         "c AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
         "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e), " +
         "g AS (SELECT CAST(floor(doc_id / 50.0) AS BIGINT) AS grp, doc_id, chunk_id, n, " +
@@ -492,7 +492,7 @@ object SparkEntry {
         "(CASE WHEN q.source = 'src1' THEN 0.5 WHEN q.source = 'src2' THEN 0.25 " +
         "WHEN q.source = 'src3' THEN 0.1 ELSE 1.0 END) * 1000), " +
         "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM k3), " +
-        "e2 AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t2), " +
+        "e2 AS (SELECT doc_id, unnest(range(0, greatest(1, CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1))) AS chunk_id, toks FROM t2), " +
         "c2 AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
         "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e2), " +
         "g2 AS (SELECT CAST(floor(doc_id / 50.0) AS BIGINT) AS grp, doc_id, chunk_id, n, " +
@@ -552,7 +552,7 @@ object SparkEntry {
         "(CASE WHEN source = 'src1' THEN 0.5 WHEN source = 'src2' THEN 0.25 " +
         "WHEN source = 'src3' THEN 0.1 ELSE 1.0 END) * 1000), " +
         "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM k3), " +
-        "e2 AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t2), " +
+        "e2 AS (SELECT doc_id, unnest(range(0, greatest(1, CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1))) AS chunk_id, toks FROM t2), " +
         "c2 AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
         "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e2), " +
         "g2 AS (SELECT CAST(floor(doc_id / 50.0) AS BIGINT) AS grp, doc_id, chunk_id, n, " +
@@ -932,8 +932,8 @@ object SparkEntry {
         "SELECT s.doc_id, CAST(s.sw + p.pm AS DOUBLE) / 1000000.0 AS quality_score, " +
         "(s.sw + p.pm) > 0 AS model_keep FROM s, p ORDER BY doc_id"),
     "d33_chunked_docs" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "e AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 40 + 1)) AS chunk_id, toks FROM t), " +
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL), " +
+        "e AS (SELECT doc_id, unnest(range(0, greatest(1, CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1))) AS chunk_id, toks FROM t), " +
         "c AS (SELECT doc_id, chunk_id, " +
         "list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50) AS c FROM e) " +
         "SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_chunk_tokens, " +
@@ -975,8 +975,12 @@ object SparkEntry {
         "UNION ALL SELECT CAST(1 AS BIGINT), 'click', count(t) FROM s1 " +
         "UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', count(t) FROM s2 ORDER BY step"),
     "d37_gapfilled_hourly" ->
+      // ts IS NOT NULL: a NULL event time belongs to no hour, and a type
+      // occurring only with NULL ts must not get a phantom spine series
+      // (engine mirrors via bucketable)
       ("WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, " +
-        "CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents FROM events), " +
+        "CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents " +
+        "FROM events WHERE ts IS NOT NULL), " +
         "agg AS (SELECT hour, event_type, count(*) AS n, " +
         "CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value_mass FROM e GROUP BY 1, 2), " +
         "bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM agg), " +
@@ -1021,10 +1025,15 @@ object SparkEntry {
         "FROM b ORDER BY o_orderkey"),
 
     "d20_dedup_docs" ->
+      // NULL text is unknown content, not known-equal: such rows pass
+      // through undeduped (they carry their doc_id as identity); a row
+      // with BOTH text and doc_id NULL has no identity and is dropped
+      // (engine mirrors, single-scan keyed form)
       ("SELECT doc_id, lang, source, n_chars FROM (" +
-        "SELECT doc_id, lang, source, n_chars, " +
+        "SELECT doc_id, lang, source, n_chars, text, " +
         "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) t " +
-        "WHERE rn = 1 ORDER BY doc_id"),
+        "WHERE (text IS NOT NULL AND rn = 1) " +
+        "OR (text IS NULL AND doc_id IS NOT NULL) ORDER BY doc_id"),
     "d21_embedding_neardups" ->
       ("WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings " +
         "WHERE vec_id < 300) " +
@@ -1097,7 +1106,7 @@ object SparkEntry {
         "quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr_chars, " +
         "count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
     "d26_bigram_top" ->
-      ("WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), " +
+      ("WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL), " +
         "b AS (SELECT unnest(list_transform(range(1, len(toks)), " +
         "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t WHERE len(toks) >= 2) " +
         "SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 15"),
@@ -1116,9 +1125,11 @@ object SparkEntry {
         "CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
         "FROM k GROUP BY lang ORDER BY lang"),
     "d23_subword_tokens" ->
-      ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) " +
+      // [a-zA-Z]: a lowercase-only run class would count each uppercase
+      // letter as a one-char punctuation token (engine mirrors)
+      ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))) AS BIGINT) " +
         "AS total_subword_tokens, " +
-        "round(avg(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS DOUBLE)), 4) " +
+        "round(avg(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS DOUBLE)), 4) " +
         "AS avg_subword_tokens FROM documents GROUP BY lang ORDER BY lang"),
     "x27_grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
@@ -1127,8 +1138,10 @@ object SparkEntry {
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid"),
     "d1_dedup_groups" ->
+      // hashable documents only — NULL text carries no identity (engine
+      // mirrors; dedup passes such rows through undeduped)
       ("SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
-        "FROM documents GROUP BY 1 ORDER BY text_hash"),
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY text_hash"),
     "d2_dedup_stats" ->
       ("SELECT lang, count(DISTINCT text) AS n_unique, count(*) AS n_total " +
         "FROM documents GROUP BY lang ORDER BY lang"),
@@ -1178,9 +1191,11 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
     "d12_value_profile" ->
+      // mean over the FINITE sample count, not count(*) — a NULL/NaN
+      // record must not deflate the drift-monitor mean (engine mirrors)
       ("SELECT event_type, count(*) AS n, " +
         pr("CAST(sum(CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) " +
-          "/ 100.0 / CAST(count(*) AS DOUBLE)", 4) + " AS mean_value, " +
+          "/ 100.0 / CAST(count(CASE WHEN isfinite(value) THEN 1 END) AS DOUBLE)", 4) + " AS mean_value, " +
         "round(stddev_samp(value), 4) AS std_value, round(min(value), 2) AS min_value, " +
         "round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type"),
     "d13_jaccard_pairs" ->

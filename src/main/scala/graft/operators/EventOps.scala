@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
 object EventOps {
 
   /** D6 — extract a typed property from the JSON `props` column and
-    * aggregate per event type. */
+    * aggregate per event type. `try_cast`, not `cast`: under Spark 4's
+    * default ANSI mode a VALID-JSON record whose `$.k` is non-numeric
+    * ('{"k":"abc"}') would raise CAST_INVALID_INPUT and kill the whole
+    * aggregate — the skip-the-broken-record contract (and the oracle's
+    * TRY_CAST) wants NULL for exactly that record instead. */
   def propsSummary(events: DataFrame): DataFrame =
     events.select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
@@ -109,8 +113,12 @@ object EventOps {
     * types rows, independent of event volume. */
   def gapFilledHourly(eventsTs: DataFrame): DataFrame = {
     // timestamp_ntz: the dumped parquet must carry a naive timestamp to
-    // match DuckDB's TIMESTAMP in the oracle compare (same as hourlyCounts)
-    val e = eventsTs.select(
+    // match DuckDB's TIMESTAMP in the oracle compare (same as hourlyCounts).
+    // bucketable like every other hourly operator: an event type occurring
+    // ONLY with NULL ts would otherwise inject a phantom all-zero spine
+    // series through the grid's type distinct (a NULL ts belongs to no
+    // hour — the r13 batch≡stream contract)
+    val e = bucketable(eventsTs).select(
       date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
       col("event_type"),
       Features.qlong(col("value"), 100.0).as("cents"))
@@ -140,15 +148,21 @@ object EventOps {
     * catastrophic cancellation — the accepted residual is a last-ulp
     * engine difference masked by rounding. */
   def valueProfile(events: DataFrame): DataFrame =
+    // the mean divides the finite-only cent sum by the FINITE-sample
+    // count, not count(*): dividing by all rows let a single NULL/NaN
+    // record deflate the drift-monitor mean (the misattribution class
+    // finiteOrNull exists to stop) and made the profile internally
+    // inconsistent with std/min/max's non-null population
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(Features.qlong(col("value"), 100.0)).as("__sc"),
+        count(Features.qlong(col("value"), 100.0)).as("__nf"),
         round(stddev_samp(col("value")), 4).as("std_value"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
       .select(col("event_type"), col("n"),
         Features.pround(
-          col("__sc").cast("double") / 100.0 / col("n").cast("double"), 4)
+          col("__sc").cast("double") / 100.0 / col("__nf").cast("double"), 4)
           .as("mean_value"),
         col("std_value"), col("min_value"), col("max_value"))
       .orderBy(col("event_type"))

@@ -41,7 +41,11 @@ object Temporal {
     * Null keys follow join semantics: null never matches, so null-key right
     * rows are dropped and null-key left rows pass through with a null
     * `__asof` (they would otherwise co-group in the null window partition
-    * and leak payloads to each other).
+    * and leak payloads to each other). A null rightT right row is dropped
+    * for the same reason: the contract is `rightT <= leftT`, and
+    * `NULL <= t` is never true — unfiltered, the NULL time would sort
+    * NULLS FIRST in the window and attach as the "earliest" update to
+    * every probe after no real update.
     *
     * Assumes left/right column names are disjoint from the `__`-prefixed
     * working columns. */
@@ -58,7 +62,7 @@ object Temporal {
       lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payloadType).as("__p"),
       struct(leftCols.map(col): _*).as("__row"))
-    val updates = right.filter(col(key).isNotNull).select(
+    val updates = right.filter(col(key).isNotNull && col(rightT).isNotNull).select(
       col(key).as("__k"), col(rightT).as("__t"),
       lit(0).as("__kind"),
       col(rightTieBreak).as("__tie"),
@@ -104,7 +108,10 @@ object Temporal {
                        rightPayload: Seq[String], rightTieBreak: String,
                        bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val leftCols = left.columns.toSeq
-    val r = right.filter(col(key).isNotNull)
+    // same null-key AND null-time drop as [[asofJoin]] (a NULL rightT can
+    // never satisfy rightT <= leftT; unfiltered it would ride the
+    // NULLS-FIRST carry window as a phantom earliest update)
+    val r = right.filter(col(key).isNotNull && col(rightT).isNotNull)
     // localCheckpoint is CORRECTNESS here, not just cost: __lid comes from
     // monotonically_increasing_id(), which depends on row order within
     // partitions — nondeterministic after a shuffle — and this relation is

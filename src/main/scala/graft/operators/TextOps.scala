@@ -27,9 +27,12 @@ object TextOps {
 
   /** Subword-style token count: alphabetic runs, digit runs, and single
     * punctuation marks each count as a token (the BPE-pre-tokenizer
-    * shape, engine-expressible as one regex extraction). */
+    * shape, engine-expressible as one regex extraction). Both cases in
+    * the run class: a lowercase-only `[a-z]+` silently counted every
+    * UPPERCASE letter as a one-char punctuation token ("Hello" → 2
+    * tokens), inflating subword totals on any mixed-case corpus. */
   def tokenCountRegex(c: String): org.apache.spark.sql.Column =
-    size(expr(s"regexp_extract_all($c, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+    size(expr(s"regexp_extract_all($c, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).cast("long")
 
   /** D5 — per-language subword token totals (regex tokenizer). */
   def subwordTokenStats(docs: DataFrame): DataFrame =
@@ -53,7 +56,12 @@ object TextOps {
     * the extra digest bytes vs MD5 are noise next to the text the key
     * replaces. */
   def dedupGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
+    // hashable documents only: NULL text carries no identity, and a NULL
+    // hash group would read as "n_copies of one document" for rows whose
+    // equality was never established ([[dedupDocuments]] passes them
+    // through undeduped for the same reason)
+    docs.filter(col("text").isNotNull)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
@@ -76,7 +84,22 @@ object TextOps {
     * raw-digest keys + winner structs shuffle. PlanLintSpec bans
     * content-keyed windows catalog-wide. */
   def dedupDocuments(docs: DataFrame): DataFrame =
-    docs.groupBy(unhex(sha2(col("text").cast("binary"), 256)).as("__h"))
+    // NULL text is UNKNOWN content, not known-equal content: grouped
+    // raw, sha2(NULL) = NULL would collapse every broken upstream record
+    // into one group and silently DISCARD all but the lowest-id one —
+    // data loss on rows whose equality was never established. A NULL-text
+    // row instead gets a PER-ROW 9-byte key (0x00 ++ its big-endian
+    // doc_id — can never equal a 32-byte digest), so it passes through
+    // undeduped in the SAME single scan (a filter + union pass-through
+    // would scan the table twice). A row with BOTH text and doc_id NULL
+    // has no identity at all and is dropped, deterministically on both
+    // engines (oracle: rn = 1 on non-null text, OR null text with a
+    // doc_id).
+    docs.filter(col("text").isNotNull || col("doc_id").isNotNull)
+      .groupBy(
+        when(col("text").isNotNull, unhex(sha2(col("text").cast("binary"), 256)))
+          .otherwise(concat(lit(Array[Byte](0.toByte)),
+            unhex(lpad(hex(col("doc_id")), 16, "0")))).as("__h"))
       .agg(min_by(
         struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         col("doc_id")).as("__w"))
@@ -84,10 +107,17 @@ object TextOps {
         col("__w.n_chars"))
       .orderBy(col("doc_id"))
 
-  /** D1 — dedup summary per language: unique vs total texts. */
+  /** D1 — dedup summary per language: unique vs total texts. Distinct
+    * over the RAW 32-byte digest, not the text: countDistinct(text) keys
+    * every partial/final exchange by the full document text — exactly the
+    * shuffle this module's header promises never happens. Digest equality
+    * is text equality under the same SHA-256-as-identity rationale as
+    * [[dedupGroups]], so the count is unchanged (NULL text hashes to
+    * NULL, which countDistinct ignores on both forms). */
   def dedupStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))
-      .agg(countDistinct(col("text")).as("n_unique"), count(lit(1)).as("n_total"))
+      .agg(countDistinct(unhex(sha2(col("text").cast("binary"), 256))).as("n_unique"),
+        count(lit(1)).as("n_total"))
       .orderBy(col("lang"))
 
   /** D5 — per-language token/char statistics. Integer sums are exact in
@@ -116,14 +146,16 @@ object TextOps {
   /** D5 — per-document quality features: token count, punctuation count,
     * mean token length (quality scoring à la pipeline heuristics). */
   def qualityFeatures(docs: DataFrame): DataFrame =
+    // punctLen/nonSpaceLen are the single source of these expressions
+    // (shared with the d27 gate and the d50 model's bins) — inlined
+    // copies could silently drift from the gate they feed
     docs.select(
       col("doc_id"),
       tokenCount("text").as("n_tokens"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-        .cast("long").as("n_punct"),
+      punctLen.as("n_punct"),
       Features.pround(
-        length(regexp_replace(col("text"), " ", "")).cast("double") /
-          tokenCount("text").cast("double"), 4).as("avg_token_len"))
+        nonSpaceLen.cast("double") / tokenCount("text").cast("double"), 4)
+        .as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   /** D5 — document fingerprint (content hash identity). */
@@ -364,7 +396,14 @@ object TextOps {
     * chunkTokens − stride) — the materialization step that turns documents
     * into training sequences. Trailing windows shorter than `chunkTokens`
     * are kept (standard practice; drop them downstream with a length
-    * filter if packing instead). Chunks are emitted as (id, token count,
+    * filter if packing instead), but chunking STOPS at the first window
+    * that reaches the document's end: a `floor((n−1)/stride)` window
+    * count would emit a trailing window that is a pure suffix of the
+    * previous one (zero new tokens) whenever stride < n ≤ chunkTokens
+    * + k·stride — duplicated training data inflating the materialized
+    * set. Window count = 1 + max(0, ceil((n − chunkTokens)/stride)); the
+    * coverage property (every token in ≥ 1 window) is test-pinned.
+    * Chunks are emitted as (id, token count,
     * content hash) — the hash is the dedup/shuffle-friendly handle; the
     * text itself stays reconstructible from (doc_id, chunk_id, stride).
     *
@@ -378,9 +417,15 @@ object TextOps {
     // property test); overlap = chunkTokens − stride ≥ 0 is the contract
     require(stride <= chunkTokens,
       s"stride ($stride) must be <= chunkTokens ($chunkTokens): larger strides skip tokens")
-    docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+    // explicit NULL-text filter, NOT formula null-propagation: the window
+    // count uses greatest(), which SKIPS a NULL argument (size(NULL) →
+    // NULL → greatest(0, NULL) = 0 → one phantom empty chunk) — the
+    // least/greatest-null trap the engine's conventions name
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
       .select(col("doc_id"), col("t"),
-        explode(expr(s"sequence(0, CAST(floor((size(t) - 1) / $stride) AS INT))"))
+        explode(expr(s"sequence(0, greatest(0, " +
+            s"CAST(ceil((size(t) - $chunkTokens) / CAST($stride AS DOUBLE)) AS INT)))"))
           .as("chunk_id"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)").as("c"))

@@ -309,6 +309,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(g.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
   }
 
+  test("D1 dedup: NULL text is unknown content — distinct broken records " +
+      "pass through undeduped, not collapsed into one") {
+    // sha2(NULL) = NULL previously put every NULL-text record in ONE
+    // group and silently discarded all but the lowest-id one — data loss
+    // on rows whose equality was never established; a no-identity row
+    // (text AND doc_id both NULL) is dropped deterministically
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(7L, null, "en", "s1", null),
+        Row(9L, null, "de", "s2", null),
+        Row(null, null, null, null, null),
+        Row(1L, "same text", "en", "s1", 9L),
+        Row(2L, "same text", "en", "s1", 9L)),
+      schema)
+    val kept = TextOps.dedupDocuments(df).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSet
+    assert(kept == Set[Any](1L, 7L, 9L),
+      s"null-text rows must each survive, null/null dropped: $kept")
+    // the audit view covers hashable documents only
+    val groups = TextOps.dedupGroups(df).collect()
+    assert(groups.length == 1 && groups(0).getLong(2) == 2L)
+  }
+
   test("D1 dedupDocuments: winner set equals dedupGroups' keep_ids; no content-keyed window in the plan") {
     // pins the round-7 migration (text-partitioned row_number window →
     // single-scan min_by groupBy) to the oracle-checked audit view: the

@@ -161,8 +161,21 @@ class PropertySpec extends AnyFunSuite {
       val text = (0 until n).map(i => s"t$i").mkString(" ")
       val df = Seq((1L, text)).toDF("doc_id", "text")
       val rows = graft.operators.TextOps.chunkDocs(df, chunk, stride).collect()
-      val expectedChunks = (n - 1) / stride + 1
+      // 1 + ceil((n - chunk)/stride) windows: chunking stops at the first
+      // window reaching the end — the old floor((n-1)/stride)+1 count
+      // emitted trailing windows fully subsumed by their predecessor
+      // (zero new tokens, duplicated training data)
+      val expectedChunks =
+        1 + math.max(0, math.ceil((n - chunk).toDouble / stride).toInt)
       assert(rows.length == expectedChunks, s"c=$chunk s=$stride n=$n")
+      // no window is a pure suffix of its predecessor: a window past the
+      // first exists only if the previous window did NOT reach the end
+      // (i.e. it contributes at least one new token)
+      rows.foreach { r =>
+        if (r.getLong(1) > 0)
+          assert(n > (r.getLong(1) - 1) * stride + chunk,
+            s"subsumed window: c=$chunk s=$stride n=$n id=${r.getLong(1)}")
+      }
       // every token index is inside at least one window
       val covered = rows.flatMap { r =>
         val start = r.getLong(1) * stride

@@ -111,4 +111,26 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(out == Set((100L, Some("real")), (200L, None)))
   }
+
+  test("asofJoin null right times never match: NULL <= t is not a match, " +
+      "and must not ride the window as a phantom earliest update") {
+    import spark.implicits._
+    // key 1: ONLY a null-time update — probe must get NULL (the unfiltered
+    // NULL __t sorted NULLS FIRST and attached as the 'earliest' update);
+    // key 2: a null-time and a real update — the real one wins untouched
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("k", "t", "probe_id")
+    val right = Seq(
+      (1L, Option.empty[Long], 7L, "null-time"),
+      (2L, Option.empty[Long], 8L, "null-time"),
+      (2L, Option(5L), 9L, "real"))
+      .toDF("k", "t2", "rk", "tag")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("__asof.tag").as("tag"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val expected = Set((100L, None), (200L, Option("real")))
+    assert(run(Temporal.asofJoin(left, right, "k", "t", "t2",
+      Seq("rk", "tag"), "rk")) == expected)
+    assert(run(Temporal.asofJoinBucketed(left, right, "k", "t", "t2",
+      Seq("rk", "tag"), "rk", c => floor(c / 4))) == expected)
+  }
 }
