@@ -341,8 +341,11 @@ object SparkEntry {
     "v5_domain_orderstatus" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
     "v6_class_balance" ->
+      // NULL labels carry no class — skipped like pandas mean(), not
+      // counted as negatives (engine mirrors)
       ("SELECT round(avg(CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE) " +
-        "ELSE CAST(0.0 AS DOUBLE) END), 6) AS positive_rate FROM orders"),
+        "WHEN o_orderstatus IS NOT NULL THEN CAST(0.0 AS DOUBLE) END), 6) " +
+        "AS positive_rate FROM orders"),
     "v7_table_counts" ->
       (Tables.names.map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
         .mkString(" UNION ALL ") + " ORDER BY table_name"),
@@ -358,7 +361,11 @@ object SparkEntry {
     "v9_psi_drift" ->
       ("WITH f AS (SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bin, " +
         "(CAST(o_orderdate AS DATE) < DATE '1998-01-01') AS early FROM orders " +
-        "WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)), " +
+        // o_orderdate IS NOT NULL: an undated row is unmeasurable in time
+        // and must not be filed under the late distribution (engine
+        // mirrors via the early-NULL filter)
+        "WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice) " +
+        "AND o_orderdate IS NOT NULL), " +
         "c AS (SELECT bin, CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
         "CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM f GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c) " +
@@ -380,7 +387,8 @@ object SparkEntry {
         s"SELECT '$c' AS column_name, " +
           s"CAST(least(floor($c / CAST($w AS DOUBLE)), ${nb - 1}) AS BIGINT) AS bin, " +
           "(CAST(l_shipdate AS DATE) < DATE '1995-06-01') AS early " +
-          s"FROM lineitem WHERE $c IS NOT NULL AND isfinite($c)"
+          s"FROM lineitem WHERE $c IS NOT NULL AND isfinite($c) " +
+          "AND l_shipdate IS NOT NULL"
       }.mkString(" UNION ALL ")
       s"WITH f AS ($branches), " +
         "c AS (SELECT column_name, bin, " +
@@ -716,10 +724,14 @@ object SparkEntry {
         "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t " +
         "WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey"),
     "x19_first_last_order" ->
+      // undated orders excluded — an order with no date cannot be a
+      // customer's temporally-first or -last purchase (engine mirrors;
+      // same convention as monthlyOrders)
       ("SELECT DISTINCT o_custkey, " +
         "first_value(o_totalprice) OVER w AS first_price, " +
         "last_value(o_totalprice) OVER w AS last_price " +
-        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "FROM orders WHERE o_orderdate IS NOT NULL " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_custkey"),
     "x20_nation_coverage" ->

@@ -55,9 +55,12 @@ object Features {
     * stddev_samp). Two passes: 1-row agg, then codegen'd clamp. */
   def zScoreClip(df: DataFrame, c: String, z: Double = 3.0): DataFrame = {
     // fit over observed finite values ([[finiteOrNull]]): a single NaN
-    // would otherwise make sd NaN and clip EVERY row to NaN
-    val stats = df.agg(avg(finiteOrNull(col(c))).as("m"),
-      stddev_samp(finiteOrNull(col(c))).as("sd"))
+    // would otherwise make sd NaN and clip EVERY row to NaN.
+    // `__`-prefixed internal stat names: bare "m"/"sd" collided with (and
+    // then dropped) caller columns of those names — the operator takes
+    // ANY relation (same collision rule as duplicateRowCount's __n$i)
+    val stats = df.agg(avg(finiteOrNull(col(c))).as("__zc_m"),
+      stddev_samp(finiteOrNull(col(c))).as("__zc_sd"))
     df.crossJoin(broadcast(stats))
       .withColumn(s"${c}_clipped",
         // NULL and NaN can't be meaningfully clipped into the band —
@@ -65,10 +68,10 @@ object Features {
         // order NaN greatest, so without the guard a NULL row silently
         // becomes the UPPER bound in Spark (and the LOWER one in DuckDB)
         when(col(c).isNull || isnan(col(c)), lit(null))
-          .otherwise(when(col("sd").isNull || col("sd") === 0.0, col(c))
-            .otherwise(greatest(least(col(c), col("m") + col("sd") * z),
-                                col("m") - col("sd") * z))))
-      .drop("m", "sd")
+          .otherwise(when(col("__zc_sd").isNull || col("__zc_sd") === 0.0, col(c))
+            .otherwise(greatest(least(col(c), col("__zc_m") + col("__zc_sd") * z),
+                                col("__zc_m") - col("__zc_sd") * z))))
+      .drop("__zc_m", "__zc_sd")
   }
 
   /** F8 — sigmoid (ref `data_ingestion.py:87`, label model
@@ -82,7 +85,12 @@ object Features {
     * decision granularity. */
   def quantileFlagApprox(df: DataFrame, c: String, q: Double,
                          accuracy: Int = 10000): DataFrame = {
-    val stats = df.agg(expr(s"approx_percentile($c, $q, $accuracy)").as("q_thresh"))
+    // fitted threshold over observed FINITE values, like every other fit
+    // statistic ([[finiteOrNull]] names quantile thresholds explicitly):
+    // one NaN sorts greatest, makes the approx threshold NaN, and
+    // `col > NaN` is false everywhere — a silently blind monitor
+    val stats = df.select(finiteOrNull(col(c)).as("__f"))
+      .agg(expr(s"approx_percentile(__f, $q, $accuracy)").as("q_thresh"))
     df.crossJoin(broadcast(stats))
       .withColumn("flag", (col(c) > col("q_thresh")).cast("int"))
   }

@@ -50,8 +50,14 @@ object RelationalExt {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Centered-trailing moving average (3-month window) over the monthly
-    * revenue series — window over a pre-aggregated tiny relation. */
+  /** Trailing 3-ROW moving average over the OBSERVED monthly revenue
+    * series — window over a pre-aggregated tiny relation. Row-based on
+    * purpose (the common dashboard form): a month with zero orders emits
+    * no series row, so the 3-row frame spans the last three observed
+    * months, which can cover a longer calendar span across a gap. A
+    * calendar-true 3-month frame needs a gap-filled spine first (see
+    * [[graft.operators.EventOps.gapFilledHourly]] for that pattern) or a
+    * rangeBetween over a month index. */
   def movingAvg(s: SparkSession, dir: String): DataFrame = {
     // undated orders excluded — same convention as Relational.monthlyOrders
     val monthly = Tables.orders(s, dir)
@@ -131,9 +137,14 @@ object RelationalExt {
     * (o_orderdate, o_orderkey) — instead of a window (per-partition sort)
     * followed by a `.distinct()` that shuffles one row per order back down
     * to one per customer. The (date, key) struct is unique per order, so
-    * the argmin/argmax is deterministic. */
+    * the argmin/argmax is deterministic — which assumes NON-NULL dates:
+    * undated orders are excluded (same convention as monthlyOrders; a
+    * NULL date field would otherwise sort FIRST inside Spark's struct
+    * ordering and report an undated order as the temporally-first
+    * purchase, flipping to last on engines that sort nulls last). */
   def firstLastOrder(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
+      .where(col("o_orderdate").isNotNull)
       .groupBy(col("o_custkey"))
       .agg(
         min_by(col("o_totalprice"),
@@ -225,8 +236,12 @@ object RelationalExt {
       .orderBy(col("p_brand"))
   }
 
-  /** TPC-H Q3-shaped: shipping priority — top unshipped-revenue orders for
-    * one market segment (3-way join, filter both sides, grouped top-k). */
+  /** TPC-H Q3-SHAPED (the join/group/top-k skeleton, not Q3's predicates):
+    * top revenue orders for one market segment over ALL its orders — the
+    * Q3 date filters (`o_orderdate < :date`, `l_shipdate > :date`) that
+    * would make it "unshipped revenue as of :date" are deliberately
+    * absent, so shipped orders rank too. 3-way join, one-side filter,
+    * grouped top-k. */
   def shippingPriority(s: SparkSession, dir: String, k: Int): DataFrame = {
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, dir)

@@ -47,13 +47,16 @@ object Validation {
 
   /** V4 — range predicate as min/max aggregate (ref
     * `data_ingestion.py:149-150`: tenure in [0,100], charges >= 0). */
-  def rangeProfile(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.agg(
-      round(min(col(cols.head)), 4).as(s"min_${cols.head}"),
-      cols.tail.flatMap(c => Seq(
-        round(min(col(c)), 4).as(s"min_$c"),
-        round(max(col(c)), 4).as(s"max_$c"))) :+
-        round(max(col(cols.head)), 4).as(s"max_${cols.head}"): _*)
+  def rangeProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // natural per-column (min, max) pairing — splitting the head column's
+    // min to the front and its max to the back merely satisfied agg's
+    // (first, rest*) signature while scrambling the output layout for any
+    // positional consumer
+    val exprs = cols.flatMap(c => Seq(
+      round(min(col(c)), 4).as(s"min_$c"),
+      round(max(col(c)), 4).as(s"max_$c")))
+    df.agg(exprs.head, exprs.tail: _*)
+  }
 
   /** V5 — domain predicate (ref `data_ingestion.py:151`,
     * `set(churn.unique()) <= {0,1}`): distinct values of a column, sorted. */
@@ -61,9 +64,14 @@ object Validation {
     df.select(col(c)).distinct().orderBy(col(c))
 
   /** V6 — class-balance aggregate (ref `data_ingestion.py:152-153`,
-    * `0.05 < mean(churn) < 0.95`), generalized to rate of a predicate. */
+    * `0.05 < mean(churn) < 0.95`), generalized to rate of a predicate.
+    * NULL labels carry no class: pandas `mean(churn)` SKIPS missing
+    * values, while an `otherwise(0.0)` counted every NULL as a negative
+    * and deflated the rate (a 40%-NULL feed could fail the balance gate
+    * on observed data that passes it). */
   def classBalance(df: DataFrame, c: String, positive: String): DataFrame =
-    df.agg(round(avg(when(col(c) === positive, 1.0d).otherwise(0.0d)), 6)
+    df.agg(round(avg(when(col(c) === positive, 1.0d)
+      .when(col(c).isNotNull, 0.0d)), 6)
       .as("positive_rate"))
 
   /** V8 — drift profile (ref `data_quality_dag.py:48-62`): per numeric
@@ -110,29 +118,14 @@ object Validation {
   }
 
   def psiDrift(orders: DataFrame, splitDate: String = "1998-01-01",
-               binWidth: Double = 50000.0, nBins: Int = 10): DataFrame = {
-    // localCheckpoint: counts feeds BOTH the totals aggregate and the final
-    // projection — without materializing this ≤ nBins-row relation the scan
-    // + partial aggregate would run twice (no CSE across DataFrame reuse)
-    // unmeasurable rows (NULL or non-finite value) carry no distribution
-    // mass: NULL bin, dropped, matching the oracle's IS NOT NULL +
-    // isfinite guard
-    val counts = orders.select(
-        finiteBin(col("o_totalprice"), binWidth, nBins).as("bin"),
-        (col("o_orderdate").cast("date") < lit(splitDate).cast("date")).as("early"))
-      .filter(col("bin").isNotNull)
-      .groupBy(col("bin"))
-      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))
-      .localCheckpoint(true)
-    val totals = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
-    val p = (col("n_a") + 1L).cast("double") / (col("ta") + nBins.toLong).cast("double")
-    val q = (col("n_b") + 1L).cast("double") / (col("tb") + nBins.toLong).cast("double")
-    counts.crossJoin(broadcast(totals))
-      .select(col("bin"), col("n_a"), col("n_b"),
-        Features.pround((p - q) * log(p / q), 6).as("psi_term"))
-      .orderBy(col("bin"))
-  }
+               binWidth: Double = 50000.0, nBins: Int = 10): DataFrame =
+    // the one-column case of [[psiByColumn]] — a single implementation of
+    // the Laplace-smoothed p/q/psi_term formula (two hand-kept copies of
+    // the same float math, each with its own oracle rendering, could
+    // silently fork the v9 and v10 statistics)
+    psiByColumn(orders, "o_orderdate", splitDate,
+      Map("o_totalprice" -> binWidth), nBins)
+      .drop("column_name")
 
   /** V10 — per-column PSI sweep: [[psiDrift]] generalized to every watched
     * numeric column in ONE scan. Each column gets its own fixed bin width;
@@ -198,8 +191,11 @@ object Validation {
       // null watched values produce a NULL bin, and Spark's orderBy sorts
       // nulls first while DuckDB's sorts them last — drop them on BOTH
       // sides (the oracle branches carry IS NOT NULL) instead of binning
-      // unmeasurable rows
-      .filter(col("bin").isNotNull)
+      // unmeasurable rows. A NULL timeCol is likewise unmeasurable IN
+      // TIME: `when(early,1).otherwise(...)` would silently file every
+      // undated row under the LATE distribution, skewing q and letting
+      // undated rows alone cross the retrain trigger (oracle mirrors)
+      .filter(col("bin").isNotNull && col("early").isNotNull)
       .groupBy(col("column_name"), col("bin"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("early"), 0L).otherwise(1L)).as("n_b"))

@@ -25,10 +25,16 @@ object ChurnCsv {
     StructField("churn", IntegerType, nullable = true)))
 
   /** Fail-fast CSV read: schema declared, malformed rows raise
-    * (mode=FAILFAST) rather than silently null out. */
+    * (mode=FAILFAST) rather than silently null out. enforceSchema=false
+    * so the HEADER is validated against the declared field names —
+    * Spark's default (true) discards the header row unread and maps
+    * columns by POSITION, so a column-order drift upstream (two doubles
+    * swapped) would type-check and silently train on swapped features;
+    * pandas `read_csv` (the reference) maps by header name. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      .option("enforceSchema", "false")
       .option("mode", "FAILFAST")
       .csv(path)
 

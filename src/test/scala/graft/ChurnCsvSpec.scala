@@ -23,6 +23,29 @@ class ChurnCsvSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("CSV read fails loudly on column-order drift, not silently by position") {
+    // Spark's default enforceSchema=true DISCARDS the header and maps
+    // columns positionally — two swapped double columns type-check and
+    // silently train on swapped features; the header must be validated
+    // against the declared field names (pandas read_csv maps by name)
+    val tmp = Files.createTempDirectory("graft_csv_drift").toString + "/churn"
+    val df = DataGen.generate(spark, 50, 42L)
+    // write with monthly_charges and total_charges swapped in file order
+    val swapped = ChurnCsv.schema.fieldNames.map {
+      case "monthly_charges" => "total_charges"
+      case "total_charges" => "monthly_charges"
+      case other => other
+    }
+    df.select(swapped.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val e = intercept[Exception] { ChurnCsv.read(spark, tmp).collect() }
+    // the header-mismatch error arrives wrapped in FAILED_READ_FILE —
+    // search the cause chain for the actual schema/header complaint
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString(" | ").toLowerCase
+    assert(msgs.contains("header") || msgs.contains("schema"), msgs)
+  }
+
   test("evaluation report is written by the pipeline") {
     // the shared MlPipelineSpec run writes into its own tmp dir; do a tiny
     // independent run here to keep the assertion local

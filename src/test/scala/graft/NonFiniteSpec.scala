@@ -48,6 +48,29 @@ class NonFiniteSpec extends AnyFunSuite {
     assert(!bins.contains(9L))
   }
 
+  test("quantileFlagApprox: the approx threshold fits over finite values only") {
+    import spark.implicits._
+    // NaN sorts greatest — an unguarded approx_percentile returns NaN and
+    // `v > NaN` is false everywhere: every flag 0, a silently blind monitor
+    val df = ((1 to 99).map(_.toDouble) :+ Double.NaN).toDF("v")
+    val out = Features.quantileFlagApprox(df, "v", 0.5)
+    val flagged = out.filter(col("flag") === 1).count()
+    assert(flagged > 0 && flagged < 99, s"flagged=$flagged")
+    val thr = out.select(col("q_thresh")).collect()(0).getDouble(0)
+    assert(java.lang.Double.isFinite(thr), s"threshold must be finite: $thr")
+  }
+
+  test("zScoreClip tolerates caller columns named m / sd (no capture, no clobber)") {
+    import spark.implicits._
+    // internal stat names must be collision-free: bare m/sd raised
+    // AMBIGUOUS_REFERENCE (or silently dropped the caller's columns)
+    val df = Seq((1.0, "jan", "x"), (2.0, "feb", "y"), (100.0, "mar", "z"))
+      .toDF("v", "m", "sd")
+    val out = Features.zScoreClip(df, "v")
+    assert(out.columns.contains("m") && out.columns.contains("sd"))
+    assert(out.count() == 3)
+  }
+
   test("zScoreClip: NULL and NaN rows yield NULL clipped values, never a bound") {
     val out = Features.zScoreClip(mixed, "v").select(col("id"), col("v_clipped"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap

@@ -48,6 +48,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rate > 0.05 && rate < 0.95)
   }
 
+  test("V6: NULL labels are skipped like pandas mean(), not counted as negatives") {
+    import spark.implicits._
+    // 2 positives, 2 negatives, 4 NULLs: pandas mean over observed = 0.5;
+    // an otherwise(0.0) would have returned 0.25 (NULLs as negatives)
+    val df = Seq(Option("F"), Option("F"), Option("O"), Option("O"),
+      None, None, None, None).toDF("status")
+    val rate = Validation.classBalance(df, "status", "F").collect()(0).getDouble(0)
+    assert(rate == 0.5, s"got $rate")
+  }
+
+  test("V9/V10: undated rows are unmeasurable in time — excluded, not filed as late") {
+    import spark.implicits._
+    // all values identical: the distributions agree perfectly, psi = 0.
+    // Undated rows previously landed in the late side (when/otherwise
+    // sent NULL early to the otherwise branch), inflating q and making a
+    // drift-free feed look drifted.
+    val dated = (1 to 50).map(i =>
+      (Option(java.sql.Date.valueOf(if (i % 2 == 0) "1997-01-01" else "1998-06-01")), 100.0))
+    val undated = (1 to 50).map(_ => (Option.empty[java.sql.Date], 100.0))
+    val df = (dated ++ undated).toDF("o_orderdate", "o_totalprice")
+    val terms = Validation.psiDrift(df).collect()
+    val na = terms.map(_.getAs[Long]("n_a")).sum
+    val nb = terms.map(_.getAs[Long]("n_b")).sum
+    assert(na == 25L && nb == 25L,
+      s"undated rows must not count toward either side: n_a=$na n_b=$nb")
+    assert(math.abs(terms.map(_.getAs[Double]("psi_term")).sum) < 1e-9)
+  }
+
   test("F2: right-closed bucket totality — every value gets a label") {
     val bucketed = li.select(Features.rightClosedBucket(col("l_quantity"),
       Seq(0, 10, 20, 30, 40, 50), Seq("a", "b", "c", "d", "e")).as("bkt"))
