@@ -54,7 +54,12 @@ object WinnowKernel {
     // of the naive scan exactly (property-tested against it).
     val nWin = math.max(n - w + 1, 1)
     val winLen = math.min(w, n)
-    val picked = new java.util.TreeSet[java.lang.Long]()
+    // primitive pick buffer (≤ one pick per window), sorted + deduped in
+    // place at the end — a TreeSet here boxed every pick and allocated a
+    // tree node per insert inside a per-ROW kernel on the corpus-scan hot
+    // path, pure GC churn for the identical sorted-distinct output
+    val picks = new Array[Long](nWin)
+    var nPicks = 0
     val dq = new Array[Int](n) // index deque; values strictly increase head→tail
     var head = 0; var tail = 0
     var prevPos = -1
@@ -68,7 +73,7 @@ object WinnowKernel {
     while (s < nWin) {
       while (dq(head) < s) head += 1 // evict indices left of the window
       val minPos = dq(head)
-      if (minPos != prevPos) { picked.add(grams(minPos)); prevPos = minPos }
+      if (minPos != prevPos) { picks(nPicks) = grams(minPos); nPicks += 1; prevPos = minPos }
       val np = s + winLen // extend for the next window
       if (np < n) {
         while (tail > head && grams(dq(tail - 1)) >= grams(np)) tail -= 1
@@ -76,11 +81,16 @@ object WinnowKernel {
       }
       s += 1
     }
-    val out = new Array[Long](picked.size())
-    val it = picked.iterator()
+    java.util.Arrays.sort(picks, 0, nPicks)
+    var outLen = 0
     i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    while (i < nPicks) {
+      if (outLen == 0 || picks(outLen - 1) != picks(i)) {
+        picks(outLen) = picks(i); outLen += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(picks, outLen)
   }
 }
 

@@ -99,7 +99,8 @@ object DataGen {
       count(lit(1)).as("n"),
       min("tenure").as("min_tenure"), max("tenure").as("max_tenure"),
       min("monthly_charges").as("min_mc"),
-      avg("churn").as("churn_rate")).collect()(0)
+      avg("churn").as("churn_rate"),
+      min("churn").as("min_churn"), max("churn").as("max_churn")).collect()(0)
     def fail(name: String) = throw new IllegalStateException(s"$name failed")
     if (agg.getAs[Long]("nulls") != 0L) fail("null_check")
     if (agg.getAs[Long]("n") < 100L) fail("min_rows")
@@ -107,7 +108,10 @@ object DataGen {
     if (agg.getAs[Double]("min_mc") < 0) fail("charges_positive")
     val rate = agg.getAs[Double]("churn_rate")
     if (rate <= 0.05 || rate >= 0.95) fail("class_balance")
-    val churnVals = df.select("churn").distinct().collect().map(_.getInt(0)).toSet
-    if (!churnVals.subsetOf(Set(0, 1))) fail("churn_domain")
+    // domain ⊆ {0,1} ⟺ min ≥ 0 ∧ max ≤ 1 for an int column — answered by
+    // the ONE aggregate above (the previous distinct().collect() re-scanned
+    // the whole table and shuffled, a second full job per validation)
+    if (agg.getAs[Int]("min_churn") < 0 || agg.getAs[Int]("max_churn") > 1)
+      fail("churn_domain")
   }
 }

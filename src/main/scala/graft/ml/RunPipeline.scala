@@ -36,10 +36,13 @@ object RunPipeline {
     val scores = trained.map(t => Evaluation.evaluate(t.model, testC, t.name))
     val champion = Evaluation.selectChampion(scores,
       config.championF1Threshold, config.championAucThreshold)
+    // champion's fitted model resolved ONCE for both the explain and the
+    // promote steps — a second independent lookup could throw only AFTER
+    // the explainability report was already written
+    val championModel = champion.map(c => c -> trained.find(_.name == c.name).get.model)
     // 7. explain — E1 dispatch (`explainability.py:15-39`): exact linear
     // SHAP for linear champions, exact TreeSHAP for tree ensembles
-    champion.foreach { c =>
-      val model = trained.find(_.name == c.name).get.model
+    championModel.foreach { case (c, model) =>
       // checkpointed: the sample feeds means/TreeSHAP/row-count, and a
       // Bernoulli sample re-evaluated across jobs is not guaranteed stable
       val sample = Shap.sampleRows(testC, config.shapSampleSize, config.randomState)
@@ -70,8 +73,8 @@ object RunPipeline {
     // 7b. S5 report sinks (`evaluation.py:178-204`, `explainability.py:134-156`)
     writeEvaluationReport(config, scores, champion)
     // 8. promote
-    champion.foreach { c =>
-      Deployment.promote(config.modelDir, trained.find(_.name == c.name).get.model,
+    championModel.foreach { case (c, model) =>
+      Deployment.promote(config.modelDir, model,
         preprocessor, Deployment.ChampionMeta(c.name, c.f1, c.rocAuc,
           java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).toString))
     }

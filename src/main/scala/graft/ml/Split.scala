@@ -33,14 +33,28 @@ object Split {
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(cnt))
       .localCheckpoint(true)
-    val test = ranked.filter(col("__rn") <= col("__n") * testSize).drop("__rn", "__n")
-    val train = ranked.filter(col("__rn") > col("__n") * testSize).drop("__rn", "__n")
+    // CEIL cut, like sklearn: a floor cut (`rn <= n·testSize`) gives ZERO
+    // test rows to any stratum with n < 1/testSize — the minority class
+    // silently vanishes from the test set, single-class AUC collapses to
+    // its guard value, and every model fails the champion gate with no
+    // error naming the real cause
+    val test = ranked.filter(col("__rn") <= ceil(col("__n") * testSize)).drop("__rn", "__n")
+    val train = ranked.filter(col("__rn") > ceil(col("__n") * testSize)).drop("__rn", "__n")
     (train, test)
   }
 
-  /** Stratified fold ids 0..k-1, balanced within each stratum. */
+  /** Stratified fold ids 0..k-1, balanced within each stratum.
+    *
+    * Materialized (localCheckpoint) for the same reason [[stratified]]
+    * documents: `rand(seed)` is seeded by per-partition row order, which
+    * is NOT stable across jobs. A caller's `.cache()` is no substitute —
+    * evicted or executor-lost cached partitions silently RECOMPUTE with a
+    * different row order, reassigning folds mid-grid-search (a row that
+    * trained in fold 2 is then scored as fold 0 — CV leakage). Checkpoint
+    * blocks fail loudly when lost instead of silently recomputing. */
   def foldAssign(df: DataFrame, labelCol: String, k: Int, seed: Long): DataFrame = {
     val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
     df.withColumn("fold", (row_number().over(w) % k).cast("int"))
+      .localCheckpoint(true)
   }
 }

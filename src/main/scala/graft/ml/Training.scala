@@ -103,8 +103,10 @@ object Training {
                  parallelism: Int = 4): (TrainedModel, Seq[CvResult]) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // foldAssign localCheckpoints internally (fold-id stability across the
+    // many grid×fold jobs — see its scaladoc); a .cache() on top would
+    // just store a second copy
     val folded = Split.foldAssign(train.select("features", "label"), "label", cvFolds, seed)
-      .cache()
     // regParam = 1/(C·n) must use the rows each fit actually sees: a fold
     // fit trains on (k-1)/k of the data, so passing the FULL count would
     // regularize fold models ~k/(k-1) harder than the sklearn C being
@@ -140,7 +142,9 @@ object Training {
     val best = results.zipWithIndex
       .maxBy { case (r, i) => (r.meanScore, -i) }._1
     val refit = build(name, best.params, nTrain).fit(folded).asInstanceOf[Model[_]]
-    folded.unpersist()
+    // checkpoint blocks are reference-tracked by the ContextCleaner — no
+    // explicit unpersist (and none would be safe while `refit` users can
+    // still re-trigger fold reads)
     (TrainedModel(name, best.params, best.meanScore, refit), results)
   }
 

@@ -60,7 +60,7 @@ object QualityModel {
     * label and its features cannot drift apart. */
   private def binned(docs: DataFrame): DataFrame = {
     val nTok = TextOps.tokenCount("text")
-    val nTypes = size(array_distinct(split(col("text"), " ", -1))).cast("long")
+    val nTypes = TextOps.typeCount("text")
     val r1 = TextOps.nonSpaceLen.cast("double") / nTok.cast("double")
     // NULL on empty text (see TextOps.punctRatio): fails every WHEN arm
     // below exactly as DuckDB's 0.0/0.0 NaN does → ELSE arm both engines

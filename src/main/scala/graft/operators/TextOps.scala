@@ -25,6 +25,12 @@ object TextOps {
   def tokenCount(c: String): org.apache.spark.sql.Column =
     size(split(col(c), " ", -1)).cast("long")
 
+  /** Distinct-token (type) count — the d32 numerator, SHARED with the d50
+    * quality model's type-token-ratio bin so the statistic and the model
+    * feature cannot silently drift apart. */
+  private[operators] def typeCount(c: String): org.apache.spark.sql.Column =
+    size(array_distinct(split(col(c), " ", -1))).cast("long")
+
   /** Subword-style token count: alphabetic runs, digit runs, and single
     * punctuation marks each count as a token (the BPE-pre-tokenizer
     * shape, engine-expressible as one regex extraction). Both cases in
@@ -381,10 +387,8 @@ object TextOps {
     * side, complementing [[repetitionRatio]]'s sequence side. One scan,
     * no shuffle (per-row array ops), exact integer ratio. */
   def lexicalDiversity(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("t"))).cast("long").as("n_types"))
+    docs.select(col("doc_id"),
+        tokenCount("text").as("n_tokens"), typeCount("text").as("n_types"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         Features.pround(
           col("n_types").cast("double") / col("n_tokens").cast("double"), 6)

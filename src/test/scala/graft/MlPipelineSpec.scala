@@ -70,6 +70,21 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(math.abs(testRate - trainRate) < 0.05)
   }
 
+  test("stratified split: a tiny minority stratum still reaches the test set (ceil cut)") {
+    import spark.implicits._
+    // 4 minority rows at testSize 0.2: a floor cut (4·0.2 = 0.8 → rn ≤ 0.8
+    // never true) silently produced a single-class test set — AUC
+    // collapses to its guard and every model fails the champion gate with
+    // no error naming the cause; sklearn ceils, so must we
+    val df = ((1 to 96).map(i => (i.toDouble, 0)) ++
+      (97 to 100).map(i => (i.toDouble, 1))).toDF("x", "label")
+    val (train, test) = Split.stratified(df, "label", 0.2, 42L)
+    assert(test.filter(col("label") === 1).count() == 1L,
+      "ceil(4*0.2)=1 minority test row")
+    assert(train.filter(col("label") === 1).count() == 3L)
+    assert(train.count() + test.count() == 100L)
+  }
+
   test("end-to-end: pipeline trains, selects a champion, scores bounded") {
     assert(result.nTrain + result.nTest == config.nSamples)
     assert(result.scores.nonEmpty)
