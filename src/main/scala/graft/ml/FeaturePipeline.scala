@@ -41,10 +41,18 @@ object FeaturePipeline {
       .withColumn("support_intensity",
         Features.conditionalRatio(col("num_support_tickets").cast("double"),
           col("tenure"), col("num_support_tickets").cast("double")))
-    val p75 = withRatio.agg(expr("percentile(monthly_charges, 0.75)").as("p75"))
-    withRatio.crossJoin(broadcast(p75))
-      .withColumn("high_value", (col("monthly_charges") > col("p75")).cast("int"))
-      .drop("p75")
+    // bounded-memory exact p75 (range-repartition order statistics) — the
+    // in-plan `percentile` aggregate buffered every value in ONE buffer
+    // (OOM at 100× scale). Bit-identical value (same interpolation, same
+    // NULL-skip domain — NaN additionally skipped, but a NaN here fails
+    // requireCleanNumerics/scoreJson's dirty gate before any fit reads
+    // high_value). None (no finite values, e.g. an empty batch) yields a
+    // NULL threshold → NULL high_value, the aggregate form's behavior.
+    val p75 = graft.operators.Metrics
+      .exactPercentiles(withRatio, "monthly_charges", Seq(0.75))
+      .map(_(0.75))
+    withRatio.withColumn("high_value",
+      (col("monthly_charges") > p75.map(lit).getOrElse(lit(null))).cast("int"))
   }
 
   /** Outlier clip (`feature_engineering.py:161-176`): mean±kσ clamp on the

@@ -23,9 +23,21 @@ object Dedup {
     expr(s"array_distinct(transform(sequence(0, greatest(size($toksCol) - $w, 0)), " +
       s"i -> concat_ws(' ', slice($toksCol, i + 1, $w))))")
 
-  /** Tokenize-then-shingle in two projections. */
+  /** Tokenize-then-shingle in two projections.
+    *
+    * NULL text is UNKNOWN content (the d1 convention) — excluded from the
+    * candidate pipeline up front. Dropping them here is not just semantics:
+    * a NULL text yields a NULL signature, and every band hash degenerates
+    * to the same `xxhash64(concat_ws(..., NULL))` = `xxhash64('')` value,
+    * so N hostile NULL-text rows would co-bucket in EVERY band and emit
+    * O(N²·bands) candidate pairs — all dead on arrival (their Jaccard is
+    * NULL and fails the ≥ minSim filter), but only after a quadratic
+    * self-join fan-out. The final pair set is unchanged; the blowup is
+    * gone. (SimHash needs no such guard: its NULL band value never matches
+    * an equi-join key.) */
   private def withShingles(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ", -1).as("__toks"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("__toks"))
       .select(col("doc_id"), shinglesFromTokens("__toks", w).as("sh"))
 
   /** MinHash signature over a column of PRE-HASHED shingles (array<long>):

@@ -30,9 +30,22 @@ object Metrics {
     * across partition counts). No task ever holds more than its sorted
     * partition slice. */
   def exactPercentile(df: DataFrame, valueCol: String, q: Double,
-                      partitions: Int = 32): Double = {
+                      partitions: Int = 32): Double =
+    exactPercentiles(df, valueCol, Seq(q), partitions)
+      .getOrElse(throw new IllegalArgumentException(
+        s"exactPercentile over empty relation ($valueCol)"))(q)
+
+  /** Multi-quantile form of [[exactPercentile]]: ALL requested quantiles
+    * from the SAME two passes over one sorted layout (each extra q adds
+    * only extra target ranks to the fetch pass, never another shuffle).
+    * `None` on a relation with no finite values — the caller decides
+    * whether that is an error (fit paths) or a NULL result (the in-plan
+    * `percentile` aggregate's convention on empty input). */
+  def exactPercentiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                       partitions: Int = 32): Option[Map[Double, Double]] = {
     import org.apache.spark.sql.Row
-    require(q >= 0.0 && q <= 1.0, s"percentile q out of [0,1]: $q")
+    require(qs.nonEmpty, "exactPercentiles needs at least one q")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"percentile q out of [0,1]: $q"))
     // order statistics over OBSERVED values: NULL carries none, and a
     // non-finite (NaN sorts greatest) would shift every rank —
     // SQL-aggregate/numpy-nanquantile convention, mirrored in the oracle
@@ -48,21 +61,20 @@ object Metrics {
         Iterator.single((pid, it.size.toLong))
       }.collect().sortBy(_._1)
     val n = counts.map(_._2).sum
-    require(n > 0, s"exactPercentile over empty relation ($valueCol)")
-    // 0-based global position of the exact percentile and the two
-    // straddling order statistics (Spark Percentile.getPercentile)
-    val pos = (n - 1) * q
-    val lowerRank = math.floor(pos).toLong
-    val upperRank = math.ceil(pos).toLong
-    // map each target rank to (partition, local 0-based offset)
+    if (n == 0) return None
+    // 0-based global position of each percentile and its two straddling
+    // order statistics (Spark Percentile.getPercentile)
     val offsets = counts.scanLeft(0L)(_ + _._2)
     def locate(rank: Long): (Int, Long) = {
       val pid = offsets.lastIndexWhere(_ <= rank) // offsets(pid) = first global rank in pid
       (counts(pid)._1, rank - offsets(pid))
     }
-    val targets: Map[Int, Seq[Long]] =
-      Seq(locate(lowerRank), locate(upperRank))
-        .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).distinct }
+    val wantedRanks: Seq[Long] = qs.flatMap { q =>
+      val pos = (n - 1) * q
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+    }.distinct
+    val targets: Map[Int, Seq[Long]] = wantedRanks.map(locate)
+      .groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).distinct }
     val byPart: Map[(Int, Long), Double] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         targets.get(pid) match {
@@ -75,12 +87,17 @@ object Metrics {
             }
         }
       }.collect().toMap
-    val lo = byPart(locate(lowerRank))
-    if (upperRank == lowerRank) lo
-    else {
-      val hi = byPart(locate(upperRank))
-      (upperRank - pos) * lo + (pos - lowerRank) * hi
-    }
+    Some(qs.map { q =>
+      val pos = (n - 1) * q
+      val lowerRank = math.floor(pos).toLong
+      val upperRank = math.ceil(pos).toLong
+      val lo = byPart(locate(lowerRank))
+      q -> (if (upperRank == lowerRank) lo
+            else {
+              val hi = byPart(locate(upperRank))
+              (upperRank - pos) * lo + (pos - lowerRank) * hi
+            })
+    }.toMap)
   }
 
   /** Exact global median — [[exactPercentile]] at q = 0.5. */

@@ -42,19 +42,24 @@ object Preprocess {
 
   /** M3 — RobustScaler: (x − median)/IQR, exact interpolated quantiles
     * (matches sklearn/NumPy linear interpolation and DuckDB
-    * `quantile_cont`). */
-  def robustScale(df: DataFrame, c: String, out: String): DataFrame = {
-    // finite fit domain (NaN sorts greatest → would shift every quantile)
-    val stats = df.select(Features.finiteOrNull(col(c)).as("__f"))
-      .agg(
-        expr("percentile(__f, 0.25)").as("q1"),
-        expr("percentile(__f, 0.5)").as("med"),
-        expr("percentile(__f, 0.75)").as("q3"))
-    df.crossJoin(broadcast(stats))
-      .withColumn(out, when(col("q3") === col("q1"), lit(0.0))
-        .otherwise((col(c) - col("med")) / (col("q3") - col("q1"))))
-      .drop("q1", "med", "q3")
-  }
+    * `quantile_cont`). The three quantiles come from ONE
+    * [[Metrics.exactPercentiles]] pass (range-repartition order
+    * statistics, bounded memory — the in-plan `percentile` aggregate this
+    * replaces buffered every value in ONE aggregation buffer, a guaranteed
+    * OOM at 100× scale) and enter the plan as literals; the finite fit
+    * domain is identical (finiteOrNull, NULL-skipped) and the
+    * interpolation is the same Percentile.getPercentile formula, so the
+    * result is bit-identical. An all-NULL/non-finite column fits NULL
+    * statistics — every scaled value NULL, the aggregate form's behavior. */
+  def robustScale(df: DataFrame, c: String, out: String): DataFrame =
+    Metrics.exactPercentiles(df, c, Seq(0.25, 0.5, 0.75)) match {
+      case Some(qv) =>
+        val (q1, med, q3) = (qv(0.25), qv(0.5), qv(0.75))
+        df.withColumn(out,
+          if (q3 == q1) lit(0.0) else (col(c) - med) / (q3 - q1))
+      case None =>
+        df.withColumn(out, lit(null).cast("double"))
+    }
 
   /** The fit-time category domain: distinct non-null values, sorted
     * (Java string order — the same order `.sorted` gives the encoder).

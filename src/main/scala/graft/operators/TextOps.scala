@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators for the LLM-data-pipeline
@@ -188,19 +188,61 @@ object TextOps {
     * `(1−f)·a + f·b` over integer values is exact in IEEE-754 (f is a
     * binary fraction, products and sum round-free), so DuckDB's
     * `a + (b−a)·f` formulation yields the bit-identical double — no
-    * rounding needed. Exact `percentile` buffers per-group values: groups
-    * here are languages (bounded set); the unbounded-cardinality form is
-    * `approx_percentile` ([[Features.quantileFlagApprox]] pattern). */
-  def lengthQuantiles(docs: DataFrame): DataFrame =
-    docs.groupBy(col("lang"))
-      .agg(
-        expr("percentile(n_chars, 0.25)").as("p25_chars"),
-        expr("percentile(n_chars, 0.5)").as("p50_chars"),
-        expr("percentile(n_chars, 0.75)").as("p75_chars"),
-        (expr("percentile(n_chars, 0.75)") - expr("percentile(n_chars, 0.25)"))
-          .as("iqr_chars"),
-        count(lit(1)).as("n_docs"))
+    * rounding needed.
+    *
+    * Exact with BOUNDED memory: `n_chars` is integral, so the group's value
+    * multiset compresses to a (value, count) histogram — O(distinct
+    * lengths) rows per language, bounded by the max document length, never
+    * by document count. Cumulative counts over the histogram locate each
+    * quantile's two straddling order statistics, then the identical
+    * `Percentile.getPercentile` interpolation applies — bit-equal to the
+    * single-buffer `percentile` aggregate this replaces (which buffered
+    * every per-group VALUE in one aggregation buffer: a billion-doc
+    * language would OOM its task). The lang-partitioned window runs over
+    * the compressed histogram only. NULL `n_chars` carries no length: it
+    * joins no rank (the aggregate's NULL-skip), but its documents still
+    * count in `n_docs`. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    val cntNN = when(col("n_chars").isNull, 0L).otherwise(col("cnt"))
+    val cum = hist.select(col("lang"), col("n_chars").cast("double").as("v"),
+      cntNN.as("cnt_nn"),
+      sum(cntNN).over(wCum).as("cum"),      // non-null values ≤ v (0-based rank space)
+      sum(cntNN).over(wAll).as("nv"),       // non-null value count
+      sum(col("cnt")).over(wAll).as("nd"))  // all docs (NULL n_chars included)
+    // rank r (0-based over non-null values) lives in the histogram row
+    // covering [cum − cnt_nn, cum): conditional-min fetches its value
+    def at(rank: Column): Column =
+      min(when(rank >= col("cum") - col("cnt_nn") && rank < col("cum"), col("v")))
+    def lr(q: Double): Column = floor((col("nv") - 1).cast("double") * q)
+    def ur(q: Double): Column = ceil((col("nv") - 1).cast("double") * q)
+    val agg = cum.groupBy(col("lang")).agg(
+      max(col("nv")).as("nv"), max(col("nd")).as("n_docs"),
+      at(lr(0.25)).as("lo25"), at(ur(0.25)).as("hi25"),
+      at(lr(0.5)).as("lo50"), at(ur(0.5)).as("hi50"),
+      at(lr(0.75)).as("lo75"), at(ur(0.75)).as("hi75"))
+    // Percentile.getPercentile: value at the position when integral, else
+    // (higher − pos)·lo + (pos − lower)·hi. All-NULL group → no ranks → NULL.
+    def interp(q: Double, lo: String, hi: String): Column = {
+      val pos = (col("nv") - 1).cast("double") * q
+      when(floor(pos) === ceil(pos), col(lo))
+        .otherwise((ceil(pos).cast("double") - pos) * col(lo) +
+          (pos - floor(pos).cast("double")) * col(hi))
+    }
+    agg.select(col("lang"),
+        interp(0.25, "lo25", "hi25").as("p25_chars"),
+        interp(0.5, "lo50", "hi50").as("p50_chars"),
+        interp(0.75, "lo75", "hi75").as("p75_chars"),
+        (interp(0.75, "lo75", "hi75") - interp(0.25, "lo25", "hi25")).as("iqr_chars"),
+        col("n_docs"))
       .orderBy(col("lang"))
+  }
 
   /** D5 — global top-k word bigrams (the n-gram statistic; unigrams are
     * [[tokenFrequency]]). One explode of size−1 bigrams per doc, map-side

@@ -67,9 +67,13 @@ object BloomPrune {
     val inject = mode match {
       case "on"  => true
       case "off" => false
-      case _ =>
+      case "auto" =>
         val thr = corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
         thr < 0 || small.queryExecution.optimizedPlan.stats.sizeInBytes > thr
+      case other => throw new IllegalArgumentException(
+        // loud like stageMaterialize: a typo ("On", "true") must not
+        // silently re-enter auto and change the plan the operator audited
+        s"spark.graft.bloomPrune must be on|off|auto, got '$other'")
     }
     if (!inject) corpus
     else corpus.filter(mightContain(bloomSource.getOrElse(small), key))

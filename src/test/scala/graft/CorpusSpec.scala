@@ -31,6 +31,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(res.toSeq == Seq((0L, "10:0,12:0", 40L)))
   }
 
+  test("bloomPrune conf: a typo'd mode fails loudly instead of silently re-entering auto") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "sh")
+    spark.conf.set("spark.graft.bloomPrune", "On")
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.plans.BloomPrune.pruned(df, df, "sh"))
+      assert(e.getMessage.contains("on|off|auto"))
+    } finally spark.conf.unset("spark.graft.bloomPrune")
+  }
+
   test("df cap: a boilerplate shingle shared corpus-wide creates no edges") {
     import spark.implicits._
     val boiler = (0 until 12).map(i => s"b$i").mkString(" ")

@@ -27,6 +27,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("D2 minhash: NULL-text rows produce no candidates and leave the pair set unchanged") {
+    // NULL text degenerates every band hash to the same value — without
+    // the up-front filter, N such rows co-bucket in EVERY band and emit
+    // O(N²·bands) dead candidate pairs before the jaccard filter kills
+    // them. Pin both the final pair set AND the candidate count.
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize((100L to 119L).map(i =>
+        org.apache.spark.sql.Row(i, null: String))),
+      synth.schema)
+    val poisoned = synth.unionByName(nulls)
+    val clean = Dedup.minhashNearDups(synth, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withNulls = Dedup.minhashNearDups(poisoned, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withNulls == clean)
+    assert(!withNulls.exists(p => p._1 >= 100L || p._2 >= 100L))
+  }
+
   test("D2 minhash: exact dup pair has jaccard 1.0") {
     val j = Dedup.minhashNearDups(synth, 0.5).filter(col("id_a") === 0 && col("id_b") === 3)
       .collect()(0).getAs[Double]("jaccard")

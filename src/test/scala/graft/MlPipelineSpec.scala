@@ -60,6 +60,16 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(w1 == w2)
   }
 
+  test("feature pipeline: literal-p75 high_value is bit-identical to the in-plan percentile form") {
+    val df = DataGen.generate(spark, 1500, 11L)
+    val (feat, _) = FeaturePipeline.fit(df)
+    val p75 = feat.agg(expr("percentile(monthly_charges, 0.75)")).collect()(0).getDouble(0)
+    val mismatches = feat.filter(
+      (col("monthly_charges") > p75).cast("int") =!= col("high_value")).count()
+    assert(mismatches == 0L)
+    assert(feat.filter(col("high_value").isin(0, 1)).count() == df.count())
+  }
+
   test("stratified split: per-stratum fraction preserved") {
     val (feat, _) = FeaturePipeline.fit(DataGen.generate(spark, 2000, 42L))
     val (train, test) = Split.stratified(feat.select("features", "label"), "label", 0.2, 42L)

@@ -565,6 +565,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Metrics.exactPercentile(syn, "v", 0.6, 3) == viaAggSyn)
   }
 
+  test("exactPercentiles: multi-q from one layout matches the in-plan aggregate; None iff no finite values") {
+    import spark.implicits._
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val multi = Metrics.exactPercentiles(ord, "o_totalprice", qs, 7).get
+    qs.foreach { q =>
+      val viaAgg = ord.agg(expr(s"percentile(o_totalprice, $q)")).collect()(0).getDouble(0)
+      assert(multi(q) == viaAgg, s"q=$q")
+    }
+    // the fit domain is finite-only: NULL/NaN/±Inf carry no rank
+    val dirty = Seq(Some(1.0), Some(Double.NaN), None,
+      Some(Double.PositiveInfinity), Some(3.0)).map(Tuple1(_)).toDF("v")
+    assert(Metrics.exactPercentiles(dirty, "v", Seq(0.5), 3).get(0.5) == 2.0)
+    // no finite values → None (the in-plan aggregate's NULL convention)
+    val allDirty = dirty.filter(isnan(col("v")) || col("v").isNull)
+    assert(Metrics.exactPercentiles(allDirty, "v", Seq(0.5), 3).isEmpty)
+  }
+
+  test("M3: bounded-memory robustScale is bit-identical to the in-plan percentile form") {
+    import spark.implicits._
+    val s = cust.agg(
+      expr("percentile(c_acctbal, 0.25)").as("q1"),
+      expr("percentile(c_acctbal, 0.5)").as("med"),
+      expr("percentile(c_acctbal, 0.75)").as("q3")).collect()(0)
+    val (q1, med, q3) = (s.getDouble(0), s.getDouble(1), s.getDouble(2))
+    Preprocess.robustScale(cust, "c_acctbal", "rs")
+      .select(col("c_acctbal").cast("double"), col("rs")).collect().foreach { r =>
+        val expect = if (q3 == q1) 0.0 else (r.getDouble(0) - med) / (q3 - q1)
+        assert(r.getDouble(1) == expect)
+      }
+    // constant column → 0.0 for every row (the old when(q3===q1) branch)
+    val const = Seq(Some(2.0), Some(2.0), None).map(Tuple1(_)).toDF("v")
+    assert(Preprocess.robustScale(const, "v", "rs").select("rs")
+      .collect().forall(_.getDouble(0) == 0.0))
+    // no finite fit values → NULL statistics → every scaled value NULL
+    val allNull = Seq(Option.empty[Double], Some(Double.NaN)).map(Tuple1(_)).toDF("v")
+    assert(Preprocess.robustScale(allNull, "v", "rs").select("rs")
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("D25: histogram lengthQuantiles is bit-identical to the in-plan per-group percentile form") {
+    import spark.implicits._
+    val exp = docs.groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.25)").as("p25_chars"),
+      expr("percentile(n_chars, 0.5)").as("p50_chars"),
+      expr("percentile(n_chars, 0.75)").as("p75_chars"),
+      (expr("percentile(n_chars, 0.75)") - expr("percentile(n_chars, 0.25)")).as("iqr_chars"),
+      count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val got = TextOps.lengthQuantiles(docs).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val e = exp(r.getAs[String]("lang"))
+      Seq("p25_chars", "p50_chars", "p75_chars", "iqr_chars").foreach { c =>
+        assert(r.getAs[Double](c) == e.getAs[Double](c),
+          s"${r.getAs[String]("lang")} $c")
+      }
+      assert(r.getAs[Long]("n_docs") == e.getAs[Long]("n_docs"))
+    }
+    // NULL n_chars joins no rank but still counts in n_docs; an all-NULL
+    // group reports NULL quantiles (the aggregate's convention)
+    val syn = Seq(("en", Option(10)), ("en", Option(20)), ("en", None),
+      ("xx", None)).toDF("lang", "n_chars")
+    val bySyn = TextOps.lengthQuantiles(syn).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(bySyn("en").getAs[Double]("p50_chars") == 15.0)
+    assert(bySyn("en").getAs[Long]("n_docs") == 3L)
+    assert(bySyn("xx").isNullAt(bySyn("xx").fieldIndex("p50_chars")))
+    assert(bySyn("xx").getAs[Long]("n_docs") == 1L)
+  }
+
   test("M18: declared distributed AUC form equals the windowed oracle form; plan has no window") {
     val labeled = Metrics.labeledOrders(ord)
     val declared = Metrics.aucRankDistributed(labeled, partitions = 7)
