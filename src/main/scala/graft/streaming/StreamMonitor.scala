@@ -23,13 +23,22 @@ object StreamMonitor {
   /** Keyed state carried by [[runningUserTotals]]. */
   final case class UserState(n: Long, total: Double)
 
-  /** Tumbling-window per-type counts + value stats, 2h late-data bound. */
+  /** Tumbling-window per-type counts + value stats, 2h late-data bound.
+    *
+    * The value statistics aggregate observed FINITE values only
+    * ([[graft.operators.Features.finiteOrNull]] — the engine-wide fitted-
+    * statistic rule, same as the batch profile d12): one NaN record in a
+    * window would otherwise make that window's mean NaN, and
+    * [[driftAlerts]]'s `abs(NaN − baseline) > kσ` is FALSE — a silently
+    * blind drift monitor for exactly the windows containing bad data. `n`
+    * still counts every windowed record (a poison record is present, just
+    * not averaged); an all-non-finite window reports NULL stats. */
   def hourlyProfile(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        avg(col("value")).as("mean_value"),
-        stddev_samp(col("value")).as("std_value"))
+        avg(graft.operators.Features.finiteOrNull(col("value"))).as("mean_value"),
+        stddev_samp(graft.operators.Features.finiteOrNull(col("value"))).as("std_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("mean_value"), col("std_value"))
 

@@ -114,6 +114,38 @@ class PlanLintSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("no declared query plans the single-buffer exact percentile aggregate") {
+    // Spark's exact `percentile`/`median` aggregates buffer EVERY input
+    // value of the group in ONE aggregation buffer (an OpenHashMap per
+    // buffer) — the guaranteed-OOM-at-scale class batch 7 removed from the
+    // last three fit paths. Bounded alternatives the catalog uses instead:
+    // Metrics.exactPercentiles (range-repartition order statistics, enters
+    // the plan as a literal), the (value,count)-histogram interpolation
+    // (lengthQuantiles), and approx_percentile (GK sketch — allowed here:
+    // its buffer is bounded by the accuracy knob, not the data).
+    val exactPercentileRe = "(?<![_a-zA-Z])(percentile|median)\\(".r
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        exactPercentileRe.findFirstIn(plan).map(m => name -> m).toSeq
+      } catch {
+        case e: Throwable => Seq(name -> s"plan build failed: ${e.getMessage}")
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+    // the regex must actually see the banned shape (guards a rename of the
+    // aggregate's pretty name silently blinding this lint) and must NOT
+    // fire on the bounded approx form
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val exact = Seq(1.0, 2.0).toDF("v").agg(expr("percentile(v, 0.5)"))
+      .queryExecution.executedPlan.toString
+    assert(exactPercentileRe.findFirstIn(exact).isDefined)
+    val approx = Seq(1.0, 2.0).toDF("v").agg(expr("approx_percentile(v, 0.5, 100)"))
+      .queryExecution.executedPlan.toString
+    assert(exactPercentileRe.findFirstIn(approx).isEmpty)
+  }
+
   test("v10 PSI sweep plan: one pruned lineitem scan, broadcast totals join") {
     import graft.operators.Validation
     val widths = Validation.defaultPsiWidths
@@ -158,7 +190,10 @@ class PlanLintSpec extends AnyFunSuite {
     "f5_zscore_clip" -> Set("orders"),
     "m1_standard_scale" -> Set("customer"),
     "m2_minmax_scale" -> Set("orders"),
-    "m3_robust_scale" -> Set("customer"),
+    // m3 is deliberately NOT here anymore: its fit statistics moved to the
+    // eager exactPercentiles jobs (batch 7), so the declared plan is a
+    // single literal-threshold scan — re-adding a second in-plan scan
+    // should fail this lint
     "x21_above_avg_orders" -> Set("orders"),
     "x24_union_semantics" -> Set("orders"),
     "x28_nation_pair_volume" -> Set("nation"),

@@ -294,6 +294,12 @@ class StreamingSpec extends AnyFunSuite {
     // the all-NULL record must be absent (no assignable window), the epoch
     // and pre-epoch records present
     assert(!streamed.exists(_._1 == "null"))
+    // the NaN-value record's window reports a NULL mean (fitted over finite
+    // values — there are none), never NaN: a NaN mean would silently mute
+    // driftAlerts for that window
+    val means = spark.table("fh").select(col("mean_value")).collect()
+    assert(means.forall(r => r.isNullAt(0) || !r.getDouble(0).isNaN))
+    assert(means.exists(_.isNullAt(0)), "expected the NaN-only window to report NULL mean")
     q.stop()
 
     // the other watermarked monitors survive the same poisoned source.
@@ -441,14 +447,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(wins.forall(_.getAs[Long]("n") == 1L))
     q.stop()
     // driftAlerts: baseline mean 10, sigma 1, 3σ gate → hourly mean 10.5
-    // stays silent, mean 20 alerts
+    // stays silent, mean 20 alerts. The loud window also carries one NaN
+    // record: the window mean is fitted over finite values only, so the
+    // alert STILL fires — unguarded, mean_value would be NaN and
+    // abs(NaN − 10) > 3 is false, silently muting the monitor for exactly
+    // the window containing bad data
     val input2 = MemoryStream[(Long, Timestamp, Long, String, Double)]
     val q2 = StreamMonitor.driftAlerts(
         input2.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
         baselineMean = 10.0, baselineStd = 1.0)
       .writeStream.format("memory").queryName("da").outputMode("complete").start()
     input2.addData((1L, ts(0), 1L, "quiet", 10.5), (2L, ts(1), 1L, "quiet", 10.5),
-      (3L, ts(2), 2L, "loud", 20.0), (4L, ts(3), 2L, "loud", 20.0))
+      (3L, ts(2), 2L, "loud", 20.0), (4L, ts(3), 2L, "loud", 20.0),
+      (5L, ts(4), 2L, "loud", Double.NaN))
     q2.processAllAvailable()
     val alerts = spark.table("da").select("event_type").collect().map(_.getString(0))
     assert(alerts.toSeq == Seq("loud"), alerts.mkString(", "))
