@@ -86,6 +86,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentiles multi-q equals pointwise single-q on random multisets") {
+    // small n on purpose: adjacent quantiles then SHARE straddling order
+    // statistics (floor/ceil ranks collide across q's), exercising the
+    // shared-layout rank dedup that the multi-q form adds over single-q
+    val ns = samples(Gen.chooseNum(1, 25), 10)
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val xs = samples(Gen.chooseNum(-4, 4), n).map(_.toDouble)
+      val df = xs.map(Tuple1(_)).toDF("v")
+      Seq(1, 5).foreach { p =>
+        val multi = graft.operators.Metrics.exactPercentiles(df, "v", qs, p).get
+        qs.foreach { q =>
+          val single = graft.operators.Metrics.exactPercentile(df, "v", q, p)
+          assert(multi(q) == single, s"case $i n=$n partitions=$p q=$q xs=$xs")
+        }
+      }
+    }
+  }
+
   test("sigmoid: bounded (0,1) and antisymmetric about 0.5") {
     // |x| ≤ 30: beyond ~36, 1/(1+exp(-x)) saturates to exactly 1.0 in
     // binary64 — the open-interval invariant only holds pre-saturation
