@@ -123,6 +123,18 @@ import graft.{GraftExtensions, SparkEntry}
   * shingle equijoin holds its C(maxDf,2) fan-out bound even with every
   * document in a 10-member near-dup cluster.
   *
+  * Round-14 measurement (bounded-memory exact quantiles, the `quantile`
+  * block below; all-distinct double column — the continuous-metric case):
+  * order-statistics path 1.2 / 8.7 / 25.9 s at 1M / 10M / 40M rows
+  * (linear, as the two-shuffle shape predicts) vs the single-buffer
+  * in-plan `percentile` aggregate at 3.7 / 256.8 / 248.1 s — 30× slower
+  * at 10M, where the final aggregation task merges every partial
+  * (value → count) OpenHashMap into ONE buffer, and it only completes at
+  * all because this JVM has 128 GiB; a 4–8 GiB executor task OOMs well
+  * before that. Results bit-equal at every n (probe-asserted). This is
+  * the measured justification for batch 7's rewrite of every exact-
+  * quantile fit path (m3/F3/churn-p75) onto Metrics.exactPercentiles.
+  *
   * Round-12 measurement (event-analytics family, re-probed after the
   * `ts` plans changed shape — NTZ cast replacing nanos-long
   * arithmetic): d10 0.18/0.17/1.12 s, d11 0.16/0.15/0.64 s,
@@ -143,6 +155,16 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
+    // optional block filter: `runMain graft.tools.ScaleProbe skew quantile`
+    // re-probes only the named blocks (a full run is ~15 min on a loaded
+    // host; a single block re-measure should not pay for the rest)
+    val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
+      "amp10x", "quantile")
+    args.foreach(a => require(blocks(a),
+      s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
+    def block(name: String)(body: => Unit): Unit =
+      if (args.isEmpty || args.contains(name)) body
+    block("queries") {
     val qs = Seq("d15_minhash_neardups", "d17_simhash_neardups", "d28_winnow_neardups",
       "x25_shipping_priority", "x28_nation_pair_volume",
       "x30_asof_last_order", "x34_asof_bucketed", "d43_training_sequences",
@@ -161,12 +183,13 @@ object ScaleProbe {
       val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
       println(f"[scaleprobe] $q%-24s $sf%-28s $dt%.3f s")
     }
+    }
     // the beyond-broadcast decontamination regime: broadcast disabled so
     // the bench-side join is a shuffle join, timed with the operator-
     // planted bloom prune off vs forced on — measures what the prune
     // costs/saves where it actually applies (the declared broadcast-
     // regime d44 above never injects it)
-    locally {
+    block("bloom") {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -196,7 +219,7 @@ object ScaleProbe {
     // tolerance cost, and does the chain stay sublinear across 100× data
     // with lineage kept?). releaseStages between runs per the unpersist
     // contract, so successive SFs don't accumulate DISK_ONLY blocks.
-    locally {
+    block("disk") {
       spark.conf.set("spark.graft.stageStorage", "disk")
       for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1");
            q <- Seq("d43_training_sequences", "d47_training_sequences_winnowed")) {
@@ -220,7 +243,7 @@ object ScaleProbe {
     // stage (compute-once). Checkpoint FILES are not reclaimed by
     // releaseStages (documented lifecycle contract — orchestration owns
     // the dir), so the probe uses a scratch dir deleted at the end.
-    locally {
+    block("reliable") {
       spark.conf.set("spark.graft.stageStorage", "reliable")
       val ckroot = java.nio.file.Files.createTempDirectory("graft_probe_ckpt")
       spark.sparkContext.setCheckpointDir(ckroot.toString)
@@ -258,7 +281,7 @@ object ScaleProbe {
     // stragglers). Plan-shape side is pinned in ScaleSpec ("skew
     // rehearsal" test: skew=true in the adaptive final plan, salted
     // max-partition fan-in < plain/3, all variants value-equal).
-    locally {
+    block("skew") {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
       import org.apache.spark.sql.functions._
       val ns = spark.newSession()
@@ -320,7 +343,7 @@ object ScaleProbe {
     // (= 1000× sf0.001's 500 docs). Also records the peak reliable-stage
     // checkpoint footprint per run — the number a cluster operator sizes
     // checkpoint storage with.
-    locally {
+    block("amp10x") {
       import org.apache.spark.sql.functions._
       def dirBytes(p: java.nio.file.Path): Long = {
         if (!java.nio.file.Files.exists(p)) return 0L
@@ -365,6 +388,47 @@ object ScaleProbe {
       }
       spark.conf.unset("spark.graft.stageStorage")
       rmTree(ck); rmTree(ampRoot)
+    }
+    // Bounded-memory exact quantiles (round 14, batch 7): the
+    // order-statistics path (range-repartition + two fetch jobs) vs the
+    // single-buffer in-plan `percentile` aggregate, on synthesized data
+    // well past the fixture scale (the fixtures top out at 150k rows —
+    // the buffering difference only shows with real volume). Values are
+    // deterministic (xxhash64 of the row id) and effectively ALL DISTINCT
+    // — the continuous-metric case the rewrite targets: Spark's Percentile
+    // buffers a (value → count) OpenHashMap, so its footprint is
+    // O(distinct values), which for a continuous column IS O(rows), all
+    // of it merged into the ONE final aggregation task. (With few distinct
+    // values the aggregate's map stays small and it is perfectly fine —
+    // that is the d25 histogram insight; this probe measures the case
+    // where it is not.) The order-statistics form never holds more than a
+    // sorted partition slice. Wall is the recorded signal (both are
+    // scan-bound); the probe also cross-checks the two forms bit-equal at
+    // every n.
+    block("quantile") {
+      import org.apache.spark.sql.functions._
+      val qs = Seq(0.25, 0.5, 0.75)
+      for (n <- Seq(1000000L, 10000000L, 40000000L)) {
+        val df = spark.range(n).select(xxhash64(col("id")).cast("double").as("v"))
+        var orderstat: Map[Double, Double] = null
+        var inplan: Seq[Double] = null
+        def timed(label: String)(f: => Unit): Unit = {
+          f // warm
+          val t0 = System.nanoTime(); f
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[scaleprobe] $label%-24s n=$n%-12d $dt%.3f s")
+        }
+        timed("quantile_orderstat") {
+          orderstat = graft.operators.Metrics.exactPercentiles(df, "v", qs).get
+        }
+        timed("quantile_inplan_agg") {
+          inplan = df.agg(expr(s"percentile(v, array(${qs.mkString(", ")}))"))
+            .collect()(0).getSeq[Double](0)
+        }
+        val eq = qs.zipWithIndex.forall { case (q, i) => orderstat(q) == inplan(i) }
+        println(s"[scaleprobe] quantile_bitequal        n=$n $eq")
+        require(eq, s"order-statistics quantiles diverged from the aggregate at n=$n")
+      }
     }
     spark.stop()
   }
