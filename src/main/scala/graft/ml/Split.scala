@@ -1,60 +1,122 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Seeded stratified splitting (M6) and stratified K-fold assignment (M7),
   * the Spark forms of `train_test_split(stratify=y, random_state=42)`
   * (`run_pipeline.py:51-56`) and `StratifiedKFold(n_splits, shuffle=True)`
   * (`training.py:63`).
   *
-  * Mechanism: rank rows within each label stratum by `rand(seed)` and cut
-  * by fraction / modulus. The window partitions by label (2 strata) and the
-  * per-stratum ordering is a shuffle-sort — at 100 TB prefer
-  * `sampleBy` + anti-join for the split; fold assignment with exact
-  * per-stratum balance fundamentally needs the rank (documented trade-off). */
+  * Mechanism: rank rows within each label stratum by a pinned `rand(seed)`
+  * draw and cut by fraction / modulus. The rank is computed with the
+  * repo's partition-offset order-statistics pattern
+  * ([[graft.operators.Metrics.exactPercentiles]],
+  * `RelationalExt.priceQuartiles`): range-repartition by (label, draw),
+  * sort within partitions, collect only the tiny per-(partition, stratum)
+  * counts, and assign each row `global stratum rank = stratum offset +
+  * local index`. A window partitioned by the label would instead buffer
+  * and sort EACH WHOLE STRATUM in a single task — with two churn classes
+  * that is two tasks each sorting half of the corpus, the classic
+  * 100 TB straggler (AQE splits skewed join partitions, never window
+  * partitions). Here every partition sorts only its range slice, so the
+  * split scales with the cluster. */
 object Split {
+
+  /** Rows with two appended columns: `__sr_rank` (0-based rank of the row
+    * within its label stratum, ordered by the pinned `rand(seed)` draw)
+    * and `__sr_n` (the stratum's row count).
+    *
+    * Materialization is CORRECTNESS here, twice over (the r14 batch-6b
+    * contract): (1) the `rand(seed)` draw column is pinned by an eager
+    * localCheckpoint BEFORE the range shuffle — rand is seeded by
+    * per-partition row order, which is not stable across jobs, and the
+    * range partitioner's sampling pass plus the shuffle itself are
+    * separate jobs (unpinned, they could see different draws, and a
+    * caller's `.cache()` would silently RECOMPUTE different draws on
+    * eviction — train/test overlap, CV leakage); (2) the sorted layout is
+    * RDD-localCheckpointed so the counts pass and the rank-assign pass
+    * walk the SAME physical row order. Checkpoint-block loss fails loudly
+    * instead of recomputing. */
+  private def withStratumRank(df: DataFrame, labelCol: String, seed: Long,
+                              partitions: Int = 32): DataFrame = {
+    require(!df.columns.exists(c => c == "__sr_r" || c == "__sr_rank" || c == "__sr_n"),
+      "input already carries a __sr_* working column")
+    val spark = df.sparkSession
+    val labelIdx = df.schema.fieldIndex(labelCol)
+    val pinned = df.withColumn("__sr_r", rand(seed)).localCheckpoint(true)
+    val rdd = pinned
+      .repartitionByRange(partitions, col(labelCol), col("__sr_r"))
+      .sortWithinPartitions(col(labelCol), col("__sr_r"))
+      .rdd
+    rdd.localCheckpoint() // the two passes below share this sorted layout
+    // tiny collect: one (stratum → count) map per partition. Option-wraps
+    // the label value so a NULL-label stratum is a first-class key.
+    val counts: Array[(Int, Map[Option[Any], Long])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Option[Any], Long]
+        it.foreach { r =>
+          val k = Option(r.get(labelIdx))
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        Iterator.single((pid, m.toMap))
+      }.collect()
+    val labels = counts.flatMap(_._2.keys).distinct
+    val nPerLabel: Map[Option[Any], Long] = labels.map { l =>
+      l -> counts.map(_._2.getOrElse(l, 0L)).sum
+    }.toMap
+    // stratum offset of each partition = the stratum's rows in partitions
+    // BEFORE it (range partitioning keys on (label, draw), so a stratum's
+    // rows are contiguous across the partition sequence)
+    val offsets: Map[(Int, Option[Any]), Long] = {
+      val running = scala.collection.mutable.Map.empty[Option[Any], Long]
+        .withDefaultValue(0L)
+      counts.sortBy(_._1).flatMap { case (pid, m) =>
+        m.map { case (l, c) =>
+          val off = running(l); running(l) = off + c; ((pid, l), off)
+        }
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val bcN = spark.sparkContext.broadcast(nPerLabel)
+    val outSchema = StructType(pinned.schema.filterNot(_.name == "__sr_r") ++
+      Seq(StructField("__sr_rank", LongType, nullable = false),
+        StructField("__sr_n", LongType, nullable = false)))
+    val rIdx = pinned.schema.fieldIndex("__sr_r")
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val next = scala.collection.mutable.Map.empty[Option[Any], Long]
+      it.map { r =>
+        val l = Option(r.get(labelIdx))
+        val rank = next.getOrElse(l, bcOffsets.value((pid, l)))
+        next.update(l, rank + 1L)
+        val base = r.toSeq.zipWithIndex.collect { case (v, i) if i != rIdx => v }
+        Row.fromSeq(base ++ Seq(rank, bcN.value(l)))
+      }
+    }
+    spark.createDataFrame(ranked, outSchema)
+  }
 
   /** Stratified train/test split: exact per-stratum test fraction.
     *
-    * The ranked relation is materialized (localCheckpoint) BEFORE the two
-    * complementary filters: `rand(seed)` is seeded per-partition by row
-    * order, which is not stable across jobs after a shuffle, and train and
-    * test each trigger their own job — unmaterialized, the two filters
-    * would evaluate two INDEPENDENT rankings, letting a row land in both
-    * splits (label leakage) or in neither. Pinning one ranking makes the
-    * partition provably exact. */
+    * CEIL cut, like sklearn: a floor cut (`rank+1 <= n·testSize`) gives
+    * ZERO test rows to any stratum with n < 1/testSize — the minority
+    * class silently vanishes from the test set, single-class AUC collapses
+    * to its guard value, and every model fails the champion gate with no
+    * error naming the real cause. */
   def stratified(df: DataFrame, labelCol: String, testSize: Double, seed: Long)
       : (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
-    val cnt = Window.partitionBy(col(labelCol))
-    val ranked = df
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cnt))
-      .localCheckpoint(true)
-    // CEIL cut, like sklearn: a floor cut (`rn <= n·testSize`) gives ZERO
-    // test rows to any stratum with n < 1/testSize — the minority class
-    // silently vanishes from the test set, single-class AUC collapses to
-    // its guard value, and every model fails the champion gate with no
-    // error naming the real cause
-    val test = ranked.filter(col("__rn") <= ceil(col("__n") * testSize)).drop("__rn", "__n")
-    val train = ranked.filter(col("__rn") > ceil(col("__n") * testSize)).drop("__rn", "__n")
+    val ranked = withStratumRank(df, labelCol, seed)
+    val cut = ceil(col("__sr_n") * testSize)
+    val test = ranked.filter(col("__sr_rank") + 1L <= cut).drop("__sr_rank", "__sr_n")
+    val train = ranked.filter(col("__sr_rank") + 1L > cut).drop("__sr_rank", "__sr_n")
     (train, test)
   }
 
-  /** Stratified fold ids 0..k-1, balanced within each stratum.
-    *
-    * Materialized (localCheckpoint) for the same reason [[stratified]]
-    * documents: `rand(seed)` is seeded by per-partition row order, which
-    * is NOT stable across jobs. A caller's `.cache()` is no substitute —
-    * evicted or executor-lost cached partitions silently RECOMPUTE with a
-    * different row order, reassigning folds mid-grid-search (a row that
-    * trained in fold 2 is then scored as fold 0 — CV leakage). Checkpoint
-    * blocks fail loudly when lost instead of silently recomputing. */
-  def foldAssign(df: DataFrame, labelCol: String, k: Int, seed: Long): DataFrame = {
-    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
-    df.withColumn("fold", (row_number().over(w) % k).cast("int"))
-      .localCheckpoint(true)
-  }
+  /** Stratified fold ids 0..k-1, balanced within each stratum (each fold
+    * gets every k-th rank of the stratum's pinned-random order). */
+  def foldAssign(df: DataFrame, labelCol: String, k: Int, seed: Long): DataFrame =
+    withStratumRank(df, labelCol, seed)
+      .withColumn("fold", ((col("__sr_rank") + 1L) % k).cast("int"))
+      .drop("__sr_rank", "__sr_n")
 }

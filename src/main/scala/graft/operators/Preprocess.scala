@@ -127,7 +127,7 @@ object Preprocess {
     * segment to show it). The reference uses seeded shuffling
     * (`train_test_split(random_state=42)`); cross-engine RNG equality is
     * impossible, so this is the oracle-able form. A seeded random variant
-    * with TRUE per-label stratification is [[graft.ml.Split.stratifiedSplit]]. */
+    * with TRUE per-label stratification is [[graft.ml.Split.stratified]]. */
   def stratifiedSplitByKey(df: DataFrame, key: String): DataFrame =
     df.withColumn("split",
       when(col(key) % 5 === 0, lit("test")).otherwise(lit("train")))

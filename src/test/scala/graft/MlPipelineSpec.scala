@@ -95,6 +95,41 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(train.count() + test.count() == 100L)
   }
 
+  test("stratified split/folds: exact ceil cut, disjoint cover, balanced folds, window-free plan") {
+    import spark.implicits._
+    // 3 strata (334/333/333): the partition-offset ranker must reproduce
+    // the window form's contract exactly — per-stratum test count is
+    // EXACTLY ceil(n·frac), the two sides partition the input, and fold
+    // sizes within each stratum differ by at most 1 — while planning NO
+    // window (a label-partitioned window buffers a whole stratum in one
+    // task: two tasks sorting half the corpus each at 100 TB)
+    val df = (1 to 1000).map(i => (i.toLong, i % 3)).toDF("id", "label")
+    val (train, test) = Split.stratified(df, "label", 0.25, 7L)
+    val nBy = df.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val testBy = test.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    nBy.foreach { case (l, n) =>
+      assert(testBy(l) == math.ceil(n * 0.25).toLong, s"label $l") }
+    val trainIds = train.select("id").collect().map(_.getLong(0)).toSet
+    val testIds = test.select("id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.intersect(testIds).isEmpty)
+    assert(trainIds.size + testIds.size == 1000)
+    assert(!train.queryExecution.executedPlan.toString.contains("Window"))
+    val folds = Split.foldAssign(df, "label", 4, 7L)
+    folds.groupBy("label", "fold").count().collect()
+      .groupBy(_.getInt(0)).foreach { case (l, rows) =>
+        assert(rows.length == 4, s"label $l missing folds")
+        val sizes = rows.map(_.getLong(2))
+        assert(sizes.max - sizes.min <= 1, s"label $l folds unbalanced: ${sizes.toSeq}")
+      }
+    // fold ids stable across evaluations — the CV-leakage pin (a re-run
+    // of the assign pass over the checkpointed layout must agree)
+    def ids() = folds.select("id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ids() == ids())
+  }
+
   test("end-to-end: pipeline trains, selects a champion, scores bounded") {
     assert(result.nTrain + result.nTest == config.nSamples)
     assert(result.scores.nonEmpty)
