@@ -135,6 +135,17 @@ import graft.{GraftExtensions, SparkEntry}
   * the measured justification for batch 7's rewrite of every exact-
   * quantile fit path (m3/F3/churn-p75) onto Metrics.exactPercentiles.
   *
+  * Round-14 measurement (stratified-split rank, the `split` block below;
+  * 2-class frame with a payload column, min of 2 after warmup with a
+  * block-store sweep between runs): partition-offset Split vs the
+  * per-stratum window it replaced — parity at 1M rows (1.9 vs 1.7 s),
+  * then 3.0 vs 7.8 s at 4M and 11.4 vs 31.8 s at 16M. Even on ONE
+  * machine the window's two-task stratum sort dominates by 4M rows; on a
+  * cluster the gap is the task-parallelism ratio (2 tasks vs #partitions)
+  * plus the per-task memory ceiling the window form hits first. Contract
+  * parity (exact ceil counts, disjoint cover, fold balance) is pinned in
+  * MlPipelineSpec.
+  *
   * Round-12 measurement (event-analytics family, re-probed after the
   * `ts` plans changed shape — NTZ cast replacing nanos-long
   * arithmetic): d10 0.18/0.17/1.12 s, d11 0.16/0.15/0.64 s,
@@ -159,7 +170,7 @@ object ScaleProbe {
     // re-probes only the named blocks (a full run is ~15 min on a loaded
     // host; a single block re-measure should not pay for the rest)
     val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
-      "amp10x", "quantile")
+      "amp10x", "quantile", "split")
     args.foreach(a => require(blocks(a),
       s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
     def block(name: String)(body: => Unit): Unit =
@@ -428,6 +439,54 @@ object ScaleProbe {
         val eq = qs.zipWithIndex.forall { case (q, i) => orderstat(q) == inplan(i) }
         println(s"[scaleprobe] quantile_bitequal        n=$n $eq")
         require(eq, s"order-statistics quantiles diverged from the aggregate at n=$n")
+      }
+    }
+    // Stratified-split rank (round 14): the partition-offset Split form vs
+    // the per-stratum window it replaced, on a synthesized 2-class frame
+    // (the churn shape — the worst case for the window, which buffers and
+    // sorts each WHOLE STRATUM in one task: two tasks sorting half the
+    // data each, regardless of cluster size). Contract parity (exact ceil
+    // counts, disjoint cover) is pinned in MlPipelineSpec; this block
+    // records the wall-clock shape as data grows.
+    block("split") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+        val df = spark.range(n).select(col("id"),
+          (col("id") % 10 < 3).cast("int").as("label"),
+          concat_ws("-", lit("row"), col("id"), lit("x" * 32)).as("payload"))
+        // each run localCheckpoints ~n wide rows; drop dead blocks between
+        // timed runs (unpersist + GC nudges the async ContextCleaner) so a
+        // variant is never timed under the previous one's block-store churn
+        def sweep(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc(); Thread.sleep(500)
+        }
+        def timed(label: String)(f: => Unit): Unit = {
+          f; sweep() // warm: codegen + JIT
+          val dts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); f
+            val dt = (System.nanoTime() - t0) / 1e9
+            sweep(); dt
+          }
+          println(f"[scaleprobe] $label%-24s n=$n%-12d ${dts.min}%.3f s")
+        }
+        timed("split_partition_offset") {
+          val (tr, te) = graft.ml.Split.stratified(df, "label", 0.2, 42L)
+          tr.count(); te.count()
+        }
+        timed("split_stratum_window") {
+          // the replaced form, inline for the A/B
+          val w = Window.partitionBy(col("label")).orderBy(rand(42L))
+          val cnt = Window.partitionBy(col("label"))
+          val ranked = df
+            .withColumn("__rn", row_number().over(w))
+            .withColumn("__n", count(lit(1)).over(cnt))
+            .localCheckpoint(true)
+          ranked.filter(col("__rn") > ceil(col("__n") * 0.2)).count()
+          ranked.filter(col("__rn") <= ceil(col("__n") * 0.2)).count()
+        }
       }
     }
     spark.stop()
