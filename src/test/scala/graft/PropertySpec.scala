@@ -105,6 +105,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stratified split/folds hold their contract on random geometries") {
+    // random stratum counts and sizes (including 1-row strata), random
+    // test fractions, k possibly larger than a stratum: per-stratum test
+    // count is EXACTLY ceil(n·frac), the split partitions the input, and
+    // fold sizes within each stratum differ by ≤ 1
+    val geoms = samples(for {
+      nStrata <- Gen.chooseNum(1, 4)
+      sizes <- Gen.sequence[Seq[Int], Int](Seq.fill(nStrata)(Gen.chooseNum(1, 40)))
+      frac <- Gen.oneOf(0.01, 0.2, 0.5, 0.99)
+      k <- Gen.chooseNum(2, 6)
+    } yield (sizes, frac, k), 8)
+    geoms.zipWithIndex.foreach { case ((sizes, frac, k), case_i) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, l) =>
+        (0 until n).map(i => (l.toLong * 1000 + i, l))
+      }
+      val df = rows.toDF("id", "label")
+      val (train, test) = graft.ml.Split.stratified(df, "label", frac, 7L + case_i)
+      val testBy = test.groupBy("label").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      sizes.zipWithIndex.foreach { case (n, l) =>
+        assert(testBy.getOrElse(l, 0L) == math.ceil(n * frac).toLong,
+          s"case $case_i stratum $l n=$n frac=$frac")
+      }
+      val trainIds = train.select("id").collect().map(_.getLong(0)).toSet
+      val testIds = test.select("id").collect().map(_.getLong(0)).toSet
+      assert(trainIds.intersect(testIds).isEmpty, s"case $case_i overlap")
+      assert(trainIds.size + testIds.size == rows.size, s"case $case_i cover")
+      val folds = graft.ml.Split.foldAssign(df, "label", k, 7L + case_i)
+      folds.groupBy("label", "fold").count().collect()
+        .groupBy(_.getInt(0)).foreach { case (l, fr) =>
+          val bySize = fr.map(_.getLong(2))
+          // every stratum's fold sizes differ by ≤ 1 (absent folds = 0)
+          val all = bySize ++ Seq.fill(k - bySize.length)(0L)
+          assert(all.max - all.min <= 1,
+            s"case $case_i stratum $l folds ${all.toSeq}")
+        }
+    }
+  }
+
   test("sigmoid: bounded (0,1) and antisymmetric about 0.5") {
     // |x| ≤ 30: beyond ~36, 1/(1+exp(-x)) saturates to exactly 1.0 in
     // binary64 — the open-interval invariant only holds pre-saturation
