@@ -38,16 +38,27 @@ object Split {
     * eviction — train/test overlap, CV leakage); (2) the sorted layout is
     * RDD-localCheckpointed so the counts pass and the rank-assign pass
     * walk the SAME physical row order. Checkpoint-block loss fails loudly
-    * instead of recomputing. */
+    * instead of recomputing. The pinned draw's blocks are RELEASED as soon
+    * as the sorted layout's own checkpoint materializes (the counts
+    * collect below) — repeated calls (grid search) never accumulate
+    * block-store footprint beyond one sorted layout per live result.
+    *
+    * `partitions <= 0` (default) derives the range-partition count as
+    * max(`spark.sql.shuffle.partitions`, input scan partitions), so the
+    * sort width grows with the data instead of capping at a constant. */
   private def withStratumRank(df: DataFrame, labelCol: String, seed: Long,
-                              partitions: Int = 32): DataFrame = {
+                              partitions: Int = 0): DataFrame = {
     require(!df.columns.exists(c => c == "__sr_r" || c == "__sr_rank" || c == "__sr_n"),
       "input already carries a __sr_* working column")
     val spark = df.sparkSession
     val labelIdx = df.schema.fieldIndex(labelCol)
+    val nParts =
+      if (partitions > 0) partitions
+      else math.max(spark.sessionState.conf.numShufflePartitions,
+                    df.rdd.getNumPartitions)
     val pinned = df.withColumn("__sr_r", rand(seed)).localCheckpoint(true)
     val rdd = pinned
-      .repartitionByRange(partitions, col(labelCol), col("__sr_r"))
+      .repartitionByRange(nParts, col(labelCol), col("__sr_r"))
       .sortWithinPartitions(col(labelCol), col("__sr_r"))
       .rdd
     rdd.localCheckpoint() // the two passes below share this sorted layout
@@ -62,6 +73,12 @@ object Split {
         }
         Iterator.single((pid, m.toMap))
       }.collect()
+    // the collect above materialized the sorted layout's checkpoint, which
+    // truncated its lineage to `pinned` — release the pinned draw's blocks
+    // now instead of waiting for the ContextCleaner to GC the reference
+    pinned.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
     val labels = counts.flatMap(_._2.keys).distinct
     val nPerLabel: Map[Option[Any], Long] = labels.map { l =>
       l -> counts.map(_._2.getOrElse(l, 0L)).sum
@@ -104,9 +121,9 @@ object Split {
     * class silently vanishes from the test set, single-class AUC collapses
     * to its guard value, and every model fails the champion gate with no
     * error naming the real cause. */
-  def stratified(df: DataFrame, labelCol: String, testSize: Double, seed: Long)
-      : (DataFrame, DataFrame) = {
-    val ranked = withStratumRank(df, labelCol, seed)
+  def stratified(df: DataFrame, labelCol: String, testSize: Double, seed: Long,
+                 partitions: Int = 0): (DataFrame, DataFrame) = {
+    val ranked = withStratumRank(df, labelCol, seed, partitions)
     val cut = ceil(col("__sr_n") * testSize)
     val test = ranked.filter(col("__sr_rank") + 1L <= cut).drop("__sr_rank", "__sr_n")
     val train = ranked.filter(col("__sr_rank") + 1L > cut).drop("__sr_rank", "__sr_n")
@@ -115,8 +132,9 @@ object Split {
 
   /** Stratified fold ids 0..k-1, balanced within each stratum (each fold
     * gets every k-th rank of the stratum's pinned-random order). */
-  def foldAssign(df: DataFrame, labelCol: String, k: Int, seed: Long): DataFrame =
-    withStratumRank(df, labelCol, seed)
+  def foldAssign(df: DataFrame, labelCol: String, k: Int, seed: Long,
+                 partitions: Int = 0): DataFrame =
+    withStratumRank(df, labelCol, seed, partitions)
       .withColumn("fold", ((col("__sr_rank") + 1L) % k).cast("int"))
       .drop("__sr_rank", "__sr_n")
 }

@@ -42,9 +42,17 @@ object Features {
     * the plan as a LITERAL, so the transform pass is one codegen'd scan.
     * The previous in-plan `percentile(c, q)` buffered every value in ONE
     * aggregation buffer: the exact scale-killer class `exactMedian` was
-    * built to remove (same fix as m17). */
+    * built to remove (same fix as m17).
+    *
+    * CONTRACT — eager fit at call time: this method runs the two
+    * order-statistic Spark jobs when CALLED, and the returned plan carries
+    * the threshold as a frozen literal. Re-executing that DataFrame after
+    * the underlying data changes reuses the call-time statistic (sklearn
+    * `fit`/`transform` semantics, deliberately); refit by calling again.
+    * Merely building this plan therefore costs cluster jobs — don't call
+    * it from plan-construction-only paths. */
   def quantileFlag(df: DataFrame, c: String, q: Double,
-                   partitions: Int = 32): DataFrame = {
+                   partitions: Int = 0): DataFrame = {
     val thresh = Metrics.exactPercentile(df, c, q, partitions)
     df.withColumn("q_thresh", lit(thresh))
       .withColumn("flag", (col(c) > lit(thresh)).cast("int"))

@@ -28,9 +28,16 @@ object Metrics {
     * returned directly when the position is integral — so the result is
     * bit-identical to the in-plan aggregate at ANY q (asserted in tests
     * across partition counts). No task ever holds more than its sorted
-    * partition slice. */
+    * partition slice.
+    *
+    * `partitions <= 0` (the default) derives the range-partition count from
+    * the input: max(`spark.sql.shuffle.partitions`, input scan partitions).
+    * At 100 TB a parquet scan yields O(100k) input splits, so the sorted
+    * layout keeps per-task slices at split size instead of cramming the
+    * table into a fixed 32; the result is partition-count invariant either
+    * way (order statistics, asserted across counts in OperatorsSpec). */
   def exactPercentile(df: DataFrame, valueCol: String, q: Double,
-                      partitions: Int = 32): Double =
+                      partitions: Int = 0): Double =
     exactPercentiles(df, valueCol, Seq(q), partitions)
       .getOrElse(throw new IllegalArgumentException(
         s"exactPercentile over empty relation ($valueCol)"))(q)
@@ -42,7 +49,7 @@ object Metrics {
     * whether that is an error (fit paths) or a NULL result (the in-plan
     * `percentile` aggregate's convention on empty input). */
   def exactPercentiles(df: DataFrame, valueCol: String, qs: Seq[Double],
-                       partitions: Int = 32): Option[Map[Double, Double]] = {
+                       partitions: Int = 0): Option[Map[Double, Double]] = {
     import org.apache.spark.sql.Row
     require(qs.nonEmpty, "exactPercentiles needs at least one q")
     qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"percentile q out of [0,1]: $q"))
@@ -50,15 +57,28 @@ object Metrics {
     // non-finite (NaN sorts greatest) would shift every rank —
     // SQL-aggregate/numpy-nanquantile convention, mirrored in the oracle
     // medians' `isfinite` guards
-    val vals = df.select(Features.finiteOrNull(col(valueCol).cast("double")).as("__v"))
+    val base = df.select(Features.finiteOrNull(col(valueCol).cast("double")).as("__v"))
       .filter(col("__v").isNotNull)
-      .repartitionByRange(partitions, col("__v"))
+    // derive the sorted-layout width from the data when the caller doesn't
+    // pin it: at least the shuffle default, and at least as wide as the
+    // input scan so no range partition concentrates more than ~one input
+    // split of values (a fixed 32 would at 100 TB)
+    val nParts =
+      if (partitions > 0) partitions
+      else math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
+                    base.rdd.getNumPartitions)
+    val vals = base
+      .repartitionByRange(nParts, col("__v"))
       .sortWithinPartitions(col("__v"))
     val rdd = vals.rdd
     rdd.localCheckpoint() // two passes below share the sorted layout
     val counts: Array[(Int, Long)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single((pid, it.size.toLong))
+        // Long accumulator, NOT Iterator.size: a >2^31-row partition would
+        // wrap the Int before any .toLong could save it
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator.single((pid, c))
       }.collect().sortBy(_._1)
     val n = counts.map(_._2).sum
     if (n == 0) return None
@@ -80,11 +100,18 @@ object Metrics {
         targets.get(pid) match {
           case None => Iterator.empty
           case Some(ranks) =>
+            // Long cursor, NOT zipWithIndex: the local offset must survive
+            // partitions past 2^31 rows (same overflow class as the count)
             val want = ranks.toSet
             val last = ranks.max
-            it.zipWithIndex.takeWhile(_._2 <= last).collect {
-              case (r: Row, i) if want(i.toLong) => ((pid, i.toLong), r.getDouble(0))
+            val out = Seq.newBuilder[((Int, Long), Double)]
+            var i = 0L
+            while (it.hasNext && i <= last) {
+              val r = it.next().asInstanceOf[Row]
+              if (want(i)) out += (((pid, i), r.getDouble(0)))
+              i += 1L
             }
+            out.result().iterator
         }
       }.collect().toMap
     Some(qs.map { q =>
@@ -101,7 +128,7 @@ object Metrics {
   }
 
   /** Exact global median — [[exactPercentile]] at q = 0.5. */
-  def exactMedian(df: DataFrame, valueCol: String, partitions: Int = 32): Double =
+  def exactMedian(df: DataFrame, valueCol: String, partitions: Int = 0): Double =
     exactPercentile(df, valueCol, 0.5, partitions)
 
   /** Attach binary label + rule-based prediction to orders: y = (status='F'),

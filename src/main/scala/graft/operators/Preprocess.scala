@@ -50,7 +50,14 @@ object Preprocess {
     * domain is identical (finiteOrNull, NULL-skipped) and the
     * interpolation is the same Percentile.getPercentile formula, so the
     * result is bit-identical. An all-NULL/non-finite column fits NULL
-    * statistics — every scaled value NULL, the aggregate form's behavior. */
+    * statistics — every scaled value NULL, the aggregate form's behavior.
+    *
+    * CONTRACT — eager fit at call time: the quantile jobs run when this
+    * method is CALLED and the thresholds enter the returned plan as frozen
+    * literals. Re-executing the returned DataFrame after the input data
+    * changes reuses the call-time statistics (sklearn fit/transform
+    * semantics); call again to refit. Building the plan costs cluster
+    * jobs — keep it out of plan-construction-only paths. */
   def robustScale(df: DataFrame, c: String, out: String): DataFrame =
     Metrics.exactPercentiles(df, c, Seq(0.25, 0.5, 0.75)) match {
       case Some(qv) =>
