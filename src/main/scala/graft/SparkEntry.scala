@@ -220,12 +220,18 @@ object SparkEntry {
     }),
     // rows-only: winnowing's hash family is engine-local (d28's rationale);
     // agreement with the oracle-checked exact-shingle d44 on planted leaks
-    // is ScalaTest-verified. Same pmod train/bench split as d44.
+    // AND on this real split is ScalaTest-verified. Same pmod train/bench
+    // split as d44, and k=20 CHARS to match d44's k=4-token (~5 chars/
+    // token) granularity on this synthetic corpus — the operator's
+    // production default (k=40, a 43-char leaked passage) is correct-but-
+    // empty here because the generated splits share no run that long, and
+    // an empty declared answer set would leave the bench/invariance
+    // replays exercising nothing (r14 verdict item 1)
     "d49_decontaminate_winnowed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Corpus.decontaminateWinnowed(
         docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
-        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L))
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), k = 20)
     }),
     // model-based quality scoring: count-NB distilled from the d27 gate;
     // training runs eagerly at construction (one 2x16 count aggregate),

@@ -209,28 +209,41 @@ class CorpusSpec extends AnyFunSuite {
 
   test("d49 agrees with the oracle-checked d44 on the real sf0.001 train/bench split") {
     // the declared queries at the declared pmod-97 split, on real testdata
-    // (not a synthetic fixture): d44's k=4-token shingle is the sensitive
-    // criterion, d49's 43-char winnowed run the strict one, so agreement
-    // means (a) d49 never flags a doc d44 cleared, and (b) every doc d44
-    // flags with MASSED evidence (≥ 5 shared shingles — a verbatim leaked
-    // passage; a handful of shared 4-token phrases is incidental on
-    // synthetic text and carries no 43-char run, e.g. the 2-shingle doc
-    // at sf0.01 and the 69 such docs at sf0.1) is also flagged by d49.
-    // At sf0.001 that is: d44 → {50→19, 82→20} + six 1-shingle docs;
-    // d49 → exactly {50, 82}. (Verified across SFs: at sf0.1 d44 flags
-    // 727 docs of which 2 have ≥ 5 shingles [80 and 71 — the real
-    // leaks]; d49 flags exactly those two plus one 1-fp doc d44 also
-    // flags, clearing all 724 incidental matches.)
+    // (not a synthetic fixture). The declared d49 runs at k=20 CHARS —
+    // matched granularity to d44's k=4-token shingle (~5 chars/token) —
+    // so the two detectors answer the same question with different
+    // evidence (char runs of w+k−1 = 23 chars vs exact 4-token shingles)
+    // and agreement means:
+    //  (a) every doc d44 flags with MASSED evidence (≥ 5 shared shingles —
+    //      a verbatim leaked passage) is also flagged by d49: a ≥ 5-shingle
+    //      overlap spans ≥ 8 contiguous tokens, well past 23 chars, so the
+    //      winnowing guarantee applies;
+    //  (b) d49 recalls ≥ 80 % of ALL d44-flagged docs (empirically 8/8
+    //      here, 7/8 at sf0.01, 645/727 at sf0.1 — a shared 4-token
+    //      shingle USUALLY contains a 23-char run but short tokens can
+    //      leave it just under);
+    //  (c) neither answer set is empty or degenerate (d49 flags a small
+    //      fraction of the TRAIN split — the verdict names training docs
+    //      carrying benchmark evidence — not "everything is contaminated").
+    // d49-only docs are legitimate: a shared 23-char run need not align
+    // to token boundaries, so no strict subset holds in either direction.
     val d44 = SparkEntry.queries("d44_decontaminate")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_shingles")).toMap
     val d49 = SparkEntry.queries("d49_decontaminate_winnowed")(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
     assert(d49.nonEmpty, "agreement is vacuous if the winnowed form flags nothing")
-    val d49Only = d49 -- d44.keySet
-    assert(d49Only.isEmpty, s"d49 flagged docs d44 cleared: $d49Only")
     val strong = d44.filter(_._2 >= 5).keySet
     assert(strong.nonEmpty && strong.subsetOf(d49),
       s"d44 strong-evidence docs missing from d49: ${strong -- d49}")
+    val recalled = d44.keySet & d49
+    assert(recalled.size >= math.ceil(d44.size * 0.8).toInt,
+      s"d49 recalled only ${recalled.size}/${d44.size} of d44's verdicts")
+    val trainDocs = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(97L)) =!= 0L).count()
+    assert(d49.size < trainDocs / 4,
+      s"d49 flagged ${d49.size} of $trainDocs train docs — the verdict degenerated")
   }
 
   test("stageStorage=disk: persist(DISK_ONLY) strategy produces identical output with lineage kept") {
