@@ -67,15 +67,11 @@ object Corpus {
     *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, at GC of
     *    the RDD — directory lifecycle belongs to orchestration, same as
     *    any job's scratch space. Scope of the guarantee: it covers the
-    *    STAGE relations this method materializes. Interior
-    *    materializations elsewhere in the pipeline — notably the dedup
-    *    component loop's per-round `localCheckpoint`
-    *    ([[graft.operators.Dedup.connectedComponents]]) — remain
-    *    executor-local under every strategy, so a host lost mid-loop
-    *    still fails that job; what the reliable stage buys is the RETRY
-    *    cost — orchestration's re-run resumes from the durable stage
-    *    files instead of recomputing the corpus scan and fingerprint
-    *    explode from raw input.
+    *    STAGE relations this method materializes AND the interior
+    *    per-round materializations of the dedup component loop
+    *    ([[graft.operators.Dedup.connectedComponents]]), which dispatches
+    *    each round through the same strategy — under `reliable` the whole
+    *    pipeline, loop included, survives executor-host loss.
     *
     * Both strategies yield the same single-scan dataflow and BOTH are
     * eager: under the disk strategy a `count()` materializes the blocks
@@ -100,7 +96,11 @@ object Corpus {
         val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         // register BEFORE the eager count: if the materialization job dies
         // partway, the blocks its successful tasks already stored are still
-        // tracked, so releaseStages can reclaim them on the retry path
+        // tracked, so releaseStages can reclaim them on the retry path.
+        // Loop consumers (the dedup component loop) ALSO unpersist their
+        // superseded rounds eagerly in-loop — double-unpersist is a no-op,
+        // and keeping every handle registered means the error path (loop
+        // raises mid-round) is still fully reclaimable via releaseStages.
         persistedStages.synchronized {
           persistedStages.getOrElseUpdate(df.sparkSession,
             scala.collection.mutable.Buffer.empty) += p

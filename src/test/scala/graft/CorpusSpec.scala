@@ -305,10 +305,12 @@ class CorpusSpec extends AnyFunSuite {
       finally s.close()
     }
     val beforeDirs = rddDirs
-    // the component loop localCheckpoints per round under EVERY strategy
-    // (those handles legitimately register in getPersistentRDDs), so the
-    // discriminator for "stages went to the reliable store" is that no new
-    // DISK_ONLY handle appears — that's the disk strategy's signature
+    // under reliable, every stage AND every component-loop round goes to
+    // the checkpoint dir (the transient DISK_ONLY handle that feeds each
+    // checkpoint write is unpersisted before stageMaterialize returns), so
+    // the discriminator for "stages went to the reliable store" is that no
+    // DISK_ONLY handle remains — a remaining one is the disk strategy's
+    // signature
     def diskStages = spark.sparkContext.getPersistentRDDs.values
       .filter(_.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val beforeDisk = diskStages.size

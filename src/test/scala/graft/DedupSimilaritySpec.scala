@@ -302,6 +302,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("connected components: a 3000-node chain converges inside the default " +
+      "maxIter (pointer jumping, O(log diameter) rounds)") {
+    // the pathological shape for plain min-propagation: doc i near-dup of
+    // doc i+1 only, so the min label must travel the full 2999-edge
+    // diameter — 2999 rounds without the jump, ~13 with it. The default
+    // maxIter=20 bound IS the assertion: plain propagation raises here.
+    val n = 3000L
+    val nodes = spark.range(n).select(col("id"))
+    val edges = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val labels = Dedup.connectedComponents(nodes, edges)
+    assert(labels.filter(col("comp") =!= 0L).count() == 0L)
+    assert(labels.count() == n)
+  }
+
+  test("connected components: stageStorage=disk and =reliable loop rounds " +
+      "produce identical labels, and releaseStages reclaims the disk handles") {
+    val nodes = (0L to 9L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    def run() = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run()
+    def diskStages = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    spark.conf.set("spark.graft.stageStorage", "disk")
+    try {
+      assert(run() == base)
+      // the loop materialized DISK_ONLY rounds (fault-tolerant lineage
+      // kept); superseded rounds were unpersisted in-loop, the final
+      // labels + edge list remain until the registry release
+      assert(diskStages.nonEmpty)
+      Corpus.releaseStages(spark)
+      assert(diskStages.isEmpty)
+      spark.conf.set("spark.graft.stageStorage", "reliable")
+      assert(run() == base) // rounds go to the durable checkpoint dir
+      assert(diskStages.isEmpty, "reliable rounds must not leave DISK_ONLY handles")
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+      Corpus.releaseStages(spark)
+    }
+  }
+
   test("connected components: equals driver-side union-find on real minhash pairs") {
     val pairs = Dedup.minhashNearDups(docs, 0.5)
       .select(col("id_a"), col("id_b")).collect()
