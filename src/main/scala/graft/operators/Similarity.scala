@@ -224,12 +224,28 @@ object Similarity {
 
   /** Train the IVF coarse quantizer once (capped-sample k-means) so
     * repeated [[ivfTopK]] calls amortize the index build — the production
-    * shape: build at ingest, probe at query time. */
+    * shape: build at ingest, probe at query time.
+    *
+    * The 10k training sample is the top-k by a SEEDED HASH of `vec_id`
+    * (a distributed TakeOrdered: each task keeps its local top 10k, the
+    * driver merges) — a uniform draw over the whole corpus that is
+    * deterministic under any partition count or arrival order. The
+    * obvious alternatives both fail at scale: `limit(10000)` returns
+    * whatever partitions answer first, so a range-partitioned or
+    * time-ordered corpus trains every centroid on one shard of the
+    * distribution; Bernoulli `sample(fraction, seed)` derives its stream
+    * from the partition index, so the drawn set — and therefore the
+    * centroids and every downstream cell assignment — changes when the
+    * layout does, breaking replay-identical verification. */
   def trainIvfCentroids(embeddings: DataFrame, nLists: Int,
                         seed: Long = 42L): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = indexable(embeddings)
+      .select(col("embedding"),
+        xxhash64(col("vec_id"), lit(seed)).as("__draw"))
+      .orderBy(col("__draw"))
+      .limit(10000)
       .select(col("embedding"))
-      .limit(10000).collect()
+      .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     kmeansLloyd(sample, nLists, iters = 5, seed)
   }
