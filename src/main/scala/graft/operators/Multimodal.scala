@@ -22,6 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.read/write materializes a temp file under java.io.tmpdir, so
+  // the decode/resize hot path paid one file create+write+delete per
+  // payload — pure overhead here, where payloads are already in-memory
+  // byte arrays. Switch the JVM-global default to the memory-backed cache
+  // once per executor JVM (this object initializes inside the task closure
+  // before the first decode). Trade-off is explicit: peak heap grows by
+  // one encoded payload per decode thread, which the executor already
+  // budgets for because the byte[] itself is heap-resident.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
