@@ -28,6 +28,10 @@ object SparkEntry {
     * behavior; the planted-fixture precision test exercises 2). */
   private val corpusMinShared = 1
 
+  /** Per-invocation memory-sink disambiguator for d51 (names are
+    * session-global; the value never influences the query's output). */
+  private val d51Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
@@ -267,6 +271,31 @@ object SparkEntry {
     "d10_hourly_events" -> ((s, d) => EventOps.hourlyCounts(Tables.eventsTs(s, d))),
     "d11_session_counts" -> ((s, d) => EventOps.sessionCounts(Tables.eventsTs(s, d))),
     "d12_value_profile" -> ((s, d) => EventOps.valueProfile(Tables.eventsRaw(s, d))),
+    // D7 end-to-end: a REAL Structured Streaming execution inside the
+    // driver's correctness gate — file source (schema borrowed + canonical-
+    // ized like the batch path) → watermarked tumbling-window aggregate →
+    // AvailableNow drain → complete-mode memory sink. Oracle = d10's SQL:
+    // the lambda-architecture parity contract (stream drain ≡ batch
+    // aggregate), checked against DuckDB every round. Semantics caveat,
+    // deliberate: the stream drops event times BELOW THE INITIAL WATERMARK
+    // (epoch 0) as late data — on pre-epoch corrupted-clock rows (absent
+    // from every oracle-compared fixture; planted only in the no-crash
+    // robustness gate) this query keeps fewer rows than d10, which is the
+    // streaming monitor's documented contract, not a bug.
+    "d51_stream_hourly" -> ((s, d) => {
+      val agg = graft.streaming.StreamMonitor.hourlyValueMass(
+        graft.streaming.StreamMonitor.readEventsStream(s, s"$d/events.parquet"))
+      // sink names are session-global; a fresh one per invocation lets the
+      // catalog run any number of times (bench warm + 3 timed passes, test
+      // replays) without a restart-same-sink collision
+      val sink = s"d51_sink_${d51Runs.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink).orderBy(col("hour"), col("event_type"))
+    }),
     "d13_jaccard_pairs" -> ((s, d) =>
       Similarity.jaccardPairs(Tables.documents(s, d), 60, 0.5)),
     "d14_cosine_topk" -> ((s, d) =>
@@ -1199,6 +1228,12 @@ object SparkEntry {
         "THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k, " +
         "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "d10_hourly_events" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +
+        "CAST(sum(CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS sum_value " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY hour, event_type"),
+    // the streaming drain must land exactly where the batch aggregate
+    // does — SAME oracle as d10 (lambda-architecture parity)
+    "d51_stream_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS sum_value " +
         "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY hour, event_type"),

@@ -42,6 +42,33 @@ object StreamMonitor {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("mean_value"), col("std_value"))
 
+  /** Tumbling-window per-type count + value mass — the streaming TWIN of
+    * the batch hourly aggregate (`EventOps.hourlyCounts` / declared d10):
+    * same hour bucket (`window(ts, '1 hour').start` ≡ `date_trunc('hour')`
+    * for µs timestamps), same integer-cents value sum (per-row conversion
+    * is IEEE-identical across engines and integer summation is
+    * order-independent — the x28 rule), same NULL-`ts` exclusion (made
+    * explicit here so the BATCH execution of this plan also drops them;
+    * the streaming path would drop them at the watermark anyway).
+    *
+    * Drained with `Trigger.AvailableNow` into a complete-mode sink this
+    * reproduces the batch result exactly — the lambda-architecture parity
+    * contract, which the declared `d51_stream_hourly` query checks
+    * end-to-end against d10's DuckDB oracle every round. Complete mode
+    * keeps window state for the query's life (the watermark can't evict);
+    * that is the right trade for a drain-everything batch-parity run —
+    * an always-on deployment uses append mode, where the same watermark
+    * bounds state and only sealed windows emit. */
+  def hourlyValueMass(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.where(col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.operators.Features.qlong(col("value"), 100.0)).cast("double") / 100.0)
+          .as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Sliding-window rates (1h window, 15m slide) — early-warning variant. */
   def slidingRates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
@@ -173,12 +200,26 @@ object StreamMonitor {
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
       }
+    // `basePath` must be a DIRECTORY for the micro-batch reader's
+    // partition-column inference, but FileStreamSource.getBatch force-sets
+    // basePath to the source PATH whenever that path is not a glob — so a
+    // single-file source (testdata ships events.parquet as one file) dies
+    // at micro-batch time with "Option 'basePath' must be a directory".
+    // Route around both halves: stream via an exact-match `{name}` glob
+    // (globs suppress the override) and pin basePath to the enclosing
+    // directory explicitly. Works identically for a directory source (the
+    // production landing-dir shape); no key=value segment sits between
+    // basePath and the files, so no partition columns appear either way.
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val globPath = new org.apache.hadoop.fs.Path(
+      hp.getParent, "{" + hp.getName + "}").toString
     // canonicalize exactly as the batch path: ts (normalizeTs) AND the
     // numeric widths/measures (normalizeNumeric — casts work on streaming
     // frames; without this an int32-width regeneration would break the
     // typed user_id/value reads downstream at micro-batch time)
     graft.Tables.normalizeNumeric(
-      graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir)),
+      graft.Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("basePath", hp.getParent.toString).parquet(globPath)),
       "events")
   }
 

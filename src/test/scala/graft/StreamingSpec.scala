@@ -117,6 +117,19 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("declared d51 (AvailableNow drain) reproduces the batch d10 output " +
+      "exactly — rows, order, and schema") {
+    // the lambda-parity contract the d51 oracle checks cross-engine every
+    // round, pinned engine-side here: a full end-to-end streaming
+    // execution (file source → watermarked window → complete memory sink)
+    // must land bit-identically on the batch aggregate
+    val stream = SparkEntry.queries("d51_stream_hourly")(spark, SparkFixture.sfDir)
+    val batch = SparkEntry.queries("d10_hourly_events")(spark, SparkFixture.sfDir)
+    assert(stream.schema == batch.schema)
+    assert(stream.collect().map(_.toString).toSeq ==
+      batch.collect().map(_.toString).toSeq)
+  }
+
   test("file-source stream starts on an EMPTY directory, then ingests files that land later") {
     // the normal incremental-ingestion startup order: stream first, files
     // second — schema inference has nothing to read, so readEventsStream
