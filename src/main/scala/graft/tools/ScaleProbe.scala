@@ -170,7 +170,7 @@ object ScaleProbe {
     // re-probes only the named blocks (a full run is ~15 min on a loaded
     // host; a single block re-measure should not pay for the rest)
     val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
-      "amp10x", "quantile", "split")
+      "amp10x", "quantile", "split", "crossover")
     args.foreach(a => require(blocks(a),
       s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
     def block(name: String)(body: => Unit): Unit =
@@ -399,6 +399,71 @@ object ScaleProbe {
       }
       spark.conf.unset("spark.graft.stageStorage")
       rmTree(ck); rmTree(ampRoot)
+    }
+    // Scale-path crossover (round 15): the catalog carries both the exact
+    // and the scale variant of two operator families — d43 exact-shingle
+    // vs d47 winnowed corpus chain, x30 union-window as-of vs x34
+    // time-bucketed as-of — and the declared bench (sf0.1) only shows the
+    // scale variants' FIXED overhead (they do strictly more setup work on
+    // small data). This block measures where each scale path starts to
+    // WIN: both families at sf0.01 / sf0.1 / a 10×-amplified sf0.1
+    // (documents amplified as near-dup copies exactly like the amp10x
+    // block — the densest realistic candidate graph; events amplified 10×
+    // per user with second-perturbed timestamps — 10× rows per as-of key;
+    // every other table symlinked). Default stage strategy (the bench's),
+    // min-of-2 after warmup, releaseStages between runs.
+    block("crossover") {
+      import org.apache.spark.sql.functions._
+      def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      // absolutes here carry the usual ±2-3× host noise (recorded loadavg
+      // is the discount signal); the WITHIN-run same-sf pairs are the
+      // crossover evidence
+      println("[scaleprobe] xover_loadavg " +
+        java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim)
+      val src = "/root/testdata/sf0.1"
+      val ampRoot = java.nio.file.Files.createTempDirectory("graft_xover")
+      graft.Tables.documents(spark, src)
+        .withColumn("__i", explode(array((0 until 10).map(lit): _*)))
+        .withColumn("doc_id", col("doc_id") * lit(16L) + col("__i"))
+        .withColumn("text", when(col("__i") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" dup"), col("__i").cast("string"))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$ampRoot/documents.parquet")
+      graft.Tables.eventsTs(spark, src)
+        .withColumn("__i", explode(array((0 until 10).map(lit): _*)))
+        .withColumn("event_id", col("event_id") * lit(16L) + col("__i"))
+        .withColumn("ts", timestamp_micros(
+          unix_micros(col("ts")) + col("__i").cast("long") * lit(1000000L)))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$ampRoot/events.parquet")
+      graft.Tables.names.filterNot(Set("documents", "events")).foreach { t =>
+        java.nio.file.Files.createSymbolicLink(
+          ampRoot.resolve(s"$t.parquet"),
+          java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
+      for (sf <- Seq("/root/testdata/sf0.01", src, ampRoot.toString);
+           q <- Seq("d43_training_sequences", "d47_training_sequences_winnowed",
+             "x30_asof_last_order", "x34_asof_bucketed")) {
+        def run(): Unit = {
+          SparkEntry.queries(q)(spark, sf).count()
+          graft.operators.Corpus.releaseStages(spark)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        run() // warm
+        val t0 = System.nanoTime(); run()
+        val t1 = System.nanoTime(); run()
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        val where = if (sf == ampRoot.toString) "amp10x(sf0.1)" else sf
+        println(f"[scaleprobe] xover_$q%-34s $where%-28s $dt%.3f s")
+      }
+      rmTree(ampRoot)
     }
     // Bounded-memory exact quantiles (round 14, batch 7): the
     // order-statistics path (range-repartition + two fetch jobs) vs the
