@@ -83,8 +83,16 @@ object EventOps {
     val e = eventsTs.select(col("user_id"), col("event_type"), col("ts"))
       .filter(col("event_type").isin(steps: _*))
       .localCheckpoint(true)
+    // entries carries CONVERTED users only (t reached): a user who missed
+    // step k can never reach step k+1, so keeping their NULL-t row would
+    // drag the full user population through every later checkpoint and
+    // join — at funnel depth the converted set is typically orders of
+    // magnitude smaller than the population, and the inner join below
+    // makes dropping them output-identical (an absent user aggregates to
+    // no row, exactly as a NULL t counted to nothing)
     var entries = e.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === steps.head, col("ts"))).as("t"))
+      .filter(col("t").isNotNull)
       .localCheckpoint(true)
     val perStep = Seq.newBuilder[DataFrame]
     def stepCount(i: Int, name: String, df: DataFrame): DataFrame =
@@ -95,6 +103,7 @@ object EventOps {
       entries = e.join(entries, "user_id")
         .groupBy(col("user_id"))
         .agg(min(when(col("event_type") === step && col("ts") > col("t"), col("ts"))).as("t"))
+        .filter(col("t").isNotNull)
         .localCheckpoint(true)
       perStep += stepCount(i, step, entries)
     }

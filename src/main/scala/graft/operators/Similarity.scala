@@ -33,8 +33,13 @@ object Similarity {
     * double precision. Uses the native [[graft.functions.CosineSimilarity]]
     * codegen expression when the session has graft extensions registered
     * (one fused loop, no allocation); otherwise the composed higher-order
-    * form. Both produce bit-identical doubles (same accumulation order,
-    * null on length mismatch or null element).
+    * form. Both produce bit-identical doubles on well-formed vectors (same
+    * accumulation order, null on length mismatch or null element). They
+    * diverge ONLY on non-finite elements and zero norms: the native form
+    * returns NULL (undefined similarity — a NaN would rank above every
+    * real one in a descending top-k), where the composed form lets the
+    * raw NaN/±Inf arithmetic through; every declared query runs with
+    * extensions registered, so the catalog always gets the NULL contract.
     * Resolves the ACTIVE session — a hard-coded None here used to make the
     * native branch unreachable from this public entry point. */
   def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
