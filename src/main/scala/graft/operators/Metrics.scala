@@ -59,14 +59,7 @@ object Metrics {
     // medians' `isfinite` guards
     val base = df.select(Features.finiteOrNull(col(valueCol).cast("double")).as("__v"))
       .filter(col("__v").isNotNull)
-    // derive the sorted-layout width from the data when the caller doesn't
-    // pin it: at least the shuffle default, and at least as wide as the
-    // input scan so no range partition concentrates more than ~one input
-    // split of values (a fixed 32 would at 100 TB)
-    val nParts =
-      if (partitions > 0) partitions
-      else math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
-                    base.rdd.getNumPartitions)
+    val nParts = derivedPartitions(base, partitions)
     val vals = base
       .repartitionByRange(nParts, col("__v"))
       .sortWithinPartitions(col("__v"))
@@ -130,6 +123,18 @@ object Metrics {
   /** Exact global median — [[exactPercentile]] at q = 0.5. */
   def exactMedian(df: DataFrame, valueCol: String, partitions: Int = 0): Double =
     exactPercentile(df, valueCol, 0.5, partitions)
+
+  /** Range-sort width for the order-statistics passes when the caller
+    * doesn't pin one (`partitions <= 0`, every default): at least the
+    * shuffle default, and at least as wide as the relation's own scan so
+    * no range partition concentrates more than ~one input split — a fixed
+    * constant would cram a 100 TB table into that many sort tasks. The
+    * results of every consumer are partition-count invariant (order
+    * statistics / rank offsets), so the derivation affects cost only. */
+  private def derivedPartitions(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
+                  df.rdd.getNumPartitions)
 
   /** Attach binary label + rule-based prediction to orders: y = (status='F'),
     * yhat = price > global median. The median comes from [[exactMedian]]
@@ -221,7 +226,7 @@ object Metrics {
     * oracle's SQL; the two are bit-equal (asserted across partition
     * counts). Rounding is the identical IEEE pround(6) formula applied in
     * driver scalar arithmetic. */
-  def aucRankDistributed(labeled: DataFrame, partitions: Int = 32): DataFrame = {
+  def aucRankDistributed(labeled: DataFrame, partitions: Int = 0): DataFrame = {
     val v = aucDistributed(labeled, partitions)
     val rounded = math.floor(v * 1e6 + 0.5) / 1e6
     labeled.sparkSession.range(1).select(lit(rounded).as("auc"))
@@ -233,10 +238,11 @@ object Metrics {
     * with cumulative offsets: a positive at local rank r in partition p has
     * global rank r + Σ_{q<p} n_q. Two passes, no single-partition stage;
     * bit-identical to the windowed [[aucRank]] (asserted in tests). */
-  def aucDistributed(labeled: DataFrame, partitions: Int = 32): Double = {
+  def aucDistributed(labeled: DataFrame, partitions: Int = 0): Double = {
     import org.apache.spark.sql.Row
-    val sorted = labeled.select(col("y"), col("o_totalprice"), col("o_orderkey"))
-      .repartitionByRange(partitions, col("o_totalprice"), col("o_orderkey"))
+    val base = labeled.select(col("y"), col("o_totalprice"), col("o_orderkey"))
+    val sorted = base
+      .repartitionByRange(derivedPartitions(base, partitions), col("o_totalprice"), col("o_orderkey"))
       .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
     val perPart: Array[(Int, Long, Long, Long)] = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -269,12 +275,12 @@ object Metrics {
     * range-repartition by score (ties co-locate — range boundaries fall
     * between distinct values), per-partition group walk, driver combine
     * with cumulative offsets. No single-partition stage. */
-  def aucDistributedMidrank(labeled: DataFrame, partitions: Int = 32,
+  def aucDistributedMidrank(labeled: DataFrame, partitions: Int = 0,
                             scoreCol: String = "o_totalprice"): Double = {
     import org.apache.spark.sql.Row
     val grouped = labeled.groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("c"), sum(col("y").cast("long")).as("p"))
-    val sorted = grouped.repartitionByRange(partitions, col("s"))
+    val sorted = grouped.repartitionByRange(derivedPartitions(grouped, partitions), col("s"))
       .sortWithinPartitions(col("s"))
     val perPart: Array[(Int, Long, Long, Double)] = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -342,7 +348,7 @@ object Metrics {
     * mean. Scale: one scan + a 10-key aggregate; the median comes from
     * [[exactMedian]] (bounded memory). */
   def calibrationBins(orders: DataFrame, scale: Double = 10000.0,
-                      partitions: Int = 32): DataFrame = {
+                      partitions: Int = 0): DataFrame = {
     val med = exactMedian(orders, "o_totalprice", partitions)
     orders.select(
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
