@@ -256,6 +256,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native signature kernels: interpreted eval ≡ codegen projection " +
+      "(simhash_bits, minhash_signature, hyperplane_bits)") {
+    // the cosine/winnow/shingle kernels have this pin already; these three
+    // hand-write their generated code separately from nullSafeEval, so a
+    // divergence would silently split behavior between codegen'd plans and
+    // interpreted contexts (filter estimation, partial fallback)
+    import org.apache.spark.sql.{GraftColumnBridge, Row}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val hashSchema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("hs", ArrayType(LongType, containsNull = true))))
+    val hashRows: Seq[Seq[Any]] = Seq(
+      Seq(1L, 2L, 3L), Seq(-5L, null, 42L) /* null slot skipped */, Seq.empty)
+    val hdf = spark.createDataFrame(
+      java.util.Arrays.asList(hashRows.zipWithIndex.map {
+        case (a, i) => Row(i.toLong, a) }: _*), hashSchema)
+    def arrLit(a: Seq[Any]): Literal =
+      Literal.create(a, ArrayType(LongType, containsNull = true))
+        .asInstanceOf[Literal]
+
+    val simCg = hdf.select(col("id"), GraftColumnBridge.column(
+        graft.functions.SimhashBits(GraftColumnBridge.expression(col("hs")))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hashRows.zipWithIndex.foreach { case (a, i) =>
+      val ev = graft.functions.SimhashBits(arrLit(a)).eval(null)
+      assert(ev == simCg(i.toLong), s"simhash mismatch on row $i")
+    }
+
+    val mhCg = hdf.select(col("id"), GraftColumnBridge.column(
+        graft.functions.MinhashSignature(
+          GraftColumnBridge.expression(col("hs")), 16)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    hashRows.zipWithIndex.foreach { case (a, i) =>
+      val ev = graft.functions.MinhashSignature(arrLit(a), 16).eval(null)
+        .asInstanceOf[GenericArrayData].toLongArray.toSeq
+      assert(ev == mhCg(i.toLong), s"minhash mismatch on row $i")
+    }
+
+    val planes = Seq(Seq(1.0, -2.0, 0.5), Seq(-1.0, 0.0, 3.0))
+    val vecSchema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("x", ArrayType(FloatType, containsNull = true))))
+    val vecRows: Seq[Seq[Any]] = Seq(
+      Seq(1.0f, 2.0f, 3.0f),
+      Seq(-1.0f, 0.5f, 0.25f),
+      Seq(1.0f, 2.0f),              // wrong dimension → null
+      Seq(1.0f, Float.NaN, 3.0f),   // non-finite element → null
+      Seq(1.0f, null, 3.0f))        // null element → null
+    val vdf = spark.createDataFrame(
+      java.util.Arrays.asList(vecRows.zipWithIndex.map {
+        case (a, i) => Row(i.toLong, a) }: _*), vecSchema)
+    val hpCg = vdf.select(col("id"), GraftColumnBridge.column(
+        graft.functions.HyperplaneBits(
+          GraftColumnBridge.expression(col("x")), planes)).as("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    vecRows.zipWithIndex.foreach { case (a, i) =>
+      val lit = Literal.create(a, ArrayType(FloatType, containsNull = true))
+      val ev = graft.functions.HyperplaneBits(lit, planes).eval(null)
+      assert(ev == hpCg(i.toLong), s"hyperplane mismatch on row $i")
+    }
+    assert(hpCg(2L) == null && hpCg(3L) == null && hpCg(4L) == null)
+  }
+
   test("winnow_fingerprints: wrong arity and non-foldable args raise analysis errors") {
     import org.apache.spark.sql.AnalysisException
     val df = Seq((1L, "some text here")).toDF("id", "text")
