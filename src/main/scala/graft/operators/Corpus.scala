@@ -80,6 +80,17 @@ object Corpus {
     * fire their first actions concurrently — lazy persist would let both
     * race to compute the stage.
     *
+    * Strategy choice is a PERFORMANCE knob too, not only durability: on a
+    * dup-dense 50k-doc corpus (ScaleProbe's 10×-amplified sf0.1) the d43
+    * chain measured ~39 s under the default `local` strategy vs 12.8 s
+    * under `reliable` — the default's localCheckpoint holds the exploded
+    * fingerprint stage as MEMORY_AND_DISK deserialized blocks, which
+    * thrash the heap once the candidate graph is dense, where
+    * disk/reliable hold serialized/file blocks. For large dup-dense
+    * corpora prefer `disk` or `reliable`: simultaneously fault-tolerant
+    * AND faster; the in-memory default is for interactive/small runs
+    * (where it wins on fixed cost — see the r13 parity figures).
+    *
     * Unpersist contract (disk strategy): persisted stage blocks outlive
     * the returned DataFrames — Spark only drops them at unpersist or
     * session end — so repeated pipeline invocations in one long-lived
