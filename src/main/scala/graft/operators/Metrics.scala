@@ -131,7 +131,7 @@ object Metrics {
     * constant would cram a 100 TB table into that many sort tasks. The
     * results of every consumer are partition-count invariant (order
     * statistics / rank offsets), so the derivation affects cost only. */
-  private def derivedPartitions(df: DataFrame, partitions: Int): Int =
+  private[operators] def derivedPartitions(df: DataFrame, partitions: Int): Int =
     if (partitions > 0) partitions
     else math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
                   df.rdd.getNumPartitions)
