@@ -250,9 +250,15 @@ object Dedup {
     * reclaimed at context stop or by reference-tracked cleanup). All
     * three strategies produce identical labels.
     *
-    * Raises if `maxIter` rounds don't reach the fixpoint. */
+    * Raises if `maxIter` rounds don't reach the fixpoint. The default cap
+    * is sized to the DOUBLING bound, not typical graphs: rounds ≈
+    * ⌈log₂(diameter)⌉ + O(1), so 64 covers any graph addressable by a
+    * 64-bit id (a 2⁶⁰-node chain included) — and since the loop exits at
+    * the fixpoint, the generous cap costs nothing on the 2–3-round
+    * clusters real near-dup evidence produces. A cap of 20 would be a
+    * cliff at ~10⁶-node pathological chains (21 doubling rounds). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 64): DataFrame = {
     val strategy = nodes.sparkSession.conf
       .getOption("spark.graft.stageStorage").getOrElse("local")
     def mat(df: DataFrame): DataFrame = Corpus.stageMaterialize(df)

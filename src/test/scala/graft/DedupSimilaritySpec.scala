@@ -366,17 +366,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
-  test("connected components: a 3000-node chain converges inside the default " +
-      "maxIter (pointer jumping, O(log diameter) rounds)") {
+  test("connected components: a 3000-node chain converges inside 20 rounds " +
+      "(pointer jumping, O(log diameter) rounds)") {
     // the pathological shape for plain min-propagation: doc i near-dup of
     // doc i+1 only, so the min label must travel the full 2999-edge
-    // diameter — 2999 rounds without the jump, ~13 with it. The default
+    // diameter — 2999 rounds without the jump, ~13 with it. The explicit
     // maxIter=20 bound IS the assertion: plain propagation raises here.
+    // (The DEFAULT cap is 64 — the doubling bound for any 64-bit-id graph;
+    // this test pins the logarithmic round count, not the default.)
     val n = 3000L
     val nodes = spark.range(n).select(col("id"))
     val edges = spark.range(n - 1)
       .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
-    val labels = Dedup.connectedComponents(nodes, edges)
+    val labels = Dedup.connectedComponents(nodes, edges, maxIter = 20)
     assert(labels.filter(col("comp") =!= 0L).count() == 0L)
     assert(labels.count() == n)
   }
