@@ -294,7 +294,13 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      s.table(sink).orderBy(col("hour"), col("event_type"))
+      // s.table resolves the memory relation into the plan NOW, so the
+      // catalog entry can be dropped before returning — zero catalog
+      // residue per invocation (the withViews convention); the sink's
+      // rows stay referenced by the resolved plan
+      val out = s.table(sink).orderBy(col("hour"), col("event_type"))
+      s.catalog.dropTempView(sink)
+      out
     }),
     "d13_jaccard_pairs" -> ((s, d) =>
       Similarity.jaccardPairs(Tables.documents(s, d), 60, 0.5)),
