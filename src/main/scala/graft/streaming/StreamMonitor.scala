@@ -176,8 +176,14 @@ object StreamMonitor {
     * no per-reader option for it), so setting it here affects every later
     * parquet read of a TIMESTAMP(NANOS) column in this session — the same
     * contract `Tables.eventsRaw` already establishes for the batch path;
-    * this dataset's sessions opt into it globally. */
-  def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    * this dataset's sessions opt into it globally.
+    *
+    * `options` passes extra reader options through (rate limits like
+    * `maxFilesPerTrigger` — the production backfill throttle); `basePath`
+    * is applied AFTER them and cannot be overridden (it is load-bearing
+    * for the single-file glob workaround below). */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       options: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Empty source directory at startup is the NORMAL incremental-ingestion
@@ -219,6 +225,7 @@ object StreamMonitor {
     // typed user_id/value reads downstream at micro-batch time)
     graft.Tables.normalizeNumeric(
       graft.Tables.normalizeTs(spark.readStream.schema(schema)
+        .options(options)
         .option("basePath", hp.getParent.toString).parquet(globPath)),
       "events")
   }

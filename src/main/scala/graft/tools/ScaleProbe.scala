@@ -380,25 +380,30 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$ampRoot/documents.parquet")
       spark.conf.set("spark.graft.stageStorage", "reliable")
       val ck = java.nio.file.Files.createTempDirectory("graft_amp_ckpt")
-      for (sf <- Seq("/root/testdata/sf0.1", ampRoot.toString);
-           q <- Seq("d43_training_sequences", "d47_training_sequences_winnowed")) {
-        def run(): Unit = {
-          SparkEntry.queries(q)(spark, sf).count()
-          graft.operators.Corpus.releaseStages(spark)
+      // try/finally: a failing query run must not leak the ~10× amplified
+      // temp dataset (or the checkpoint dir) under java.io.tmpdir
+      try {
+        for (sf <- Seq("/root/testdata/sf0.1", ampRoot.toString);
+             q <- Seq("d43_training_sequences", "d47_training_sequences_winnowed")) {
+          def run(): Unit = {
+            SparkEntry.queries(q)(spark, sf).count()
+            graft.operators.Corpus.releaseStages(spark)
+          }
+          rmTree(ck); java.nio.file.Files.createDirectories(ck)
+          spark.sparkContext.setCheckpointDir(ck.toString)
+          run() // warm
+          rmTree(ck); java.nio.file.Files.createDirectories(ck)
+          spark.sparkContext.setCheckpointDir(ck.toString)
+          val t0 = System.nanoTime(); run()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val ckMb = dirBytes(ck) / 1e6
+          val label = q.take(3) + (if (sf == ampRoot.toString) "_amp10x_rel" else "_sf0.1_rel")
+          println(f"[scaleprobe] $label%-24s $sf%-40s $dt%.3f s ckptMB=$ckMb%.1f")
         }
-        rmTree(ck); java.nio.file.Files.createDirectories(ck)
-        spark.sparkContext.setCheckpointDir(ck.toString)
-        run() // warm
-        rmTree(ck); java.nio.file.Files.createDirectories(ck)
-        spark.sparkContext.setCheckpointDir(ck.toString)
-        val t0 = System.nanoTime(); run()
-        val dt = (System.nanoTime() - t0) / 1e9
-        val ckMb = dirBytes(ck) / 1e6
-        val label = q.take(3) + (if (sf == ampRoot.toString) "_amp10x_rel" else "_sf0.1_rel")
-        println(f"[scaleprobe] $label%-24s $sf%-40s $dt%.3f s ckptMB=$ckMb%.1f")
+      } finally {
+        spark.conf.unset("spark.graft.stageStorage")
+        rmTree(ck); rmTree(ampRoot)
       }
-      spark.conf.unset("spark.graft.stageStorage")
-      rmTree(ck); rmTree(ampRoot)
     }
     // Scale-path crossover (round 15): the catalog carries both the exact
     // and the scale variant of two operator families — d43 exact-shingle
@@ -427,6 +432,10 @@ object ScaleProbe {
         java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim)
       val src = "/root/testdata/sf0.1"
       val ampRoot = java.nio.file.Files.createTempDirectory("graft_xover")
+      // try/finally from creation: a failure anywhere (including the
+      // amplified writes themselves) must not leak the ~10× documents +
+      // events copies under java.io.tmpdir
+      try {
       graft.Tables.documents(spark, src)
         .withColumn("__i", explode(array((0 until 10).map(lit): _*)))
         .withColumn("doc_id", col("doc_id") * lit(16L) + col("__i"))
@@ -463,7 +472,7 @@ object ScaleProbe {
         val where = if (sf == ampRoot.toString) "amp10x(sf0.1)" else sf
         println(f"[scaleprobe] xover_$q%-34s $where%-28s $dt%.3f s")
       }
-      rmTree(ampRoot)
+      } finally rmTree(ampRoot)
     }
     // Bounded-memory exact quantiles (round 14, batch 7): the
     // order-statistics path (range-repartition + two fetch jobs) vs the

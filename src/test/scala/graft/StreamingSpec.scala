@@ -130,6 +130,53 @@ class StreamingSpec extends AnyFunSuite {
       batch.collect().map(_.toString).toSeq)
   }
 
+  test("declared d52 (session-window drain + batch rollup) reproduces the " +
+      "batch d11 output exactly — rows, order, and schema") {
+    // the stateful-session lambda-parity contract the d52 oracle checks
+    // cross-engine every round, pinned engine-side here: streaming
+    // session_window sessionization drained complete-mode must roll up to
+    // the batch lag-rule sessionization (the two gap rules differ only at
+    // an exactly-30-min gap, absent from the fixture at every SF)
+    val stream = SparkEntry.queries("d52_stream_sessions")(spark, SparkFixture.sfDir)
+    val batch = SparkEntry.queries("d11_session_counts")(spark, SparkFixture.sfDir)
+    assert(stream.schema.map(f => (f.name, f.dataType)) ==
+      batch.schema.map(f => (f.name, f.dataType)))
+    assert(stream.collect().map(_.toString).toSeq ==
+      batch.collect().map(_.toString).toSeq)
+  }
+
+  test("multi-micro-batch drain (maxFilesPerTrigger=1) reaches the same " +
+      "complete-mode fixpoint as the batch aggregate") {
+    // d51's declared drain happens to fit one micro-batch (one source
+    // file); a production backfill is MANY files rate-limited by
+    // maxFilesPerTrigger, so the parity contract must hold at the END of
+    // a multi-batch drain too — complete mode re-emits full state every
+    // batch and drops nothing, so the last emission must equal the batch
+    // answer regardless of how the input was sliced into micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_multi")
+    val batchEvents = Tables.eventsTs(spark, SparkFixture.sfDir)
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir.toString)
+    val nFiles = dir.toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 4, s"fixture split produced only $nFiles files")
+    val q = StreamMonitor.hourlyValueMass(
+        StreamMonitor.readEventsStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1")))
+      .writeStream.format("memory").queryName("mfpt").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the rate limit actually sliced the drain: one micro-batch per file
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 data micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val streamed = spark.table("mfpt").collect().map(_.toString).sorted.toSeq
+    spark.catalog.dropTempView("mfpt")
+    val batch = graft.operators.EventOps.hourlyCounts(batchEvents)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    q.stop()
+  }
+
   test("file-source stream starts on an EMPTY directory, then ingests files that land later") {
     // the normal incremental-ingestion startup order: stream first, files
     // second — schema inference has nothing to read, so readEventsStream
