@@ -264,6 +264,22 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
         k = Corpus.matchedWinnowCharK(4))
     }),
+    // rows-only: d49's audit companion — the training docs carrying a
+    // bench fingerprint that d49's maxDf stop-cap excluded from the
+    // verdict (mass-leaked passage OR shared boilerplate; train-df alone
+    // cannot distinguish, so these are the docs to escalate to the exact
+    // d44 pass). Same split and matched granularity as d49. EMPTY on the
+    // clean fixture BY DESIGN (nothing is mass-leaked); the gate's
+    // planted-leak arm (tools/mass_leak_fixture.py, 60 train carriers >
+    // maxDf=50) is the driver-visible evidence that the view fires —
+    // CorpusSpec additionally pins plant→detect→escalate end-to-end
+    "d53_mass_contamination_suspects" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.massContaminationSuspects(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+        k = Corpus.matchedWinnowCharK(4))
+    }),
     // model-based quality scoring: count-NB distilled from the d27 gate;
     // training runs eagerly at construction (one 2x16 count aggregate),
     // the declared plan is the zero-shuffle literal-weight score projection

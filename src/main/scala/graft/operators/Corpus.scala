@@ -59,6 +59,89 @@ object Corpus {
   def matchedWinnowCharK(shingleTokens: Int): Int =
     shingleTokens * charsPerToken
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Thread-scoped stage-strategy override, set by the corpus pipeline's
+    * dense-corpus auto-selection ([[denseCorpusStrategy]]) for the
+    * duration of ONE pipeline construction. A DynamicVariable, not a
+    * session conf write: concurrent pipeline invocations on the same
+    * session (ConcurrencySpec's regime) must not see each other's
+    * decisions. All the pipeline's materializations are EAGER, so the
+    * `withValue` scope covers every storage decision of the run. */
+  private[graft] val stageStrategyOverride =
+    new scala.util.DynamicVariable[Option[String]](None)
+
+  /** The measured dup-density knee (ScaleProbe's 10×-amplified sf0.1,
+    * SURVEY §7.5 item 5): past ~1 candidate edge per kept doc the default
+    * localCheckpoint strategy holds the exploded evidence stages as
+    * deserialized heap blocks and thrashes (d43 chain: 39 s local vs
+    * 12.8 s reliable), while serialized/file blocks (`disk`/`reliable`)
+    * are simultaneously FASTER and fault-tolerant. Normal corpora sit
+    * ~0.1 edges/doc, clone-dense ones 4.5+ — the knee separates the
+    * regimes by >40×, so estimator noise cannot flip a clear case. */
+  private[graft] val denseKneeEdgesPerDoc = 1.0
+
+  /** Probe sampling fraction: the density estimate runs the pipeline's
+    * own edge evidence on a seeded-hash 10% doc sample, pricing the probe
+    * at ~10% of the evidence stage (within-group pairs scale p², hence
+    * the 1/p de-bias in [[denseCorpusStrategy]]). */
+  private[graft] val denseProbeFraction = 10L // 1-in-10 via pmod
+
+  /** Corpus-size floor for the UNSET-conf auto probe: below this the
+    * whole pipeline is interactive-scale, where the in-memory default
+    * wins on fixed cost (the r13 parity figures) and the probe would
+    * cost more than any possible win. `stageStorage=auto` skips the
+    * floor (probe regardless — the testable surface). */
+  private[graft] val denseProbeMinDocs = 20000L
+
+  /** Dense-corpus strategy auto-selection — the mechanism form of the
+    * crossover-probe recommendation (previously scaladoc-only): when the
+    * operator of a 100 TB run has NOT chosen a stage-storage strategy,
+    * estimate the near-dup candidate-pair density from a deterministic
+    * seeded-hash 10% sample run through the pipeline's own edge evidence
+    * (`edgesOf` — exact shingles or winnowed fingerprints alike), and
+    * switch the run to the `disk` strategy past [[denseKneeEdgesPerDoc]],
+    * with a logged warning naming the override knob.
+    *
+    * Decision table: explicit `local`/`disk`/`reliable` → always honored
+    * (returns None). Unset → probe only at ≥ [[denseProbeMinDocs] docs
+    * (one cheap base-table count below that). `auto` → probe always.
+    * `disk`, not `reliable`, is what auto selects: equally heap-safe,
+    * and it must not fail a run whose orchestration never called
+    * `setCheckpointDir`. Determinism: the sample is a pmod of
+    * xxhash64(doc_id) — layout- and partition-count-invariant, so the
+    * decision (and therefore every declared query's output) replays
+    * identically under the invariance gate. */
+  private[graft] def denseCorpusStrategy(
+      docs0: DataFrame, edgesOf: DataFrame => DataFrame): Option[String] = {
+    val conf = docs0.sparkSession.conf.getOption("spark.graft.stageStorage")
+    val explicitAuto = conf.contains("auto")
+    if (conf.isDefined && !explicitAuto) return None
+    if (!explicitAuto && docs0.count() < denseProbeMinDocs) return None
+    val sampled = docs0.filter(TextOps.qualityKeep)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(pmod(xxhash64(col("doc_id"), lit(9173L)),
+        lit(denseProbeFraction)) === 0L)
+    val nSample = sampled.count()
+    if (nSample == 0L) return if (explicitAuto) Some("local") else None
+    val sampleEdges = edgesOf(sampled).count()
+    // pairs within a clone group survive a p-sample at rate p², docs at
+    // rate p → edges/doc on the sample underestimates the true density by
+    // a factor of p; de-bias by 1/p (= denseProbeFraction)
+    val density = sampleEdges.toDouble * denseProbeFraction / nSample
+    if (density >= denseKneeEdgesPerDoc) {
+      log.warn(
+        f"graft: dup-dense corpus detected (est. $density%.1f candidate " +
+          f"edges/doc from a 1-in-$denseProbeFraction%d sample, knee " +
+          f"$denseKneeEdgesPerDoc%.1f) — selecting stageStorage=disk for " +
+          "this pipeline run (serialized DISK_ONLY stages: measured ~3x " +
+          "faster than the in-memory default on dup-dense corpora AND " +
+          "fault-tolerant; set spark.graft.stageStorage explicitly to " +
+          "override, and call Corpus.releaseStages when done)")
+      Some("disk")
+    } else if (explicitAuto) Some("local") else None
+  }
+
   /** Materializes a pipeline-stage intermediate that feeds 2+ consumers,
     * so the work above it runs exactly once. Two strategies:
     *
@@ -125,8 +208,15 @@ object Corpus {
     * release empties the block store). The default local strategy needs
     * no release beyond what the block manager reclaims. */
   private[graft] def stageMaterialize(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.stageStorage")
+    stageStrategyOverride.value
+      .orElse(df.sparkSession.conf.getOption("spark.graft.stageStorage"))
       .getOrElse("local") match {
+      // bare `auto` outside a corpus-pipeline entry (an operator like
+      // connectedComponents invoked directly): no density probe ran, so
+      // no decision exists — fall back to the default. The pipeline
+      // entries always install a resolved override before their first
+      // materialization, so `auto` never reaches here from them.
+      case "auto" => df.localCheckpoint(true)
       case "disk" =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         // register BEFORE the eager count: if the materialization job dies
@@ -172,8 +262,9 @@ object Corpus {
         throw new IllegalArgumentException(
           s"spark.graft.stageStorage='$other' is not a strategy: use " +
             "'local' (default, executor-local checkpoint), 'disk' " +
-            "(DISK_ONLY persist, releaseStages reclaims), or 'reliable' " +
-            "(durable checkpoint, requires setCheckpointDir)")
+            "(DISK_ONLY persist, releaseStages reclaims), 'reliable' " +
+            "(durable checkpoint, requires setCheckpointDir), or 'auto' " +
+            "(corpus pipelines probe dup density and pick local vs disk)")
     }
 
   /** Disk-strategy stage handles per session, so [[releaseStages]] can
@@ -320,6 +411,12 @@ object Corpus {
                                      chunkTokens: Int = 50, stride: Int = 40,
                                      budget: Int = 512,
                                      docsPerGroup: Int = 50): Stages = {
+    // dense-corpus auto-selection BEFORE the first materialization, so
+    // the decision covers every stage of the run (see
+    // [[denseCorpusStrategy]]); every materialization below is eager,
+    // hence inside the withValue scope
+    val chosen = denseCorpusStrategy(docs0, edgesOf)
+    stageStrategyOverride.withValue(chosen.orElse(stageStrategyOverride.value)) {
     // one base-table scan, materialized: feeds the edge evidence, the
     // winner join, and chunking (three consumers — without this the scan
     // would re-run per consumer; plan-asserted in CorpusSpec)
@@ -339,6 +436,7 @@ object Corpus {
     val chunks = TextOps.chunkDocs(mixed, chunkTokens, stride)
     Stages(kept, deduped, mixed, chunks,
       TextOps.packChunks(chunks, budget, docsPerGroup))
+    }
   }
 
   /** Stage-attrition audit — the observability view every production

@@ -259,8 +259,11 @@ object Dedup {
     * cliff at ~10⁶-node pathological chains (21 doubling rounds). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 64): DataFrame = {
-    val strategy = nodes.sparkSession.conf
-      .getOption("spark.graft.stageStorage").getOrElse("local")
+    // same resolution order as stageMaterialize: a corpus-pipeline
+    // density decision (thread-scoped override) outranks the session conf
+    val strategy = Corpus.stageStrategyOverride.value
+      .orElse(nodes.sparkSession.conf.getOption("spark.graft.stageStorage"))
+      .getOrElse("local")
     def mat(df: DataFrame): DataFrame = Corpus.stageMaterialize(df)
     val sym = mat(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))

@@ -280,6 +280,60 @@ class CorpusSpec extends AnyFunSuite {
         s"|winnowed|=${ww.size}, overlap=${(we & ww).size})")
   }
 
+  test("auto stage strategy: a dup-dense corpus selects disk by itself; " +
+      "a sparse one stays local; explicit settings are honored") {
+    import spark.implicits._
+    // 100 clone-groups of 10 near-identical docs (the amp10x shape at
+    // fixture scale): every group contributes C(10,2)=45 candidate edges,
+    // so the true density is ~4.5 edges/doc — far past the 1.0 knee. The
+    // 1-in-10 xxhash64 sample keeps ~100 of the 1000 docs; surviving
+    // within-group pairs de-bias back over the knee (deterministic for
+    // this fixed id set — the sample is a pure function of doc_id).
+    val dense = (0L until 1000L).map { i =>
+      val g = i / 10
+      val toks = (0 until 15).map(j => s"grp$g-tok$j").mkString(" ")
+      (i, s"$toks tail$i", "en", "srcX", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sparse = (0L until 1000L).map { i =>
+      (i, (0 until 15).map(j => s"doc$i-tok$j").mkString(" "), "en", "srcX", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def diskStages = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.getStorageLevel ==
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    def runAndCollectDisk(docs: org.apache.spark.sql.DataFrame): Int = {
+      Corpus.releaseStages(spark)
+      val before = diskStages.size
+      Corpus.trainingSequences(docs, Map.empty).count()
+      val n = diskStages.size - before
+      Corpus.releaseStages(spark)
+      n
+    }
+    spark.conf.set("spark.graft.stageStorage", "auto")
+    try {
+      assert(runAndCollectDisk(dense) > 0,
+        "dense corpus under auto did not select the disk strategy")
+      assert(runAndCollectDisk(sparse) == 0,
+        "sparse corpus under auto must stay on the local default")
+      // explicit local wins over the density evidence — the operator's
+      // choice is never second-guessed
+      spark.conf.set("spark.graft.stageStorage", "local")
+      assert(runAndCollectDisk(dense) == 0,
+        "explicit stageStorage=local was overridden by the auto probe")
+      // output parity: the auto-selected disk run computes the same answer
+      spark.conf.set("spark.graft.stageStorage", "auto")
+      val auto = Corpus.trainingSequences(dense, Map.empty)
+        .collect().map(_.toString).sorted.toSeq
+      Corpus.releaseStages(spark)
+      spark.conf.set("spark.graft.stageStorage", "local")
+      val local = Corpus.trainingSequences(dense, Map.empty)
+        .collect().map(_.toString).sorted.toSeq
+      assert(auto == local)
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+      Corpus.releaseStages(spark)
+    }
+  }
+
   test("stageStorage=disk: persist(DISK_ONLY) strategy produces identical output with lineage kept") {
     import spark.implicits._
     val shared = (0 until 30).map(i => s"pers$i").mkString(" ")

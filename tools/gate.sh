@@ -15,6 +15,12 @@
 #                          decimal|intflip)
 #   5. chained_all_drifts  full replay against the composed
 #                          decimal→intflip→embdouble→nanos fixture
+#   6. mass_leak_sf0.001   full replay against the planted mass-leak
+#                          fixture (tools/mass_leak_fixture.py: one
+#                          benchmark passage in > maxDf train docs) PLUS
+#                          the d53 nonempty check — the audit view must
+#                          name the planted carriers that d49's maxDf cap
+#                          deliberately reports clean
 #
 # Every arm runs even if an earlier one fails; the summary prints one
 # PASS/FAIL line per arm and the script exits 1 if ANY failed.
@@ -67,6 +73,32 @@ for a in decimal intflip embdouble nanos; do
   src="$SCRATCH/chain_$a"
 done
 [ "$chain_ok" = 1 ] && verify_against "chained_all_drifts" "$src"
+
+# planted mass-leak arm: full replay must stay green AND the d53 suspect
+# view must be nonempty, naming exactly the planted train carriers
+if python3 tools/mass_leak_fixture.py /root/testdata/sf0.001 "$SCRATCH/leak" >/dev/null; then
+  verify_against "mass_leak_sf0.001" "$SCRATCH/leak"
+  arm "mass_leak_d53_nonempty" python3 - "$SCRATCH/v_mass_leak_sf0.001" <<'PYEOF'
+import sys
+import pyarrow.dataset as ds
+def ids_of(q):
+    return {r["doc_id"] for r in
+            ds.dataset(f"{sys.argv[1]}/{q}").to_table().to_pylist()}
+suspects = ids_of("d53_mass_contamination_suspects")
+planted = set(range(1000, 1060))  # the planted train carriers
+missing = planted - suspects
+assert not missing, f"d53 missed {len(missing)} planted carriers: {sorted(missing)[:5]}"
+# the false-negative mode itself: the capped d49 verdict must report the
+# planted carriers CLEAN (their fps are stop-capped) — exactly why the
+# audit view has to exist
+leaked_into_verdict = planted & ids_of("d49_decontaminate_winnowed")
+assert not leaked_into_verdict, \
+    f"d49 flagged planted mass-leak docs (cap not engaged): {sorted(leaked_into_verdict)[:5]}"
+print(f"d53 named all {len(planted)} planted carriers; d49 (capped) reported them clean")
+PYEOF
+else
+  RESULTS+=("FAIL  mass_leak_fixture_build"); fail=1
+fi
 
 echo
 echo "== [gate] summary"
