@@ -59,6 +59,24 @@ object Corpus {
   def matchedWinnowCharK(shingleTokens: Int): Int =
     shingleTokens * charsPerToken
 
+  /** Winnowing window width at FP-DENSITY PARITY with exact token
+    * shingling: winnowing keeps ~2/(w+1) of the char k-grams (~1 per
+    * char), exact shingling emits 1 fp per token (~1/[[charsPerToken]]
+    * per char), so 2/(w+1) = 1/charsPerToken → w = 2·charsPerToken − 1 =
+    * 9. Below this (the old w=4) the "scale path" ships ~2× the exact
+    * path's join rows — measured at the 10×-amplified dup-dense knee:
+    * w=4 ran 1.07× SLOWER than the exact pipeline (39.2 s vs 36.6 s),
+    * w=9 1.7× cheaper (21.1 s) at 98.3% winner agreement, w=19 2.2×
+    * cheaper (16.9 s) but with 28% extra winners (missed merges — the
+    * sparser selection drops sub-span shared runs). w=9 is where the
+    * winnowed pipeline is simultaneously cheaper at scale AND
+    * agreement-tight; at fixture scale (sf0.001/sf0.01) its winner set
+    * is bit-identical to exact d43's, same as w=4 (WinnowKProbe sweeps,
+    * round 16). Detection guarantee at the declared granularity: any
+    * shared run of w+k−1 = 68 chars (≈ 13.6 tokens vs d43's 12-token
+    * evidence bar) still collides. */
+  def matchedWinnowW: Int = 2 * charsPerToken - 1
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Thread-scoped stage-strategy override, set by the corpus pipeline's
@@ -111,7 +129,15 @@ object Corpus {
     * `setCheckpointDir`. Determinism: the sample is a pmod of
     * xxhash64(doc_id) — layout- and partition-count-invariant, so the
     * decision (and therefore every declared query's output) replays
-    * identically under the invariance gate. */
+    * identically under the invariance gate.
+    *
+    * Scope note: the override covers every [[stageMaterialize]] call of
+    * the run — the kept relation, the exact path's exploded shingle
+    * stages, and the component loop's per-round labels. The winnowed
+    * path's interior `localCheckpoint`s ([[Dedup.winnowNearDups]]) stay
+    * in-memory by design: winnowing already ships ~2/(w+1) of the
+    * fingerprint density, and the measured knee that motivates the
+    * switch is the exact path's uncapped shingle stage. */
   private[graft] def denseCorpusStrategy(
       docs0: DataFrame, edgesOf: DataFrame => DataFrame): Option[String] = {
     val conf = docs0.sparkSession.conf.getOption("spark.graft.stageStorage")
@@ -512,11 +538,16 @@ object Corpus {
     * NOT lower it casually: short char k-grams make every common word
     * pair near-dup evidence and the dedup stage collapses the corpus to
     * a handful of winners (the measured k=8 degeneracy documented at
-    * [[charsPerToken]]). */
+    * [[charsPerToken]]). `w` defaults to [[matchedWinnowW]] = 9 — the
+    * fp-density-parity point where this path is measured CHEAPER than
+    * the exact pipeline at the dup-dense knee (the old w=4 shipped 2×
+    * the exact path's rows and ran slower than it — see the figures on
+    * [[matchedWinnowW]]). */
   def trainingSequencesWinnowed(docs0: DataFrame,
                                 rates: Map[String, Double],
                                 minShared: Int = 2,
-                                k: Int = matchedWinnowCharK(12), w: Int = 4,
+                                k: Int = matchedWinnowCharK(12),
+                                w: Int = matchedWinnowW,
                                 maxDf: Int = 50,
                                 chunkTokens: Int = 50, stride: Int = 40,
                                 budget: Int = 512,
