@@ -369,8 +369,18 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5)),
     "d17_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), 8)),
+    // declared at matched granularity k = matchedWinnowCharK(4) = 20
+    // chars (the d49/d53 constant): at the operator-default k=8 every
+    // shared word pair is a "rare fingerprint" on this corpus and the
+    // answer degenerated to 58% of ALL doc pairs (72,685 rows at sf0.01 —
+    // the d47/d49 vacuity class, caught by the round-16 self-review); at
+    // k=20 a pair needs 3 independently-shared 23-char runs, the
+    // passage-level evidence the operator is for. w stays 4: substring
+    // plagiarism detection wants recall (span w+k-1 = 23 chars), not the
+    // fp-density parity of the d47 corpus path.
     "d28_winnow_neardups" -> ((s, d) =>
-      Dedup.winnowNearDups(Tables.documents(s, d), minShared = 3)),
+      Dedup.winnowNearDups(Tables.documents(s, d), minShared = 3,
+        k = Corpus.matchedWinnowCharK(4))),
     "d18_multimodal_meta" -> ((s, d) =>
       Multimodal.metaSummary(Multimodal.assetsFromDocuments(Tables.documents(s, d)))),
     "d29_unigram_surprisal" -> ((s, d) =>
