@@ -99,4 +99,47 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(rows == serial(n), s"$n diverged under concurrency")
     }
   }
+
+  test("auto stage strategy is per-invocation under concurrency: a dense " +
+      "pipeline's disk decision never leaks into a parallel sparse one") {
+    // the reason denseCorpusStrategy's override is a DynamicVariable and
+    // not a session-conf write: two threads of one application running
+    // corpus pipelines over different data must each get the strategy
+    // THEIR corpus warrants. Dense fixture = 100 clone-groups of 10
+    // (density ~4.5 edges/doc, past the knee); sparse = 1000 distinct
+    // docs. Run both concurrently under stageStorage=auto, repeatedly,
+    // and assert outputs match their serial results — plus the serial
+    // selection evidence (dense → DISK_ONLY stages, sparse → none),
+    // which the auto-strategy CorpusSpec test pins in isolation.
+    val dense = (0L until 1000L).map { i =>
+      val g = i / 10
+      val toks = (0 until 15).map(j => s"cgrp$g-tok$j").mkString(" ")
+      (i, s"$toks ctail$i", "en", "srcX", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sparse = (0L until 1000L).map { i =>
+      (i, (0 until 15).map(j => s"cdoc$i-tok$j").mkString(" "), "en", "srcX", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    spark.conf.set("spark.graft.stageStorage", "auto")
+    try {
+      def run(docs: org.apache.spark.sql.DataFrame): Seq[String] =
+        operators.Corpus.trainingSequences(docs, Map.empty)
+          .collect().map(_.toString).sorted.toSeq
+      val serialDense = run(dense)
+      val serialSparse = run(sparse)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(4))
+      val futs = for (_ <- 1 to 2) yield Seq(
+        Future(("dense", run(dense))), Future(("sparse", run(sparse))))
+      Await.result(Future.sequence(futs.flatten), 10.minutes).foreach {
+        case ("dense", rows) => assert(rows == serialDense,
+          "dense pipeline diverged under concurrent auto selection")
+        case (_, rows) => assert(rows == serialSparse,
+          "sparse pipeline diverged under concurrent auto selection")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.stageStorage")
+      operators.Corpus.releaseStages(spark)
+    }
+  }
 }

@@ -242,7 +242,11 @@ class PlanLintSpec extends AnyFunSuite {
       // encode side of the BPE merge loop (same rationale as d46)
       "d48_bpe_token_counts",
       // winnowed decontamination (same rationale as d47)
-      "d49_decontaminate_winnowed")
+      "d49_decontaminate_winnowed",
+      // d49's audit companion (same engine-local hash family); empty on
+      // the clean fixture BY DESIGN — its evidence is the gate's planted
+      // mass-leak arm, which asserts it names every planted carrier
+      "d53_mass_contamination_suspects")
     assert(rowsOnly == documented,
       s"undocumented rows-only: ${rowsOnly -- documented}; stale: ${documented -- rowsOnly}")
   }
