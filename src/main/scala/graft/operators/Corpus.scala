@@ -137,7 +137,17 @@ object Corpus {
     * path's interior `localCheckpoint`s ([[Dedup.winnowNearDups]]) stay
     * in-memory by design: winnowing already ships ~2/(w+1) of the
     * fingerprint density, and the measured knee that motivates the
-    * switch is the exact path's uncapped shingle stage. */
+    * switch is the exact path's uncapped shingle stage.
+    *
+    * Estimator bias, deliberate: the edge evidence runs with the
+    * pipeline's own `maxDf` cap, but on the sample a df threshold of m
+    * corresponds to ~m/p docs corpus-wide — boilerplate shared by
+    * m..m/p docs survives the sampled cap while the real run would drop
+    * it, so the estimate errs HIGH on boilerplate-heavy corpora. That
+    * direction is safe: a false trigger selects the strategy that is
+    * also the fault-tolerant one, at a measured ~fixed cost for
+    * non-dense runs; a false negative (missing a dense corpus) is the
+    * expensive mistake, and the 40× regime gap keeps it out of reach. */
   private[graft] def denseCorpusStrategy(
       docs0: DataFrame, edgesOf: DataFrame => DataFrame): Option[String] = {
     val conf = docs0.sparkSession.conf.getOption("spark.graft.stageStorage")
