@@ -898,7 +898,7 @@ object SparkEntry {
       ("WITH s AS (SELECT quantile_cont(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 0.25) AS q1, " +
         "quantile_cont(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 0.5) AS med, " +
         "quantile_cont(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 0.75) AS q3 FROM customer) " +
-        "SELECT c_custkey, " + pr("CASE WHEN q3 = q1 THEN 0.0 ELSE (c_acctbal - med) / (q3 - q1) END", 6) + " AS acctbal_rs " +
+        "SELECT c_custkey, " + pr("(c_acctbal - med) / (CASE WHEN q3 = q1 THEN 1.0 ELSE q3 - q1 END)", 6) + " AS acctbal_rs " +
         "FROM customer, s ORDER BY c_custkey"),
     // static form enumerates the clean fixture's domain (AUTOMOBILE
     // dropped as first); Verify overlays the fit-time-aware regeneration

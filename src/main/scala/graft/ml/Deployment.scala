@@ -17,8 +17,18 @@ object Deployment {
   final case class ChampionMeta(modelName: String, f1: Double, rocAuc: Double,
                                 promotedAt: String)
 
+  // JSON string escaping for the one free-text field: registry names are
+  // identifiers today, but metadata.json must stay parseable for any name
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   private def metaJson(m: ChampionMeta): String =
-    s"""{"model_name": "${m.modelName}", "f1": ${m.f1}, "roc_auc": ${m.rocAuc}, "promoted_at": "${m.promotedAt}"}"""
+    s"""{"model_name": "${jsonEscape(m.modelName)}", "f1": ${m.f1}, "roc_auc": ${m.rocAuc}, "promoted_at": "${m.promotedAt}"}"""
 
   /** M18 — promote: archive any current champion dir to
     * `archive_<UTC timestamp>` (ref `deployment.py:42-46`), then persist

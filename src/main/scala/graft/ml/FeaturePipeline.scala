@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.feature.{OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.feature.{MinMaxScaler, OneHotEncoder, RobustScaler, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -64,10 +64,18 @@ object FeaturePipeline {
     }
 
   /** The unfitted MLlib pipeline: StringIndexer(alphabetAsc, keep-invalid)
-    * + OneHotEncoder per categorical, numeric VectorAssembler +
-    * StandardScaler, final assembly [numeric..., categorical...] mirroring
-    * the reference's ColumnTransformer order (`feature_engineering.py:46-53`). */
-  def buildPipeline(): Pipeline = {
+    * + OneHotEncoder per categorical, numeric VectorAssembler + the
+    * config-selected scaler, final assembly [numeric..., categorical...]
+    * mirroring the reference's ColumnTransformer order
+    * (`feature_engineering.py:46-53`).
+    *
+    * `scalerMethod` mirrors the reference's `SCALER_MAP`
+    * (`feature_engineering.py:15-36`): standard | minmax | robust, any
+    * other value falls back to standard — `SCALER_MAP.get(method,
+    * StandardScaler)` is a silent default, not an error, and we keep that
+    * contract. The robust form centers on the median like sklearn
+    * (`with_centering=True`); MLlib's default is centering OFF. */
+  def buildPipeline(scalerMethod: String = "standard"): Pipeline = {
     val indexers = categoricalCols.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
         .setStringOrderType("alphabetAsc").setHandleInvalid("keep"))
@@ -77,8 +85,16 @@ object FeaturePipeline {
       .setHandleInvalid("keep")
     val numAssembler = new VectorAssembler()
       .setInputCols(numericCols.toArray).setOutputCol("num_raw")
-    val scaler = new StandardScaler().setInputCol("num_raw")
-      .setOutputCol("num_scaled").setWithMean(true).setWithStd(true)
+    val scaler = scalerMethod match {
+      case "minmax" => new MinMaxScaler()
+        .setInputCol("num_raw").setOutputCol("num_scaled")
+      case "robust" => new RobustScaler()
+        .setInputCol("num_raw").setOutputCol("num_scaled")
+        .setWithCentering(true).setWithScaling(true)
+        .setLower(0.25).setUpper(0.75)
+      case _ => new StandardScaler().setInputCol("num_raw")
+        .setOutputCol("num_scaled").setWithMean(true).setWithStd(true)
+    }
     val finalAssembler = new VectorAssembler()
       .setInputCols((Seq("num_scaled") ++ categoricalCols.map(c => s"${c}_vec")).toArray)
       .setOutputCol("features")
@@ -89,11 +105,12 @@ object FeaturePipeline {
   /** Full fit path (`build_features(fit=True)`,
     * `feature_engineering.py:96-146`): clip → engineer → fit pipeline.
     * Returns (transformed df with `features` + `label`, fitted model). */
-  def fit(df: DataFrame, clipSigma: Double = 3.0): (DataFrame, PipelineModel) = {
+  def fit(df: DataFrame, clipSigma: Double = 3.0,
+          scalerMethod: String = "standard"): (DataFrame, PipelineModel) = {
     val engineered = addEngineeredFeatures(clipOutliers(df, clipSigma))
       .withColumn("label", col("churn").cast("double"))
     requireCleanNumerics(engineered)
-    val model = buildPipeline().fit(engineered)
+    val model = buildPipeline(scalerMethod).fit(engineered)
     (model.transform(engineered), model)
   }
 

@@ -56,11 +56,15 @@ object PipelineConfig {
         val root = mapper.readTree(Files.readString(Paths.get(path)))
         def i(p: String, d: Int) = Option(root.at(p)).filterNot(_.isMissingNode).map(_.asInt(d)).getOrElse(d)
         def dd(p: String, d: Double) = Option(root.at(p)).filterNot(_.isMissingNode).map(_.asDouble(d)).getOrElse(d)
+        def ss(p: String, d: String) = Option(root.at(p)).filterNot(_.isMissingNode).map(_.asText(d)).getOrElse(d)
         PipelineConfig(
           nSamples = i("/data/n_samples", 10000),
           testSize = dd("/data/test_size", 0.2),
           randomState = i("/data/random_state", 42),
-          cvFolds = i("/training/cv_folds", 5))
+          cvFolds = i("/training/cv_folds", 5),
+          // feature_engineering.py:35 — features.scaling_method, silent
+          // standard fallback for unknown values (SCALER_MAP.get contract)
+          scalerMethod = ss("/features/scaling_method", "standard"))
       }
     base.copy(
       nSamples = sys.env.get("PIPELINE_N_SAMPLES").map(_.toInt).getOrElse(base.nSamples),

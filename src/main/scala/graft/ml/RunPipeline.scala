@@ -21,7 +21,8 @@ object RunPipeline {
     val raw = DataGen.generate(spark, config.nSamples, config.randomState)
     DataGen.validate(raw)
     // 3. features (fit)
-    val (feat, preprocessor) = FeaturePipeline.fit(raw, config.outlierClipSigma)
+    val (feat, preprocessor) =
+      FeaturePipeline.fit(raw, config.outlierClipSigma, config.scalerMethod)
     // 4. stratified split
     val (train, test) = Split.stratified(feat.select("features", "label"),
       "label", config.testSize, config.randomState)

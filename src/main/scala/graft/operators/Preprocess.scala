@@ -52,6 +52,13 @@ object Preprocess {
     * result is bit-identical. An all-NULL/non-finite column fits NULL
     * statistics — every scaled value NULL, the aggregate form's behavior.
     *
+    * Zero IQR follows sklearn's `_handle_zeros_in_scale`: a zero scale is
+    * replaced by 1.0, so the output is `x − median`, NOT constant 0 — with
+    * a zero IQR the values need not all equal the median (e.g.
+    * [0,5,5,5,5,10] has IQR 0 but spread), and sklearn centers them.
+    * standardScale/minMaxScale keep their 0.0 branch because a zero std or
+    * range DOES imply every finite value equals the center there.
+    *
     * CONTRACT — eager fit at call time: the quantile jobs run when this
     * method is CALLED and the thresholds enter the returned plan as frozen
     * literals. Re-executing the returned DataFrame after the input data
@@ -62,8 +69,8 @@ object Preprocess {
     Metrics.exactPercentiles(df, c, Seq(0.25, 0.5, 0.75)) match {
       case Some(qv) =>
         val (q1, med, q3) = (qv(0.25), qv(0.5), qv(0.75))
-        df.withColumn(out,
-          if (q3 == q1) lit(0.0) else (col(c) - med) / (q3 - q1))
+        val scale = if (q3 == q1) 1.0 else q3 - q1
+        df.withColumn(out, (col(c) - med) / scale)
       case None =>
         df.withColumn(out, lit(null).cast("double"))
     }
@@ -113,10 +120,21 @@ object Preprocess {
     * scaled numerics ++ one-hot categoricals, remainder dropped. The
     * indicator columns of each encode step are tracked by column-set diff,
     * not name prefix — a prefix match would capture unrelated columns that
-    * merely share the prefix (e.g. catCols "plan" and "plan_type"). */
+    * merely share the prefix (e.g. catCols "plan" and "plan_type").
+    *
+    * `scalerMethod` mirrors the reference's config dispatch
+    * (`feature_engineering.py:15-36` SCALER_MAP): standard | minmax |
+    * robust, anything else falls back to standard — `SCALER_MAP.get`'s
+    * silent-default contract, kept as-is. */
   def columnTransform(df: DataFrame, key: String, numCols: Seq[String],
-                      catCols: Seq[String]): DataFrame = {
-    val scaled = numCols.foldLeft(df)((d, c) => standardScale(d, c, s"${c}_z"))
+                      catCols: Seq[String],
+                      scalerMethod: String = "standard"): DataFrame = {
+    val scaleOne: (DataFrame, String) => DataFrame = scalerMethod match {
+      case "minmax" => (d, c) => minMaxScale(d, c, s"${c}_z")
+      case "robust" => (d, c) => robustScale(d, c, s"${c}_z")
+      case _        => (d, c) => standardScale(d, c, s"${c}_z")
+    }
+    val scaled = numCols.foldLeft(df)(scaleOne)
     val (encoded, hotCols) =
       catCols.foldLeft((scaled, Seq.empty[String])) { case ((d, acc), c) =>
         val before = d.columns.toSet

@@ -60,6 +60,27 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(w1 == w2)
   }
 
+  test("feature pipeline: scaler dispatch — minmax bounds [0,1], robust centers the median (SCALER_MAP)") {
+    import org.apache.spark.ml.linalg.Vector
+    val df = DataGen.generate(spark, 1000, 42L)
+    val (mm, _) = FeaturePipeline.fit(df, scalerMethod = "minmax")
+    val mmVecs = mm.select("num_scaled").collect().map(_.getAs[Vector](0))
+    assert(mmVecs.forall(_.toArray.forall(v => v >= -1e-9 && v <= 1.0 + 1e-9)))
+    val (rb, _) = FeaturePipeline.fit(df, scalerMethod = "robust")
+    // with_centering=True: each dimension's median lands at ~0 (exactly 0
+    // for odd n; MLlib's approx-quantile median is within the relative err)
+    val dims = rb.select("num_scaled").head.getAs[Vector](0).size
+    val med0 = rb.select("num_scaled").collect().map(_.getAs[Vector](0)(0)).sorted
+    assert(math.abs(med0(med0.length / 2)) < 0.05,
+      s"robust dim 0 median ${med0(med0.length / 2)} not centered")
+    assert(dims == FeaturePipeline.numericCols.size)
+    // unknown method = the standard pipeline (silent SCALER_MAP fallback)
+    val (std, _) = FeaturePipeline.fit(df, scalerMethod = "definitely_not_a_scaler")
+    val stats = std.select("num_scaled").collect().map(_.getAs[Vector](0)(0))
+    val mean = stats.sum / stats.length
+    assert(math.abs(mean) < 1e-6)
+  }
+
   test("feature pipeline: literal-p75 high_value is bit-identical to the in-plan percentile form") {
     val df = DataGen.generate(spark, 1500, 11L)
     val (feat, _) = FeaturePipeline.fit(df)
@@ -179,6 +200,33 @@ class MlPipelineSpec extends AnyFunSuite {
     config.models.collect { case (name, mc) if mc.enabled =>
       assert(log.contains(s""""$name""""), s"run log missing $name")
     }
+  }
+
+  test("S7: YAML config load — reference keys parsed, missing file = defaults") {
+    val yml = Files.createTempFile("graft_cfg", ".yaml")
+    Files.writeString(yml,
+      """data:
+        |  n_samples: 555
+        |  test_size: 0.3
+        |  random_state: 7
+        |training:
+        |  cv_folds: 3
+        |features:
+        |  scaling_method: robust
+        |""".stripMargin)
+    val cfg = PipelineConfig.load(yml.toString)
+    assert(cfg.nSamples == 555 && cfg.testSize == 0.3 &&
+      cfg.randomState == 7 && cfg.cvFolds == 3 && cfg.scalerMethod == "robust")
+    // absent keys keep reference defaults
+    Files.writeString(yml, "data:\n  n_samples: 100\n")
+    val partial = PipelineConfig.load(yml.toString)
+    assert(partial.scalerMethod == "standard" && partial.cvFolds == 5)
+    Files.delete(yml)
+    // missing file → all defaults (config.py: absent config falls back)
+    val dflt = PipelineConfig.load("/nonexistent/graft_cfg.yaml")
+    assert(dflt == PipelineConfig().copy(
+      nSamples = dflt.nSamples, randomState = dflt.randomState,
+      modelDir = dflt.modelDir, gridParallelism = dflt.gridParallelism))
   }
 
   test("deployment: promote → load round-trip scores identically; re-promotion archives") {

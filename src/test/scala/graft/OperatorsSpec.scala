@@ -153,6 +153,26 @@ class OperatorsSpec extends AnyFunSuite {
       .columns.count(_.startsWith("c_mktsegment_")) == 4)
   }
 
+  test("M5: columnTransform dispatches the configured scaler (SCALER_MAP contract)") {
+    // reference feature_engineering.py:15-36 — standard | minmax | robust,
+    // unknown values silently fall back to StandardScaler
+    def zvals(method: String): Seq[Double] =
+      Preprocess.columnTransform(cust, "c_custkey", Seq("c_acctbal"),
+          Seq("c_mktsegment"), method)
+        .orderBy("c_custkey").select("c_acctbal_z")
+        .collect().map(_.getDouble(0)).toSeq
+    def direct(f: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+      f(cust, "c_acctbal", "z").orderBy("c_custkey").select("z")
+        .collect().map(_.getDouble(0)).toSeq
+    assert(zvals("minmax") == direct(Preprocess.minMaxScale))
+    assert(zvals("robust") == direct(Preprocess.robustScale))
+    assert(zvals("standard") == direct(Preprocess.standardScale))
+    assert(zvals("not_a_scaler") == zvals("standard"))
+    // the one-hot half is method-independent
+    assert(Preprocess.columnTransform(cust, "c_custkey", Seq("c_acctbal"),
+      Seq("c_mktsegment"), "minmax").columns.count(_.startsWith("c_mktsegment_")) == 4)
+  }
+
   test("M6/M7: stratified key split ~20% test per stratum; folds cover 0..4") {
     val split = Preprocess.stratifiedSplitByKey(cust, "c_custkey")
     val frac = split.filter(col("split") === "test").count().toDouble / cust.count()
@@ -591,13 +611,23 @@ class OperatorsSpec extends AnyFunSuite {
     val (q1, med, q3) = (s.getDouble(0), s.getDouble(1), s.getDouble(2))
     Preprocess.robustScale(cust, "c_acctbal", "rs")
       .select(col("c_acctbal").cast("double"), col("rs")).collect().foreach { r =>
-        val expect = if (q3 == q1) 0.0 else (r.getDouble(0) - med) / (q3 - q1)
+        val expect = (r.getDouble(0) - med) / (if (q3 == q1) 1.0 else q3 - q1)
         assert(r.getDouble(1) == expect)
       }
-    // constant column → 0.0 for every row (the old when(q3===q1) branch)
+    // constant column → x − median = 0.0 (sklearn _handle_zeros_in_scale:
+    // zero IQR divides by 1.0, it does NOT pin the output to 0); a NULL row
+    // stays NULL like in the nonzero-IQR branch
     val const = Seq(Some(2.0), Some(2.0), None).map(Tuple1(_)).toDF("v")
-    assert(Preprocess.robustScale(const, "v", "rs").select("rs")
-      .collect().forall(_.getDouble(0) == 0.0))
+    val constOut = Preprocess.robustScale(const, "v", "rs").select("rs").collect()
+    assert(constOut.count(!_.isNullAt(0)) == 2 &&
+      constOut.filter(!_.isNullAt(0)).forall(_.getDouble(0) == 0.0) &&
+      constOut.count(_.isNullAt(0)) == 1)
+    // zero IQR with spread: [0,5,5,5,5,10] has q1=med=q3=5 but real spread —
+    // sklearn centers (x − 5), it does not zero the column
+    val spread = Seq(0.0, 5.0, 5.0, 5.0, 5.0, 10.0).map(Tuple1(_)).toDF("v")
+    assert(Preprocess.robustScale(spread, "v", "rs")
+      .select("v", "rs").collect()
+      .forall(r => r.getDouble(1) == r.getDouble(0) - 5.0))
     // no finite fit values → NULL statistics → every scaled value NULL
     val allNull = Seq(Option.empty[Double], Some(Double.NaN)).map(Tuple1(_)).toDF("v")
     assert(Preprocess.robustScale(allNull, "v", "rs").select("rs")
