@@ -29,20 +29,24 @@ object SparkEntry {
   private val corpusMinShared = 1
 
   /** Per-invocation memory-sink disambiguator for the streaming queries
-    * (d51/d52 — sink names are session-global; the value never influences
-    * a query's output). */
+    * (d51/d52/d54 — sink names are session-global; the value never
+    * influences a query's output). */
   private val streamSinkRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Drains a streaming aggregate into a fresh complete-mode memory sink
-    * with `Trigger.AvailableNow`, resolves the sink relation into a batch
+  /** Drains a streaming plan into a fresh memory sink with
+    * `Trigger.AvailableNow`, resolves the sink relation into a batch
     * plan, and drops the catalog entry (zero residue per invocation — the
     * withViews convention; the rows stay referenced by the resolved
-    * plan). Shared by the declared streaming queries d51/d52. */
+    * plan). Shared by the declared streaming queries: complete mode for
+    * the windowed aggregates (d51/d52), append mode for the stream-stream
+    * join (d54 — the only output mode a stream-stream inner join
+    * supports). */
   private def drainToBatch(s: SparkSession, agg: DataFrame,
-                           sinkPrefix: String): DataFrame = {
+                           sinkPrefix: String,
+                           mode: String = "complete"): DataFrame = {
     val sink = s"${sinkPrefix}_${streamSinkRuns.incrementAndGet()}"
     val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
@@ -354,6 +358,42 @@ object SparkEntry {
       drainToBatch(s, sess, "d52_sink")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+    // D7 end-to-end #3 — STREAM-STREAM interval join (the two-source
+    // stateful shape the windowed aggregates can't express): purchases
+    // stream ⋈ clicks stream, same user, click within the hour BEFORE the
+    // purchase (last-hour attribution), drained APPEND-mode (the only
+    // mode a stream-stream inner join supports) and rolled up per user in
+    // batch. Oracle = the same interval self-join in SQL. Parity notes:
+    // an inner stream-stream join emits each match in the micro-batch
+    // that completes it, so a single-file AvailableNow drain emits every
+    // pair; the 768 h watermark (> the fixture's 30-day span) makes the
+    // drain parity hold for MULTI-batch backfills too (nothing is ever
+    // state-evicted or late-dropped) — an always-on deployment would
+    // tighten it back to hours and accept the late-drop contract. NULL
+    // ts rows are filtered on both sides (a NULL event time can never
+    // satisfy the interval predicate in either engine; the explicit
+    // filter keeps them out of the join state as well); NULL user_id
+    // never equijoin-matches in either engine. A purchase with k clicks
+    // in its attribution window contributes k pairs (its value counted k
+    // times) — both sides agree; value summed in integer cents (x28).
+    "d54_stream_attribution" -> ((s, d) => {
+      def side(t: String) = graft.streaming.StreamMonitor
+        .readEventsStream(s, s"$d/events.parquet")
+        .where(col("event_type") === t && col("ts").isNotNull)
+      val purchases = side("purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val clicks = side("click")
+        .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+          col("user_id").as("r_user_id"), col("value").as("r_value"))
+      val joined = graft.streaming.StreamMonitor.enrichJoin(
+        purchases, clicks, watermark = "768 hours", maxDelay = "1 hour")
+      drainToBatch(s, joined, "d54_sink", mode = "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(Features.qlong(col("value"), 100.0)).cast("double") / 100.0)
+            .as("attributed_value"))
         .orderBy(col("user_id"))
     }),
     "d13_jaccard_pairs" -> ((s, d) =>
@@ -1318,6 +1358,19 @@ object SparkEntry {
         "FROM events WHERE ts IS NOT NULL) " +
         "SELECT user_id, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
+    // the drained append-mode stream-stream join rolled up per user must
+    // equal the batch interval self-join: click within the hour BEFORE
+    // the purchase, same user; purchase value summed in integer cents
+    // (the x28 rule; isfinite mirrors Features.qlong's non-finite→NULL).
+    // NULL ts / NULL user_id rows can never satisfy the join predicate
+    // in either engine.
+    "d54_stream_attribution" ->
+      ("SELECT pu.user_id, count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN isfinite(pu.value) THEN CAST(floor(pu.value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS attributed_value " +
+        "FROM events pu JOIN events c ON pu.user_id = c.user_id " +
+        "AND pu.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND c.ts >= pu.ts - INTERVAL 1 HOUR AND c.ts <= pu.ts " +
+        "GROUP BY pu.user_id ORDER BY pu.user_id"),
     "d11_session_counts" ->
       ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
         "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
