@@ -40,18 +40,45 @@ object SparkEntry {
     * plan). Shared by the declared streaming queries: complete mode for
     * the windowed aggregates (d51/d52), append mode for the stream-stream
     * join (d54 — the only output mode a stream-stream inner join
-    * supports). */
-  private def drainToBatch(s: SparkSession, agg: DataFrame,
+    * supports), update mode for the custom-state totals (d55).
+    *
+    * The stream is BUILT and run on a cloned session (`newSession`: same
+    * SparkContext, isolated SQL conf) with the stateful shuffle width
+    * clamped to ≤ [[drainStateWidth]]: every stateful streaming operator
+    * instantiates one state-store provider per shuffle partition per
+    * micro-batch — at the session default of 32 the stream-stream join's
+    * 4 providers/partition cost ~6.4 s of provider+commit-log overhead
+    * on the fixture drain vs ~3.2 s at 8 (measured r17, sf0.1) — pure
+    * fixed cost, since the drained data is KB-scale. The width is a
+    * HARNESS sizing, exactly like a batch job sizing shuffle partitions
+    * to its data (AQE does this automatically for batch plans; streaming
+    * state width must be chosen at query start): an always-on deployment
+    * keeps its own session width sized to throughput. Output is
+    * partition-count invariant (the layout-invariance gate replays every
+    * declared query across CPU/partition counts), and the clone makes
+    * the clamp invisible to concurrent queries on the caller's session.
+    * The clone inherits context-default confs (UTC session timezone —
+    * set via builder by Bench/Verify/tests) but NOT runtime conf writes;
+    * the memory-sink temp view is session-scoped, so it is resolved and
+    * dropped on the clone. */
+  private val drainStateWidth = 8
+  private def drainToBatch(s: SparkSession,
+                           build: SparkSession => DataFrame,
                            sinkPrefix: String,
                            mode: String = "complete"): DataFrame = {
+    val drainSession = s.newSession()
+    GraftExtensions.register(drainSession)
+    drainSession.conf.set("spark.sql.shuffle.partitions",
+      math.min(drainSession.sessionState.conf.numShufflePartitions,
+        drainStateWidth).toString)
     val sink = s"${sinkPrefix}_${streamSinkRuns.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(sink)
+    val q = build(drainSession).writeStream.format("memory").queryName(sink)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    val out = s.table(sink)
-    s.catalog.dropTempView(sink)
+    val out = drainSession.table(sink)
+    drainSession.catalog.dropTempView(sink)
     out
   }
 
@@ -334,9 +361,9 @@ object SparkEntry {
     // fixpoint — pinned by the maxFilesPerTrigger=1 parity test in
     // StreamingSpec.
     "d51_stream_hourly" -> ((s, d) => {
-      val agg = graft.streaming.StreamMonitor.hourlyValueMass(
-        graft.streaming.StreamMonitor.readEventsStream(s, s"$d/events.parquet"))
-      drainToBatch(s, agg, "d51_sink").orderBy(col("hour"), col("event_type"))
+      drainToBatch(s, s2 => graft.streaming.StreamMonitor.hourlyValueMass(
+          graft.streaming.StreamMonitor.readEventsStream(s2, s"$d/events.parquet")),
+        "d51_sink").orderBy(col("hour"), col("event_type"))
     }),
     // D7 end-to-end #2 — STATEFUL SESSION semantics: file source →
     // session_window(ts, 30 min) keyed by user (merging-window state, the
@@ -353,9 +380,9 @@ object SparkEntry {
     // fixture has zero exact-30-min gaps at every SF (measured), so the
     // two rules agree on this data and the parity check is unambiguous.
     "d52_stream_sessions" -> ((s, d) => {
-      val sess = graft.streaming.StreamMonitor.userSessions(
-        graft.streaming.StreamMonitor.readEventsStream(s, s"$d/events.parquet"))
-      drainToBatch(s, sess, "d52_sink")
+      drainToBatch(s, s2 => graft.streaming.StreamMonitor.userSessions(
+          graft.streaming.StreamMonitor.readEventsStream(s2, s"$d/events.parquet")),
+        "d52_sink")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .orderBy(col("user_id"))
@@ -379,21 +406,83 @@ object SparkEntry {
     // in its attribution window contributes k pairs (its value counted k
     // times) — both sides agree; value summed in integer cents (x28).
     "d54_stream_attribution" -> ((s, d) => {
-      def side(t: String) = graft.streaming.StreamMonitor
-        .readEventsStream(s, s"$d/events.parquet")
-        .where(col("event_type") === t && col("ts").isNotNull)
-      val purchases = side("purchase")
-        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-      val clicks = side("click")
-        .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
-          col("user_id").as("r_user_id"), col("value").as("r_value"))
-      val joined = graft.streaming.StreamMonitor.enrichJoin(
-        purchases, clicks, watermark = "768 hours", maxDelay = "1 hour")
+      // ONE source stream, both join sides derived by filter (Spark
+      // supports stream self-joins): the schema-borrow batch read and the
+      // file-source setup run once instead of twice — r16's bench showed
+      // the doubled machinery made this the catalog's most expensive
+      // query. At cluster scale the two sides are genuinely different
+      // streams and each would carry its own source; deriving both from
+      // one source here changes the plan's setup cost only, never a row.
+      def joined(s2: SparkSession) = {
+        val src = graft.streaming.StreamMonitor
+          .readEventsStream(s2, s"$d/events.parquet")
+          .where(col("ts").isNotNull)
+        def side(t: String) = src.where(col("event_type") === t)
+        val purchases = side("purchase")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        val clicks = side("click")
+          .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+            col("user_id").as("r_user_id"), col("value").as("r_value"))
+        graft.streaming.StreamMonitor.enrichJoin(
+          purchases, clicks, watermark = "768 hours", maxDelay = "1 hour")
+      }
       drainToBatch(s, joined, "d54_sink", mode = "append")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           (sum(Features.qlong(col("value"), 100.0)).cast("double") / 100.0)
             .as("attributed_value"))
+        .orderBy(col("user_id"))
+    }),
+    // D7 end-to-end #5 — SLIDING windows (1 h window, 15 min slide): each
+    // event lands in 4 overlapping windows, the early-warning monitor
+    // shape a tumbling window can't express. Complete-mode drain ≡ the
+    // batch sliding aggregate (same argument as d51: complete mode
+    // evicts nothing and drops no late input). Oracle = the same
+    // 4-windows-per-event expansion in SQL: window starts are the
+    // 15-min grid floor minus k·15 min for k = 0..3 (both engines
+    // floor-align the grid to an epoch-aligned origin — DuckDB's
+    // time_bucket origin 2000-01-01 is itself 15-min-aligned to the
+    // epoch, so the grids coincide, pre-epoch rows included). NULL ts
+    // filtered explicitly (the streaming path drops them at the window;
+    // explicit so the BATCH execution of the oracle agrees — d51's
+    // convention).
+    "d56_stream_sliding" -> ((s, d) => {
+      drainToBatch(s, s2 => graft.streaming.StreamMonitor.slidingRates(
+          graft.streaming.StreamMonitor.readEventsStream(s2, s"$d/events.parquet")
+            .where(col("ts").isNotNull)),
+        "d56_sink")
+        .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+          col("w_end").cast("timestamp_ntz").as("w_end"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+    // D7 end-to-end #4 — ARBITRARY KEYED STATE (flatMapGroupsWithState),
+    // the last streaming primitive without a declared query: per-user
+    // lifetime (count, value-sum) accumulated in custom state, drained
+    // update-mode. Parity devices: (a) value is pre-quantized to integer
+    // cents (qlong, the x28 rule) BEFORE the accumulator, so the running
+    // Double total stays a whole number < 2^53 — exact and ORDER-
+    // INDEPENDENT, where raw-double accumulation would drift with row
+    // order; qlong maps NULL/NaN/±Inf to NULL, the exact row set the
+    // operator's own finite-value gate drops, so the pre-map changes no
+    // row's admission. (b) update mode re-emits a key's state every
+    // micro-batch it receives data, and the memory sink APPENDS those
+    // emissions — the rollup takes each key's LAST update via
+    // max(struct(n_events, …)): n_events strictly increases per key
+    // across batches, so the max IS the final state (single-batch drains
+    // emit once per key and the rollup is the identity; the multi-batch
+    // fixpoint is pinned in StreamingSpec). Oracle = the batch
+    // groupBy(user) count/sum in SQL.
+    "d55_user_running_totals" -> ((s, d) => {
+      def totals(s2: SparkSession) = graft.streaming.StreamMonitor
+        .runningUserTotals(graft.streaming.StreamMonitor
+          .readEventsStream(s2, s"$d/events.parquet")
+          .withColumn("value", Features.qlong(col("value"), 100.0).cast("double")))
+      drainToBatch(s, totals, "d55_sink", mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          (col("fin.total_value") / 100.0).as("total_value"))
         .orderBy(col("user_id"))
     }),
     "d13_jaccard_pairs" -> ((s, d) =>
@@ -1371,6 +1460,29 @@ object SparkEntry {
         "AND pu.event_type = 'purchase' AND c.event_type = 'click' " +
         "AND c.ts >= pu.ts - INTERVAL 1 HOUR AND c.ts <= pu.ts " +
         "GROUP BY pu.user_id ORDER BY pu.user_id"),
+    // each event expands to its 4 covering sliding windows (k = 0..3
+    // slides back from the event's 15-min grid floor); time_bucket's
+    // 2000-01-01 origin is epoch-15-min-aligned, so the grid matches
+    // Spark's epoch-anchored window() exactly, negative epochs included
+    "d56_stream_sliding" ->
+      ("SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) " +
+        "- k.k * INTERVAL '15 minutes' AS w_start, " +
+        "time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) " +
+        "- k.k * INTERVAL '15 minutes' + INTERVAL '1 hour' AS w_end, " +
+        "event_type, count(*) AS n " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k " +
+        "WHERE ts IS NOT NULL " +
+        "GROUP BY 1, 2, 3 ORDER BY w_start, event_type"),
+    // the drained custom-keyed-state totals must equal the batch per-user
+    // rollup: rows admitted iff user_id keyed AND value finite (isfinite
+    // mirrors the operator's finiteOrNull gate — and qlong's non-finite→
+    // NULL pre-map admits exactly the same rows); value summed in integer
+    // cents (the x28 rule, matching the d55 pre-quantization).
+    "d55_user_running_totals" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value " +
+        "FROM events WHERE user_id IS NOT NULL AND isfinite(value) " +
+        "GROUP BY user_id ORDER BY user_id"),
     "d11_session_counts" ->
       ("WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) - " +
         "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +

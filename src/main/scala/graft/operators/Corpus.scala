@@ -96,7 +96,14 @@ object Corpus {
     * 12.8 s reliable), while serialized/file blocks (`disk`/`reliable`)
     * are simultaneously FASTER and fault-tolerant. Normal corpora sit
     * ~0.1 edges/doc, clone-dense ones 4.5+ — the knee separates the
-    * regimes by >40×, so estimator noise cannot flip a clear case. */
+    * regimes by >40×, so estimator noise cannot flip a clear case.
+    *
+    * Re-deriving on different hardware: the 1.0 figure is a HOST
+    * measurement (this container's heap/disk balance), not a constant of
+    * the algorithm. On a new cluster, re-run ScaleProbe's crossover
+    * block (local-vs-disk d43 chain on the 10×-amplified corpus) and set
+    * the knee to the edges/doc where the disk strategy first wins; the
+    * 40× regime gap means even a rough re-measurement lands safely. */
   private[graft] val denseKneeEdgesPerDoc = 1.0
 
   /** Probe sampling fraction: the density estimate runs the pipeline's
@@ -148,11 +155,46 @@ object Corpus {
     * also the fault-tolerant one, at a measured ~fixed cost for
     * non-dense runs; a false negative (missing a dense corpus) is the
     * expensive mistake, and the 40× regime gap keeps it out of reach. */
+  /** Probe decisions memoized per (session, corpus files, edge-evidence
+    * kind): the density probe costs one full count plus a 10%-sample edge
+    * job, so a long-lived session re-running the same pipeline (every
+    * bench pass, every Verify replay, a service handling repeated
+    * requests) must not re-pay — or re-WARN — it each time. The key is
+    * the corpus' resolved input FILE list (parquet data is
+    * immutable-by-convention: new data arrives as new files, which
+    * changes the key and re-probes) plus the caller's `probeKey`
+    * descriptor (exact-shingle and winnowed evidence have different
+    * densities) plus the auto/unset conf mode (their not-dense fallbacks
+    * differ). Non-file-backed corpora (in-memory frames — the test
+    * regime) have no stable identity and are never cached. The decision
+    * is a deterministic function of the key (seeded-hash sample), so
+    * memoization changes COST only, never a declared query's output;
+    * sessions are keyed by identity and entries are a few bytes, so the
+    * map needs no eviction. */
+  private val probeDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Option[String]]()
+
   private[graft] def denseCorpusStrategy(
-      docs0: DataFrame, edgesOf: DataFrame => DataFrame): Option[String] = {
+      docs0: DataFrame, edgesOf: DataFrame => DataFrame,
+      probeKey: String = ""): Option[String] = {
     val conf = docs0.sparkSession.conf.getOption("spark.graft.stageStorage")
     val explicitAuto = conf.contains("auto")
     if (conf.isDefined && !explicitAuto) return None
+    val files = docs0.inputFiles
+    val cacheKey = if (files.isEmpty) None else Some((
+      System.identityHashCode(docs0.sparkSession),
+      s"auto=$explicitAuto;key=$probeKey;files=${files.sorted.mkString(",")}"))
+    cacheKey.flatMap(k => Option(probeDecisions.get(k))) match {
+      case Some(cached) => cached
+      case None =>
+        val decision = probeDecision(docs0, edgesOf, explicitAuto)
+        cacheKey.foreach(k => probeDecisions.put(k, decision))
+        decision
+    }
+  }
+
+  private def probeDecision(docs0: DataFrame, edgesOf: DataFrame => DataFrame,
+                            explicitAuto: Boolean): Option[String] = {
     if (!explicitAuto && docs0.count() < denseProbeMinDocs) return None
     val sampled = docs0.filter(TextOps.qualityKeep)
       .select(col("doc_id"), col("text"), col("source"))
@@ -379,7 +421,8 @@ object Corpus {
                             minShared: Int = 1): Stages =
     stagesWithEdges(docs0, rates,
       exactShingleEdges(_, shingleK, maxDf, minShared),
-      chunkTokens, stride, budget, docsPerGroup)
+      chunkTokens, stride, budget, docsPerGroup,
+      probeKey = s"exact:k=$shingleK:maxDf=$maxDf:minShared=$minShared")
 
   /** Exact-shingle near-dup evidence (the oracle-expressible default):
     * k-token shingles, md5-hashed; distinct per (doc, shingle) so a
@@ -446,12 +489,13 @@ object Corpus {
                                      edgesOf: DataFrame => DataFrame,
                                      chunkTokens: Int = 50, stride: Int = 40,
                                      budget: Int = 512,
-                                     docsPerGroup: Int = 50): Stages = {
+                                     docsPerGroup: Int = 50,
+                                     probeKey: String = ""): Stages = {
     // dense-corpus auto-selection BEFORE the first materialization, so
     // the decision covers every stage of the run (see
     // [[denseCorpusStrategy]]); every materialization below is eager,
     // hence inside the withValue scope
-    val chosen = denseCorpusStrategy(docs0, edgesOf)
+    val chosen = denseCorpusStrategy(docs0, edgesOf, probeKey)
     stageStrategyOverride.withValue(chosen.orElse(stageStrategyOverride.value)) {
     // one base-table scan, materialized: feeds the edge evidence, the
     // winner join, and chunking (three consumers — without this the scan
@@ -565,7 +609,8 @@ object Corpus {
     stagesWithEdges(docs0, rates,
       kept => Dedup.winnowNearDups(kept, minShared, k, w, maxDf)
         .select(col("id_a"), col("id_b")),
-      chunkTokens, stride, budget, docsPerGroup).packed
+      chunkTokens, stride, budget, docsPerGroup,
+      probeKey = s"winnow:k=$k:w=$w:maxDf=$maxDf:minShared=$minShared").packed
 
   /** Benchmark decontamination audit — the training-set hygiene step: a
     * training document is CONTAMINATED iff it shares at least one exact

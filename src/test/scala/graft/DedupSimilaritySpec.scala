@@ -232,6 +232,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 < 100L && p._2 < 100L), s"boilerplate pairs leaked: $pairs")
   }
 
+  test("declared d15 (minhash) on the real corpus is evidence-dense, not vacuous") {
+    // same discipline as the d28 pin below (three members of this family
+    // have now been caught degenerate-by-default: d47, d49, d28): the
+    // rows-only declaration must stay a SELECTIVE near-dup relation —
+    // nonempty, and far below the all-pairs ceiling. MinHash at
+    // jaccard >= 0.5 is the tightest of the near-dup family (the
+    // oracle-checked d13 shows even the similarity-dense bounded sample
+    // has only 73% of pairs at that threshold, and banding prunes most
+    // cross-group candidates): measured 28 of 124,750 possible pairs at
+    // sf0.001 and 25 of 124,750 at sf0.01 (~0.02%). The 5% bar is >200x
+    // the measured density and fails loudly on any d28-class
+    // re-degeneration (58%-of-pairs).
+    val n = docs.count()
+    val pairs = SparkEntry.queries("d15_minhash_neardups")(spark, sfDir).count()
+    assert(pairs > 0L, "d15 flagged nothing — near-dup evidence is vacuous")
+    assert(pairs < n * (n - 1) / 2 / 20,
+      s"d15 flagged $pairs of ${n * (n - 1) / 2} pairs — degenerate evidence")
+  }
+
+  test("declared d17 (simhash) on the real corpus is evidence-dense, not vacuous") {
+    // simhash hamming <= 8/64 is deliberately LOOSER than minhash at 0.5
+    // (bit agreement aggregates token overlap globally): measured 8,985
+    // of 124,750 pairs (~7.2%) at sf0.001 and ~6.4% at sf0.01 — plausibly
+    // real on this similarity-dense corpus (d13: 73% of the bounded
+    // oracle-checked sample sits at jaccard >= 0.5), but exactly the
+    // declaration class the d28 pin exists to guard. The 20% ceiling is
+    // ~3x the measured density and still 3x below the 58%-of-pairs
+    // degeneration that motivated the family-wide pins.
+    val n = docs.count()
+    val pairs = SparkEntry.queries("d17_simhash_neardups")(spark, sfDir).count()
+    assert(pairs > 0L, "d17 flagged nothing — near-dup evidence is vacuous")
+    assert(pairs < n * (n - 1) / 2 / 5,
+      s"d17 flagged $pairs of ${n * (n - 1) / 2} pairs — degenerate evidence")
+  }
+
   test("declared d28 on the real corpus is evidence-dense, not vacuous") {
     // the round-16 self-review found the old declaration (operator-default
     // char k=8) flagged 58% of ALL doc pairs at sf0.01 — the same vacuity

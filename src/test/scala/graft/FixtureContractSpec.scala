@@ -101,6 +101,41 @@ class FixtureContractSpec extends AnyFunSuite {
         ArrayType(DoubleType), ArrayType(DoubleType, false)),
       "label" -> Seq(IntegerType, LongType)))
 
+  test("events fixture has zero exactly-30-minute user gaps at any SF " +
+      "(the d52/d11 gap-rule agreement contract)") {
+    // d52's oracle sessionizes with session_window's `>=` rule (two events
+    // exactly 30 minutes apart do NOT merge — touching windows don't
+    // overlap), while d11's lag rule uses `>` (they DO stay in one
+    // session). The two declarations agree only because the fixture
+    // contains no exact 30-minute consecutive gap for any user — a
+    // property previously measured in prose only (SparkEntry's d52
+    // comment). If THIS test fails after a testdata regen, the downstream
+    // symptom would otherwise be a cryptic d52 row/hash mismatch in the
+    // correctness gate: fix by re-deriving which rule the regenerated
+    // fixture needs, or by excluding the exact-gap boundary in BOTH the
+    // d52 oracle and this pin.
+    import org.apache.spark.sql.functions._
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(n => s"/root/testdata/$n")
+      .filter(d => new java.io.File(d).isDirectory)
+    assert(sfDirs.nonEmpty, "no testdata SF directories found")
+    sfDirs.foreach { d =>
+      val ev = Tables.eventsTs(spark, d)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val exactGaps = ev
+        .select((unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .where(col("gap_us") === 1800000000L)
+        .count()
+      assert(exactGaps == 0L,
+        s"$d/events.parquet now contains $exactGaps exact-30-min user " +
+          "gaps — d52 (session_window, >= rule) and d11 (lag, > rule) " +
+          "DIVERGE on such events; see the d52 declaration's gap-rule note")
+    }
+  }
+
   test("every fixture table matches the schema contract") {
     val drift = Tables.names.flatMap { t =>
       val schema =

@@ -21,6 +21,14 @@ class StreamingSpec extends AnyFunSuite {
   private def eventsDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  /** Best-effort recursive delete for per-test scratch dirs — in a finally
+    * block so an assertion failure doesn't leak parquet copies (and the
+    * data they pin) into the rest of the suite. */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    catch { case scala.util.control.NonFatal(_) => () }
+
   test("hourlyProfile (complete mode) matches the batch aggregation") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
@@ -193,17 +201,73 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("mfpt").outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    // the rate limit actually sliced the drain: one micro-batch per file
-    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
-      s"expected >=4 data micro-batches, got " +
-        q.recentProgress.map(_.numInputRows).mkString(","))
-    val streamed = spark.table("mfpt").collect().map(_.toString).sorted.toSeq
-    spark.catalog.dropTempView("mfpt")
-    val batch = graft.operators.EventOps.hourlyCounts(batchEvents)
-      .collect().map(_.toString).sorted.toSeq
-    assert(streamed == batch)
-    q.stop()
+    try {
+      q.awaitTermination()
+      // the rate limit actually sliced the drain: one micro-batch per file
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        s"expected >=4 data micro-batches, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      val streamed = spark.table("mfpt").collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.EventOps.hourlyCounts(batchEvents)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally {
+      // finally, not inline: an assertion failure must not leak a live
+      // query + the parquet split into the rest of the suite
+      q.stop()
+      spark.catalog.dropTempView("mfpt")
+      rmTree(dir)
+    }
+  }
+
+  test("d55 custom-state drain: multi-micro-batch update-mode emissions " +
+      "roll up (last update per key) to the batch fixpoint") {
+    // the declared d55 drains one file = one micro-batch, where each key
+    // emits exactly once; a multi-batch backfill emits a key's running
+    // state once PER batch it receives data, and the memory sink appends
+    // every emission — this pins that the declared max(struct)-rollup
+    // recovers the final state from that multi-emission log, i.e. the
+    // declaration's parity device survives any micro-batch slicing
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_d55")
+    val batchEvents = Tables.eventsTs(spark, SparkFixture.sfDir)
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir.toString)
+    val cents = StreamMonitor.readEventsStream(spark, dir.toString,
+        Map("maxFilesPerTrigger" -> "1"))
+      .withColumn("value",
+        graft.operators.Features.qlong(col("value"), 100.0).cast("double"))
+    val q = StreamMonitor.runningUserTotals(cents)
+      .writeStream.format("memory").queryName("d55multi").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        s"expected >=4 data micro-batches, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      val emitted = spark.table("d55multi")
+      // the rollup is exercised, not vacuous: at least one key must have
+      // emitted intermediate updates (more emissions than distinct keys)
+      assert(emitted.count() > emitted.select("user_id").distinct().count(),
+        "every key emitted once — the multi-batch path was not exercised")
+      val rolled = emitted.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          (col("fin.total_value") / 100.0).as("total_value"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = batchEvents
+        .where(col("user_id").isNotNull &&
+          graft.operators.Features.finiteOrNull(col("value")).isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(graft.operators.Features.qlong(col("value"), 100.0)).cast("double") / 100.0)
+            .as("total_value"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(rolled == batch)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("d55multi")
+      rmTree(dir)
+    }
   }
 
   test("file-source stream starts on an EMPTY directory, then ingests files that land later") {

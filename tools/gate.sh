@@ -78,6 +78,13 @@ done
 # view must be nonempty, naming exactly the planted train carriers
 if python3 tools/mass_leak_fixture.py /root/testdata/sf0.001 "$SCRATCH/leak" >/dev/null; then
   verify_against "mass_leak_sf0.001" "$SCRATCH/leak"
+  # the d53 check reads the replay's output — if the replay failed or
+  # wrote nothing, report it as BLOCKED on that (the replay arm already
+  # set fail=1) instead of failing with an unrelated pyarrow traceback
+  if [[ " ${RESULTS[*]} " != *"PASS  mass_leak_sf0.001"* ]] || \
+     [ ! -d "$SCRATCH/v_mass_leak_sf0.001/d53_mass_contamination_suspects" ]; then
+  RESULTS+=("SKIP  mass_leak_d53_nonempty (blocked: mass_leak_sf0.001 replay failed or wrote no d53 output)")
+  else
   arm "mass_leak_d53_nonempty" python3 - "$SCRATCH/v_mass_leak_sf0.001" <<'PYEOF'
 import sys
 import pyarrow.dataset as ds
@@ -96,6 +103,7 @@ assert not leaked_into_verdict, \
     f"d49 flagged planted mass-leak docs (cap not engaged): {sorted(leaked_into_verdict)[:5]}"
 print(f"d53 named all {len(planted)} planted carriers; d49 (capped) reported them clean")
 PYEOF
+  fi
 else
   RESULTS+=("FAIL  mass_leak_fixture_build"); fail=1
 fi

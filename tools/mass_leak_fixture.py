@@ -68,8 +68,12 @@ def main(src, dst):
     for t in TABLES:
         s, d = f"{src}/{t}.parquet", f"{dst}/{t}.parquet"
         if t != "documents":
-            if not os.path.exists(d):
-                os.symlink(os.path.abspath(s), d)
+            # always re-point: a reused dst dir with a different src would
+            # otherwise silently keep stale symlinks and mix two fixtures
+            # (lexists, not exists: a dangling symlink must be replaced too)
+            if os.path.lexists(d):
+                os.remove(d)
+            os.symlink(os.path.abspath(s), d)
             continue
         tbl = pa.parquet.read_table(s)
         assert max(tbl.column("doc_id").to_pylist()) < TRAIN_IDS[0], \
