@@ -267,6 +267,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"d17 flagged $pairs of ${n * (n - 1) / 2} pairs — degenerate evidence")
   }
 
+  test("declared d38 (incremental minhash) on the real corpus is evidence-dense, not vacuous") {
+    // the last rows-only near-dup declaration without a real-corpus band:
+    // new batch = doc_id >= 400, corpus index = doc_id < 400, so the
+    // answer space is |new| x |corpus| ordered pairs. Measured 8 of
+    // 40,000 at sf0.01 (~0.02%) — minhash at jaccard >= 0.5, same
+    // tightness as d15. The 5% bar matches the family discipline.
+    val n = docs.count()
+    val nNew = docs.filter(col("doc_id") >= 400).count()
+    val nCorpus = n - nNew
+    assume(nNew > 0 && nCorpus > 0, "fixture no longer spans the 400 split")
+    val pairs = SparkEntry.queries("d38_incremental_neardups")(spark, sfDir).count()
+    assert(pairs > 0L, "d38 flagged nothing — near-dup evidence is vacuous")
+    assert(pairs < nNew * nCorpus / 20,
+      s"d38 flagged $pairs of ${nNew * nCorpus} pairs — degenerate evidence")
+  }
+
   test("declared d28 on the real corpus is evidence-dense, not vacuous") {
     // the round-16 self-review found the old declaration (operator-default
     // char k=8) flagged 58% of ALL doc pairs at sf0.01 — the same vacuity
