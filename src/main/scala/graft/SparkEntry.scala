@@ -512,6 +512,19 @@ object SparkEntry {
         k = Corpus.matchedWinnowCharK(4))),
     "d18_multimodal_meta" -> ((s, d) =>
       Multimodal.metaSummary(Multimodal.assetsFromDocuments(Tables.documents(s, d)))),
+    // D6 frame sampling, oracle-gated: keep every 2nd 64-byte frame; the
+    // per-asset sampled count is pure integer arithmetic over the payload
+    // byte length ((octet_length-1)/64 is the last frame index; /2 + 1
+    // counts the even indices), so the previously test-only
+    // sampleFrames plumbing gets the full cross-engine check. The frames
+    // themselves stay engine-side (binary arrays); only the count is
+    // compared.
+    "d57_frame_stats" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.assetsFromDocuments(Tables.documents(s, d)), 64, 2)
+        .select(col("asset_id").as("doc_id"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))),
     "d29_unigram_surprisal" -> ((s, d) =>
       TextOps.unigramSurprisal(Tables.documents(s, d))),
     "d31_repetition_ratio" -> ((s, d) =>
@@ -1536,6 +1549,14 @@ object SparkEntry {
         "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents WHERE doc_id IS NOT NULL GROUP BY 1 ORDER BY modality"),
+    // sampled-frame count = ((byte_len - 1) // 64) // 2 + 1 for non-empty
+    // payloads (last frame index halved, + 1 for frame 0), 0 for NULL or
+    // empty text. `//` on nonnegative BIGINTs is floor — the truncate-vs-
+    // floor divergence needs a negative operand, impossible here.
+    "d57_frame_stats" ->
+      ("SELECT doc_id, CAST(CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 " +
+        "THEN 0 ELSE ((octet_length(encode(text)) - 1) // 64) // 2 + 1 END AS BIGINT) " +
+        "AS n_frames FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id"),
   )
 
   /** DuckDB spelling of each canonical Spark numeric type. Total over the
