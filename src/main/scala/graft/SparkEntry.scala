@@ -341,10 +341,12 @@ object SparkEntry {
     "d6_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
     "d7_token_frequency" -> ((s, d) => TextOps.tokenFrequency(Tables.documents(s, d), 20)),
     "d8_lang_source_matrix" -> ((s, d) => TextOps.langSourceMatrix(Tables.documents(s, d))),
+    "d58_hash_split" -> ((s, d) => TextOps.hashSplit(Tables.documents(s, d))),
     "d9_props_summary" -> ((s, d) => EventOps.propsSummary(Tables.eventsRaw(s, d))),
     "d10_hourly_events" -> ((s, d) => EventOps.hourlyCounts(Tables.eventsTs(s, d))),
     "d11_session_counts" -> ((s, d) => EventOps.sessionCounts(Tables.eventsTs(s, d))),
     "d12_value_profile" -> ((s, d) => EventOps.valueProfile(Tables.eventsRaw(s, d))),
+    "d60_cohort_retention" -> ((s, d) => EventOps.cohortRetention(Tables.eventsTs(s, d))),
     // D7 end-to-end: a REAL Structured Streaming execution inside the
     // driver's correctness gate — file source (schema borrowed + canonical-
     // ized like the batch path) → watermarked tumbling-window aggregate →
@@ -496,6 +498,20 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d), 64, 20, 5)),
     "d22_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5)),
+    // rows-only like the IVF path it shares a quantizer with (the cells
+    // are an engine-local k-means artifact no SQL engine reproduces);
+    // evidence: DedupSimilaritySpec pins exact-verification precision
+    // (every emitted drop ⊆ the brute-force cosine relation at the same
+    // threshold), planted-near-dup recall, and the real-corpus density
+    // band the d28 discipline requires. minSim is declared at 0.45, NOT
+    // d21's pair-LISTING threshold 0.2: a drop decision at 0.2 discards
+    // 86% of this corpus (the d28 vacuity class — measured before
+    // declaring); at 0.45 the brute-force drop set is a selective 2.8%
+    // of vectors at sf0.001/0.01 and 6.8% at sf0.1 (max pairwise cosine
+    // 0.51/0.60 — the corpus has no true near-dups, so the declared
+    // fence sits just under the distribution's tail).
+    "d59_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), 8, 0.45)),
     "d17_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), 8)),
     // declared at matched granularity k = matchedWinnowCharK(4) = 20
@@ -1428,6 +1444,17 @@ object SparkEntry {
     "d8_lang_source_matrix" ->
       ("SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "d58_hash_split" ->
+      // content-addressed split: both engines md5 the UTF-8 bytes of
+      // `text` and compare the first hex BYTE lexicographically against
+      // the 204/230-of-256 fences (≈80/10/10) — no hex→int parsing, which
+      // engines disagree on. NULL text → NULL split (quarantine, not a
+      // silent 'test' bucket); the split tie-break in ORDER BY covers a
+      // fixture with duplicated doc_ids (hostile replay).
+      ("SELECT doc_id, CASE WHEN text IS NULL THEN NULL " +
+        "WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id, split"),
     "d9_props_summary" ->
       // json_valid guard: Spark's from_json is PERMISSIVE (malformed
       // payload → NULL row, skipped by sum); DuckDB's json_extract_string
@@ -1510,6 +1537,18 @@ object SparkEntry {
           "/ 100.0 / CAST(count(CASE WHEN isfinite(value) THEN 1 END) AS DOUBLE)", 4) + " AS mean_value, " +
         "round(stddev_samp(value), 4) AS std_value, round(min(value), 2) AS min_value, " +
         "round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type"),
+    "d60_cohort_retention" ->
+      // day-granularity retention triangle; NULL ts belongs to no day
+      // (the d10/d11 bucketable contract), NULL user_id has no cohort
+      // identity and null-rejects at the inner join in both engines; day
+      // arithmetic is exact integers end to end
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events " +
+        "WHERE ts IS NOT NULL), " +
+        "f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id) " +
+        "SELECT f.cohort_day, date_diff('day', f.cohort_day, e.d) AS day_offset, " +
+        "count(DISTINCT e.user_id) AS n_active " +
+        "FROM e JOIN f ON e.user_id = f.user_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "d13_jaccard_pairs" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
         "FROM documents WHERE doc_id < 60) " +

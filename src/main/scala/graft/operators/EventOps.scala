@@ -110,6 +110,34 @@ object EventOps {
     perStep.result().reduce(_ unionByName _).orderBy(col("step"))
   }
 
+  /** Cohort retention (day granularity): users are cohorted by the UTC
+    * day of their FIRST event; cell (cohort_day, day_offset) counts the
+    * cohort's distinct users active `day_offset` days later — the classic
+    * retention triangle a product-analytics engine materializes daily.
+    *
+    * Scale: first-touch attaches as `min(d) OVER (PARTITION BY user_id)`
+    * — ONE events scan and one user-keyed shuffle, where the textbook
+    * groupBy-then-self-join form scans events twice and shuffles both
+    * sides (PlanLint caught exactly that draft). The window partitions by
+    * user_id (high-cardinality — scales out, same argument as
+    * [[sessionCounts]]); the final countDistinct shuffles
+    * (cohort_day, day_offset, user_id) triples, partial-distinct combined
+    * map-side. NULL ts rows belong to no day ([[bucketable]], the
+    * batch≡stream contract); NULL user_id rows have no cohort identity
+    * and are dropped explicitly (the oracle's inner join null-rejects).
+    * Day arithmetic is exact integers end to end — no float work. */
+  def cohortRetention(eventsTs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    bucketable(eventsTs)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .withColumn("cohort_day", min(col("d")).over(w))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Time-series gap filling (resample + ffill): a complete hourly spine
     * per event type — absent hours appear with n = 0 and carry the last
     * seen hourly value mass forward (the feature a downstream model reads

@@ -269,6 +269,84 @@ object Similarity {
     embeddings.where(col("embedding").isNotNull && size(col("embedding")) > 0 &&
       !expr("exists(embedding, x -> x IS NULL)"))
 
+  /** Assign each vector its nearest centroid — ONE broadcast-centroid
+    * codegen'd scan: per-centroid squared-L2 distances as fused array
+    * expressions (the centroids are literals in the plan, so nothing
+    * joins or shuffles), cell = argmin. Materialized (localCheckpoint)
+    * because every consumer scans the assigned relation more than once. */
+  private[operators] def assignCells(corpus: DataFrame,
+                                     centroids: Array[Array[Double]]): DataFrame = {
+    val distExprs = centroids.map { c =>
+      val arr = c.map(dlit).mkString("array(", ", ", ")")
+      s"aggregate(zip_with(embedding, $arr, (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    }
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        expr(distExprs.mkString("array(", ", ", ")")).as("__dists"))
+      .select(col("vec_id"), col("embedding"),
+        (expr("array_position(__dists, array_min(__dists))") - 1L)
+          .cast("int").as("cell"))
+      .localCheckpoint(true)
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
+    * public method): k-means the embedding space into `nClusters` cells,
+    * verify cosine similarity exactly WITHIN each cell, and greedily drop
+    * every vector that has a lower-id cell-mate at cosine ≥ `minSim`.
+    * Output: one row per DROPPED vector — (vec_id, keeper_id = the lowest
+    * such cell-mate, cos_sim to that keeper, cell). The min-id keeper
+    * convention matches exact dedup (d1/d20); a keeper may itself be
+    * dropped by a still-lower id (greedy chain, the paper's semantics) —
+    * callers needing full transitive groups feed the pair relation to
+    * [[graft.operators.Dedup.connectedComponents]] instead.
+    *
+    * Scale shape: the quantizer trains on a capped layout-invariant
+    * sample ([[trainIvfCentroids]] — seeded-hash draw, deterministic
+    * Lloyd's); assignment is one broadcast-centroid scan
+    * ([[assignCells]]); candidate generation is a cell-keyed self-
+    * EQUIJOIN, never all-pairs — O(Σ cell²) = O(n·avgCell) exact cosine
+    * work, and `nClusters` scales as n/targetCellSize so avgCell stays a
+    * constant (the paper runs 50k clusters over LAION). A pathologically
+    * hot cell is an AQE-splittable join partition (not a window), and a
+    * boilerplate-heavy corpus can pre-shard hot cells by an LSH band
+    * ([[lshTopK]]'s hyperplane bits) inside the join key. Every emitted
+    * pair is exactly verified, so within-cell precision is 1 by
+    * construction; recall is the probability both near-dups quantize to
+    * the same cell — ≈ 1 for true duplicates (distance ≪ cell radius),
+    * and pinned for planted dups + density-banded on the real corpus in
+    * DedupSimilaritySpec. Rows-only in the oracle gate: the cells are an
+    * engine-local k-means artifact no SQL engine reproduces. */
+  def semanticDedup(embeddings: DataFrame, nClusters: Int, minSim: Double,
+                    seed: Long = 42L,
+                    precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val corpus = indexable(embeddings)
+    val centroids = precomputedCentroids.getOrElse(
+      trainIvfCentroids(embeddings, nClusters, seed))
+    require(centroids.length == nClusters,
+      s"expected $nClusters centroids, got ${centroids.length}")
+    val assigned = assignCells(corpus, centroids)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("q_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("n_emb"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        Features.pround(cosineExprIn(Some(embeddings.sparkSession), "q_emb", "n_emb"), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .groupBy(col("id_b"))
+      // keeper = lexicographic struct min = lowest id_a (ids are distinct
+      // within a group, so the struct min is total and deterministic);
+      // cell is constant per id_b (one cell per vector) — min() only to
+      // keep the aggregate order-insensitive
+      .agg(min(struct(col("id_a"), col("cos_sim"))).as("__m"),
+        min(col("cell")).as("cell"))
+      .select(col("id_b").as("vec_id"), col("__m.id_a").as("keeper_id"),
+        col("__m.cos_sim").as("cos_sim"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Persist a trained IVF quantizer as a (cell, centroid) parquet table —
     * the index artifact a production deployment builds at ingest and ships
     * to query time. */
@@ -316,22 +394,11 @@ object Similarity {
       trainIvfCentroids(embeddings, nLists, seed))
     require(centroids.length == nLists,
       s"expected $nLists centroids, got ${centroids.length}")
-    // assignment: one codegen'd scan — per-centroid squared-L2 distances as
-    // fused array expressions, cell = argmin. localCheckpoint — the assigned
-    // relation is scanned three times below (query collect, query-embedding
-    // lookup, candidate join); materialize once, lineage truncated, blocks
-    // GC-tracked (no cache-manager leak)
-    val distExprs = centroids.map { c =>
-      val arr = c.map(dlit).mkString("array(", ", ", ")")
-      s"aggregate(zip_with(embedding, $arr, (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
-    }
-    val assigned = corpus
-      .select(col("vec_id"), col("embedding"),
-        expr(distExprs.mkString("array(", ", ", ")")).as("__dists"))
-      .select(col("vec_id"), col("embedding"),
-        (expr("array_position(__dists, array_min(__dists))") - 1L)
-          .cast("int").as("cell"))
-      .localCheckpoint(true)
+    // assignment: one codegen'd scan (see [[assignCells]]). localCheckpoint
+    // — the assigned relation is scanned three times below (query collect,
+    // query-embedding lookup, candidate join); materialize once, lineage
+    // truncated, blocks GC-tracked (no cache-manager leak)
+    val assigned = assignCells(corpus, centroids)
     // queries probe their nProbe nearest centroids (tiny driver-side math
     // over nQueries × nLists — the centroid table is the "index")
     val queries = assigned.filter(col("vec_id") < nQueries)

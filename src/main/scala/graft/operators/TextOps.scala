@@ -656,4 +656,33 @@ object TextOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
         sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy(col("source"))
+
+  /** D1/D5 — content-addressed train/val/test split: each document's
+    * split is a pure function of `md5(text)`, so (a) it is stable across
+    * runs, partition layouts, and engines (no RNG, nothing to seed or
+    * persist), (b) exact duplicates land in the SAME split — a held-out
+    * set can never leak a training document's copy (the contamination
+    * class d44/d53 audit for), and (c) re-ingesting a grown corpus never
+    * reshuffles previously-assigned documents across the boundary.
+    *
+    * The bucket is the first hex byte of the digest (256 uniform buckets)
+    * compared LEXICOGRAPHICALLY against two-hex-char fences, avoiding
+    * hex→int parsing that engines disagree on; `trainBuckets`/`valBuckets`
+    * are bucket counts out of 256 (defaults ≈ 80/10/10). NULL text has no
+    * content to address → NULL split (the caller's quarantine decision,
+    * not silently "test"). Zero shuffle — a codegen'd projection the scan
+    * pipelines; the trailing sort exists only for the oracle compare. */
+  def hashSplit(docs: DataFrame, trainBuckets: Int = 204,
+                valBuckets: Int = 26): DataFrame = {
+    require(trainBuckets > 0 && valBuckets > 0 &&
+      trainBuckets + valBuckets < 256, "bucket fences must partition 0..255")
+    def fence(n: Int): String = f"$n%02x"
+    val bucket = substring(md5(col("text").cast("binary")), 1, 2)
+    docs.select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .when(bucket < fence(trainBuckets), lit("train"))
+          .when(bucket < fence(trainBuckets + valBuckets), lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"), col("split"))
+  }
 }

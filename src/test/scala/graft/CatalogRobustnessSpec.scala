@@ -78,7 +78,8 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     "m16_confusion_matrix" -> "exactPercentile over empty relation",
     "m17_champion_select"  -> "exactPercentile over empty relation",
     "m20_calibration_bins" -> "exactPercentile over empty relation",
-    "d22_ivf_topk"         -> "kmeans sample is empty")
+    "d22_ivf_topk"         -> "kmeans sample is empty",
+    "d59_semantic_dedup"   -> "kmeans sample is empty")
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf0").toString

@@ -346,6 +346,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res == Map("signup" -> 3L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("D-series cohort retention: cells count a cohort's distinct users per day offset") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: first on day 0, active again day 0 (twice) and day 2
+      (1L, 0L, 10L), (1L, 0L, 20L), (1L, 2L, 0L),
+      // user 2: first on day 0, active day 1
+      (2L, 0L, 99L), (2L, 1L, 0L),
+      // user 3: first on day 1 — its OWN cohort, active day 3 (offset 2)
+      (3L, 1L, 0L), (3L, 3L, 0L))
+      .toDF("user_id", "day", "sec")
+      .select(col("user_id"), timestamp_micros((col("day") * 86400L + col("sec")) * 1000000L).as("ts"))
+    val res = EventOps.cohortRetention(e).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toLocalDate.toEpochDay,
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_active")).toMap
+    assert(res == Map(
+      (0L, 0L) -> 2L,  // users 1,2 on their cohort day (dup events count once)
+      (0L, 1L) -> 1L,  // user 2
+      (0L, 2L) -> 1L,  // user 1
+      (1L, 0L) -> 1L,  // user 3's own cohort
+      (1L, 2L) -> 1L)) // user 3 on day 3
+  }
+
+  test("D1/D5 hash split: content-addressed, duplicate-safe, NULL-quarantined, fences honored") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "alpha"), (1L, "beta"), (2L, "alpha"),         // 2 copies of "alpha"
+      (3L, null.asInstanceOf[String]))                    // no content to address
+      .toDF("doc_id", "text")
+    val res = TextOps.hashSplit(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("split"))).toMap
+    // exact duplicates land in the SAME split — the no-leak property
+    assert(res(0L) == res(2L) && res(0L).isDefined)
+    assert(res(3L).isEmpty, "NULL text must quarantine (NULL split), not default to a bucket")
+    // pure function of content: a re-run and a re-partitioned run agree
+    val again = TextOps.hashSplit(planted.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("split"))).toMap
+    assert(again == res)
+    // fences: the real corpus lands ≈80/10/10 and every split is populated
+    val corpus = TextOps.hashSplit(Tables.documents(spark, SparkFixture.sfDir))
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    val n = corpus.values.sum.toDouble
+    assert(corpus.keySet == Set("train", "val", "test"))
+    assert(corpus("train") / n > 0.70 && corpus("train") / n < 0.90, corpus)
+    assert(corpus("val") > 0 && corpus("test") > 0)
+    // custom fences must partition 0..255
+    assertThrows[IllegalArgumentException](TextOps.hashSplit(planted, 200, 56))
+  }
+
   test("V9 PSI: identical slices score ~0, shifted slices score high") {
     import spark.implicits._
     def mk(rows: Seq[(Double, String)]) = rows.zipWithIndex

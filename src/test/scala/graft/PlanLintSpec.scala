@@ -235,6 +235,10 @@ class PlanLintSpec extends AnyFunSuite {
       "d15_minhash_neardups", "d16_lsh_topk", "d17_simhash_neardups",
       "d19_approx_distinct", "d22_ivf_topk", "d28_winnow_neardups",
       "d30_decode_stats", "d38_incremental_neardups",
+      // k-means cells are an engine-local artifact (same rationale as
+      // d22); evidence = DedupSimilaritySpec's planted-recall, brute-
+      // force-precision, and density-band pins
+      "d59_semantic_dedup",
       // BPE merge loop = iterative global argmax, not SQL-expressible
       "d46_bpe_merges",
       // winnowing hash family is engine-local (same rationale as d28)
