@@ -342,6 +342,7 @@ object SparkEntry {
     "d7_token_frequency" -> ((s, d) => TextOps.tokenFrequency(Tables.documents(s, d), 20)),
     "d8_lang_source_matrix" -> ((s, d) => TextOps.langSourceMatrix(Tables.documents(s, d))),
     "d58_hash_split" -> ((s, d) => TextOps.hashSplit(Tables.documents(s, d))),
+    "d61_epoch_shuffle" -> ((s, d) => TextOps.epochShuffle(Tables.documents(s, d), 17)),
     "d9_props_summary" -> ((s, d) => EventOps.propsSummary(Tables.eventsRaw(s, d))),
     "d10_hourly_events" -> ((s, d) => EventOps.hourlyCounts(Tables.eventsTs(s, d))),
     "d11_session_counts" -> ((s, d) => EventOps.sessionCounts(Tables.eventsTs(s, d))),
@@ -1455,6 +1456,14 @@ object SparkEntry {
         "WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' " +
         "WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id, split"),
+    "d61_epoch_shuffle" ->
+      // seeded md5 permutation; the engine assigns ranks via distributed
+      // order statistics (no global window) — the oracle's row_number is
+      // the semantic spec, not the plan shape. NULL doc_id has no
+      // identity in a permutation (engine mirrors the drop).
+      ("SELECT CAST(row_number() OVER (ORDER BY md5('17:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank, " +
+        "doc_id, md5('17:' || CAST(doc_id AS VARCHAR)) AS shuffle_key " +
+        "FROM documents WHERE doc_id IS NOT NULL ORDER BY shuffle_rank"),
     "d9_props_summary" ->
       // json_valid guard: Spark's from_json is PERMISSIVE (malformed
       // payload → NULL row, skipped by sum); DuckDB's json_extract_string

@@ -685,4 +685,48 @@ object TextOps {
           .otherwise(lit("test")).as("split"))
       .orderBy(col("doc_id"), col("split"))
   }
+
+  /** D5 — deterministic epoch shuffle: a seeded, reproducible global
+    * permutation of the corpus — the "shuffle the training data each
+    * epoch, identically on every re-run" step a data loader otherwise
+    * improvises. The permutation key is `md5(seed ":" doc_id)` (engine-
+    * portable, uniform, changes completely per seed); `rank` is the
+    * row's 1-based position in that order.
+    *
+    * Scale shape: this is hash-keyed TeraSort, NOT a window —
+    * range-repartition by the key, sort within partitions, then assign
+    * global ranks as partition offset + local index (the
+    * [[Metrics.exactMedian]] / RelationalExt.priceQuartiles
+    * order-statistics pattern; a `row_number()` over a global ORDER BY
+    * would put the whole corpus through one task, the plan shape
+    * PlanLint bans). Only the tiny per-partition counts reach the
+    * driver. A NULL doc_id has no identity in the permutation and is
+    * dropped (the oracle mirrors: WHERE doc_id IS NOT NULL). */
+  def epochShuffle(docs: DataFrame, seed: Int = 0): DataFrame = {
+    val keyed = docs
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id")).cast("binary"))
+          .as("shuffle_key"))
+    val sorted = keyed
+      .repartitionByRange(Metrics.derivedPartitions(keyed, 0),
+        col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions(col("shuffle_key"), col("doc_id"))
+      .localCheckpoint(true)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L // Long cursor: a >2^31-row partition must not wrap
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator.single((pid, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = offsets(pid)
+      it.map { row => rn += 1L; (rn, row.getLong(0), row.getString(1)) }
+    }
+    docs.sparkSession.createDataFrame(ranked)
+      .toDF("shuffle_rank", "doc_id", "shuffle_key")
+      .orderBy(col("shuffle_rank"))
+  }
 }

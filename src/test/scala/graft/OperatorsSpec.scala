@@ -395,6 +395,25 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextOps.hashSplit(planted, 200, 56))
   }
 
+  test("D5 epoch shuffle: ranks are a 1..N permutation, layout-invariant, seed-keyed to the md5 spec") {
+    val docs = Tables.documents(spark, SparkFixture.sfDir)
+    val n = docs.where(col("doc_id").isNotNull).count()
+    val s17 = TextOps.epochShuffle(docs, 17).collect()
+    assert(s17.map(_.getLong(0)).toSeq == (1L to n), "ranks must be exactly 1..N")
+    // reproducible under any partition layout (the replay contract)
+    val s17b = TextOps.epochShuffle(docs.repartition(7), 17).collect()
+    assert(s17.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      s17b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // a different seed is a different permutation (new epoch, new order)
+    val s18 = TextOps.epochShuffle(docs, 18).collect()
+    assert(s17.map(_.getLong(1)).toSeq != s18.map(_.getLong(1)).toSeq)
+    // the key IS md5("<seed>:<doc_id>") — pin the cross-engine spec
+    val k0 = s17.find(_.getLong(1) == 0L).get.getString(2)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("17:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(k0 == expected)
+  }
+
   test("V9 PSI: identical slices score ~0, shifted slices score high") {
     import spark.implicits._
     def mk(rows: Seq[(Double, String)]) = rows.zipWithIndex
