@@ -269,13 +269,33 @@ object Similarity {
     embeddings.where(col("embedding").isNotNull && size(col("embedding")) > 0 &&
       !expr("exists(embedding, x -> x IS NULL)"))
 
-  /** Assign each vector its nearest centroid — ONE broadcast-centroid
-    * codegen'd scan: per-centroid squared-L2 distances as fused array
-    * expressions (the centroids are literals in the plan, so nothing
-    * joins or shuffles), cell = argmin. Materialized (localCheckpoint)
-    * because every consumer scans the assigned relation more than once. */
-  private[operators] def assignCells(corpus: DataFrame,
-                                     centroids: Array[Array[Double]]): DataFrame = {
+  /** Past this centroid count the literal-expression assignment plan stops
+    * being the right shape: the projection embeds nClusters × dim double
+    * literals (64 × 64 ≈ 4k is fine; a SemDeDup-scale 50k × 64 ≈ 3.2M
+    * literals would blow codegen method limits and analyzer time), so
+    * larger quantizers take the broadcast-kernel path. The knee is a
+    * PLAN-SIZE bound, not a data bound — both paths are one scan. */
+  private[graft] val literalAssignMaxCentroids = 64
+
+  /** Assign each vector its nearest centroid — ONE scan, no join, no
+    * shuffle, materialized (localCheckpoint) because every consumer scans
+    * the assigned relation more than once. Two same-semantics plan shapes
+    * (bit-identical cell assignment, pinned in SimilaritySpec):
+    *  - ≤ [[literalAssignMaxCentroids]] centroids: per-centroid squared-L2
+    *    distances as fused array expressions with the centroids as plan
+    *    LITERALS, cell = argmin — fully codegen'd, zero per-row overhead;
+    *  - above it: a broadcast of the centroid matrix + one mapPartitions
+    *    kernel (the MLlib-KMeans shape) — the plan stays O(1) in nClusters,
+    *    which is what lets `nClusters ~ n / targetCellSize` scale to the
+    *    50k-cluster SemDeDup regime. */
+  private[graft] def assignCells(corpus: DataFrame,
+                                     centroids: Array[Array[Double]]): DataFrame =
+    if (centroids.length <= literalAssignMaxCentroids)
+      assignCellsLiteral(corpus, centroids)
+    else assignCellsBroadcast(corpus, centroids)
+
+  private[graft] def assignCellsLiteral(corpus: DataFrame,
+                                            centroids: Array[Array[Double]]): DataFrame = {
     val distExprs = centroids.map { c =>
       val arr = c.map(dlit).mkString("array(", ", ", ")")
       s"aggregate(zip_with(embedding, $arr, (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
@@ -287,6 +307,56 @@ object Similarity {
         (expr("array_position(__dists, array_min(__dists))") - 1L)
           .cast("int").as("cell"))
       .localCheckpoint(true)
+  }
+
+  /** The large-quantizer assignment kernel. Semantics mirror the literal
+    * path EXACTLY, including its degenerate edges, so the knee never
+    * changes a result:
+    *  - distances accumulate in index order with the same
+    *    `(double(x) − w)²` terms → the same IEEE-754 sum;
+    *  - argmin keeps the FIRST minimum (array_position returns the first
+    *    match) and orders NaN greatest (Spark's array_min ordering —
+    *    `Double.compare` gives both);
+    *  - a vector whose length differs from the quantizer dim gets a NULL
+    *    cell (zip_with pads the shorter side with nulls, nulling every
+    *    distance, so array_min and the position are NULL there). */
+  private[graft] def assignCellsBroadcast(corpus: DataFrame,
+                                              centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val bc = spark.sparkContext.broadcast(centroids)
+    val schema = StructType(base.schema.fields :+
+      StructField("cell", IntegerType, nullable = true))
+    val out = base.rdd.mapPartitions { it =>
+      val cs = bc.value
+      val dim = if (cs.isEmpty) -1 else cs(0).length
+      it.map { r =>
+        val emb = r.getSeq[Float](1)
+        val cell: Any =
+          if (emb == null || emb.length != dim) null
+          else {
+            val x = new Array[Double](dim)
+            var j = 0
+            while (j < dim) { x(j) = emb(j).toDouble; j += 1 }
+            def dist(c: Array[Double]): Double = {
+              var d = 0.0; var k = 0
+              while (k < dim) { val t = x(k) - c(k); d += t * t; k += 1 }
+              d
+            }
+            var best = 0; var bestD = dist(cs(0)); var ci = 1
+            while (ci < cs.length) {
+              val d = dist(cs(ci))
+              if (java.lang.Double.compare(d, bestD) < 0) { best = ci; bestD = d }
+              ci += 1
+            }
+            best
+          }
+        Row(r.get(0), r.get(1), cell)
+      }
+    }
+    spark.createDataFrame(out, schema).localCheckpoint(true)
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —

@@ -146,6 +146,19 @@ import graft.{GraftExtensions, SparkEntry}
   * parity (exact ceil counts, disjoint cover, fold balance) is pinned in
   * MlPipelineSpec.
   *
+  * Round-17 measurement (semantic dedup at constant cell size, the
+  * `semdedup` block below; planted exact dup per 100 ids, min over two
+  * probe invocations on a noisy host): 2.56 / 4.78 / 15.7 s at
+  * n = 20k / 80k / 320k with k = n/500 clusters — two successive 4×
+  * data steps cost 1.9× and 3.3× (subquadratic; the all-pairs form this
+  * replaces grows 16× per step). The 80k and 320k runs cross the
+  * literal-assignment knee (64) onto the broadcast kernel, and every
+  * run ASSERTS recall 1 with the exact keeper map, so the kernel path
+  * is correctness-verified at 640 clusters / 40× fixture scale, not
+  * just timed. The k=640 run's constant includes ~5 s of driver-side
+  * Lloyd's on the 10k training sample — the build-once cost a
+  * production deployment amortizes via `precomputedCentroids`.
+  *
   * Round-12 measurement (event-analytics family, re-probed after the
   * `ts` plans changed shape — NTZ cast replacing nanos-long
   * arithmetic): d10 0.18/0.17/1.12 s, d11 0.16/0.15/0.64 s,
@@ -170,7 +183,7 @@ object ScaleProbe {
     // re-probes only the named blocks (a full run is ~15 min on a loaded
     // host; a single block re-measure should not pay for the rest)
     val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
-      "amp10x", "quantile", "split", "crossover")
+      "amp10x", "quantile", "split", "crossover", "semdedup")
     args.foreach(a => require(blocks(a),
       s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
     def block(name: String)(body: => Unit): Unit =
@@ -561,6 +574,49 @@ object ScaleProbe {
           ranked.filter(col("__rn") > ceil(col("__n") * 0.2)).count()
           ranked.filter(col("__rn") <= ceil(col("__n") * 0.2)).count()
         }
+      }
+    }
+    // Semantic dedup at constant cell size (round 17): d59's scale claim
+    // is "nClusters ~ n/targetCellSize keeps within-cell verification
+    // O(n·cellSize)". This block holds cellSize ≈ 500 and grows n past
+    // the literal-assignment knee (k = 40 → 160 → 640 centroids; the
+    // knee at 64 routes the larger two through the broadcast kernel).
+    // Corpus: synthesized 64-dim vectors, deterministic per id, with an
+    // EXACT duplicate planted every 100 ids (id%100==99 copies id−1):
+    // background pairs concentrate near cos ≈ 0.75 (all-positive
+    // quadrant), far under the 0.99 fence, so the expected drop set is
+    // exactly the planted copies — the block ASSERTS recall 1 with the
+    // exact keeper map at every n, making it a correctness probe at
+    // 40× fixture scale, not just a timer.
+    block("semdedup") {
+      import org.apache.spark.sql.functions._
+      for (n <- Seq(20000L, 80000L, 320000L)) {
+        val emb = spark.range(n).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "CAST(CAST(xxhash64(CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END, j) % 1000000 AS DOUBLE) / 1000000.0 AS FLOAT))")
+            .as("embedding"))
+        // NOT checkpointed: the corpus is a pure function of range(n) —
+        // recomputing it is cheap and keeps the between-run block sweep
+        // below from killing a shared checkpoint under a later run
+        val k = (n / 500L).toInt
+        def run(): Long = {
+          val out = graft.operators.Similarity
+            .semanticDedup(emb, nClusters = k, minSim = 0.99)
+          val bad = out.filter(col("keeper_id") =!= col("vec_id") - 1L).count()
+          val drops = out.count()
+          require(bad == 0L, s"$bad drops with a non-planted keeper at n=$n")
+          require(drops == n / 100L,
+            s"expected ${n / 100L} planted drops at n=$n, got $drops")
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          drops
+        }
+        run() // warm
+        val t0 = System.nanoTime(); run()
+        val t1 = System.nanoTime(); run()
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        println(f"[scaleprobe] semdedup_cell500        n=$n%-12d k=$k%-6d $dt%.3f s (recall 1 asserted)")
       }
     }
     spark.stop()

@@ -622,6 +622,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
         missed.take(3).mkString(", "))
   }
 
+  test("assignCells: broadcast kernel is bit-identical to the literal-expression plan, length-mismatch rows NULL in both") {
+    // the knee (literalAssignMaxCentroids) must never change a result:
+    // same IEEE sum order, first-minimum argmin, NaN-greatest ordering,
+    // NULL cell on quantizer-dim mismatch (the zip_with padding edge)
+    val centroids = Similarity.trainIvfCentroids(emb, 8)
+    val short = Seq((9999L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(short)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Int]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    val viaLiteral = cells(Similarity.assignCellsLiteral(corpus, centroids))
+    val viaKernel = cells(Similarity.assignCellsBroadcast(corpus, centroids))
+    assert(viaLiteral == viaKernel)
+    assert(viaKernel(9999L).isEmpty, "dim-mismatch row must get a NULL cell")
+    assert(viaKernel.count(_._2.nonEmpty) == emb.count(),
+      "every real vector must be assigned")
+  }
+
   test("declared d59 (semantic dedup) on the real corpus is evidence-dense, not vacuous") {
     // family discipline (d15/d17/d28/d38): the drop decision must stay
     // SELECTIVE. Measured 4 of 500 vectors (0.8%) at sf0.001/0.01 and
