@@ -564,6 +564,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))
     }),
+    // leakage-safe split: d35's components (near-dup evidence over the
+    // bounded id range, d13's oracle-checked jaccard relation) folded into
+    // d58's content-addressed fences — every component member takes its
+    // min-id representative's split, docs outside the evidence range are
+    // singletons (their own text; ≡ d58 for them)
+    "d62_component_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nodes = docs.filter(col("doc_id") < 60).select(col("doc_id").as("id"))
+      val edges = Similarity.jaccardPairs(docs, 60, 0.5).select(col("id_a"), col("id_b"))
+      TextOps.componentSplit(docs, Dedup.connectedComponents(nodes, edges))
+    }),
     // rows-only (decode stats depend on the engine-local opaque decode;
     // real-container decodes are ScalaTest-verified with PNG/GIF/WAV
     // fixtures in MultimodalSpec):
@@ -1239,6 +1250,32 @@ object SparkEntry {
         "SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id) " +
         "SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component " +
         "FROM reach GROUP BY id ORDER BY doc_id"),
+    "d62_component_split" ->
+      // d35's transitive closure + d58's md5 fences, over the
+      // REPRESENTATIVE's text; docs outside the bounded evidence range
+      // are singletons (LEFT JOIN misses → rep = self). NULL doc_id has
+      // no identity in a grouped split — drops at the representative
+      // join in both engines.
+      ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents WHERE doc_id < 60), " +
+        "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a, t b " +
+        "WHERE a.doc_id < b.doc_id AND " +
+        pr("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)", 6) + " >= 0.5), " +
+        "sym AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e), " +
+        "reach(id, comp) AS (" +
+        "SELECT doc_id, doc_id FROM (SELECT doc_id FROM documents WHERE doc_id < 60) " +
+        "UNION " +
+        "SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id), " +
+        "cmp AS (SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY id), " +
+        "a AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep_id " +
+        "FROM documents d LEFT JOIN cmp c ON d.doc_id = c.id) " +
+        "SELECT a.doc_id, a.rep_id, CASE WHEN rd.text IS NULL THEN NULL " +
+        "WHEN substr(md5(rd.text), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substr(md5(rd.text), 1, 2) < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split " +
+        "FROM a JOIN documents rd ON a.rep_id = rd.doc_id " +
+        "ORDER BY a.doc_id, split, a.rep_id"),
     "d36_funnel_steps" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
         "s0 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t " +

@@ -672,18 +672,52 @@ object TextOps {
     * content to address → NULL split (the caller's quarantine decision,
     * not silently "test"). Zero shuffle — a codegen'd projection the scan
     * pipelines; the trailing sort exists only for the oracle compare. */
-  def hashSplit(docs: DataFrame, trainBuckets: Int = 204,
-                valBuckets: Int = 26): DataFrame = {
+  /** The split-fence CASE over an arbitrary text column — ONE definition
+    * shared by [[hashSplit]] (a document's own text) and
+    * [[componentSplit]] (its representative's text), so the two
+    * assignments can never drift apart. */
+  def splitColumn(text: org.apache.spark.sql.Column, trainBuckets: Int = 204,
+                  valBuckets: Int = 26): org.apache.spark.sql.Column = {
     require(trainBuckets > 0 && valBuckets > 0 &&
       trainBuckets + valBuckets < 256, "bucket fences must partition 0..255")
     def fence(n: Int): String = f"$n%02x"
-    val bucket = substring(md5(col("text").cast("binary")), 1, 2)
+    val bucket = substring(md5(text.cast("binary")), 1, 2)
+    when(text.isNull, lit(null).cast("string"))
+      .when(bucket < fence(trainBuckets), lit("train"))
+      .when(bucket < fence(trainBuckets + valBuckets), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  def hashSplit(docs: DataFrame, trainBuckets: Int = 204,
+                valBuckets: Int = 26): DataFrame =
     docs.select(col("doc_id"),
-        when(col("text").isNull, lit(null).cast("string"))
-          .when(bucket < fence(trainBuckets), lit("train"))
-          .when(bucket < fence(trainBuckets + valBuckets), lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitColumn(col("text"), trainBuckets, valBuckets).as("split"))
       .orderBy(col("doc_id"), col("split"))
+
+  /** D1/D5 — leakage-safe (group-aware) split: every member of a near-dup
+    * COMPONENT gets the split of the component's min-id representative, so
+    * near-duplicates can never straddle the train/test boundary —
+    * [[hashSplit]]'s no-leak property only covers EXACT copies (identical
+    * text → identical hash); paraphrases and boilerplate variants need the
+    * dedup evidence folded in. `components` is the (id, comp) relation
+    * [[graft.operators.Dedup.connectedComponents]] emits (comp = min
+    * member id); documents without a row there are singletons and split by
+    * their own text — identical to [[hashSplit]] for them.
+    *
+    * Scale: two id-keyed equijoins (attach comp, fetch representative
+    * text) around the same zero-shuffle fence projection — the component
+    * relation is the near-dup pipeline's existing artifact, not a new
+    * computation. A NULL-id document has no identity in a grouped split
+    * and drops at the representative join (both engines). */
+  def componentSplit(docs: DataFrame, components: DataFrame): DataFrame = {
+    val withRep = docs
+      .join(components.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep_id"))
+    val repText = docs.select(col("doc_id").as("rep_id"), col("text").as("rep_text"))
+    withRep.join(repText, "rep_id")
+      .select(col("doc_id"), col("rep_id"), splitColumn(col("rep_text")).as("split"))
+      .orderBy(col("doc_id"), col("split"), col("rep_id"))
   }
 
   /** D5 — deterministic epoch shuffle: a seeded, reproducible global

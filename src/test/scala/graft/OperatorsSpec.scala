@@ -395,6 +395,29 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextOps.hashSplit(planted, 200, 56))
   }
 
+  test("D1/D5 component split: near-dup members take the representative's split; singletons match hashSplit") {
+    import spark.implicits._
+    // own-text splits (md5 fences): "doc0" → val, "doc1" → train,
+    // "doc21" → test — chosen so member 0's own split DIFFERS from its
+    // representative's, making the co-split assertion non-vacuous
+    val docs = Seq((0L, "doc0"), (1L, "doc1"), (21L, "doc21"))
+      .toDF("doc_id", "text")
+    val comps = Seq((0L, 0L), (1L, 0L), (21L, 21L)).toDF("id", "comp")
+    val out = TextOps.componentSplit(docs, comps).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[String]("split"))).toMap
+    // both members of component 0 take the REPRESENTATIVE's (doc 0) split
+    assert(out(0L) == ((0L, "val")))
+    assert(out(1L) == ((0L, "val")),
+      "a near-dup member must co-split with its representative, not its own hash")
+    // the singleton is its own representative — identical to hashSplit
+    assert(out(21L) == ((21L, "test")))
+    val own = TextOps.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(own(1L) == "train", "fixture must exercise a member whose own split differs")
+    assert(out(21L)._2 == own(21L))
+  }
+
   test("D5 epoch shuffle: ranks are a 1..N permutation, layout-invariant, seed-keyed to the md5 spec") {
     val docs = Tables.documents(spark, SparkFixture.sfDir)
     val n = docs.where(col("doc_id").isNotNull).count()

@@ -185,6 +185,10 @@ class PlanLintSpec extends AnyFunSuite {
     // here; distinct tables in production) — each side needs its own scan
     "d44_decontaminate" -> Set("documents"),
     "d49_decontaminate_winnowed" -> Set("documents"),
+    // two ROLES again: split members vs their representatives (the
+    // component evidence itself hides behind connectedComponents'
+    // checkpoints — see the blind-spot note below)
+    "d62_component_split" -> Set("documents"),
     "d16_lsh_topk" -> Set("embeddings"),
     "d21_embedding_neardups" -> Set("embeddings"),
     "f5_zscore_clip" -> Set("orders"),
