@@ -181,6 +181,23 @@ object SparkEntry {
     "d23_subword_tokens" -> ((s, d) => TextOps.subwordTokenStats(Tables.documents(s, d))),
     "x28_nation_pair_volume" -> ((s, d) => RelationalExt.nationPairVolume(s, d)),
     "x29_bucketed_segment_spend" -> ((s, d) => Scale.bucketedSegmentSpend(s, d)),
+    // the skew escape hatch enters the oracle gate: same relation as x29
+    // computed through the salted join (salt values are rand-drawn, but
+    // every (key, salt) pair matches the exploded small side exactly once,
+    // so the JOIN RESULT is salt- and layout-independent — the property
+    // the oracle hash-checks end-to-end, not just ScaleSpec's equality)
+    "x35_salted_segment_spend" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Scale.saltedJoin(o, c, "custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg((sum(Features.qlong(col("o_totalprice"), 100.0)).cast("double") / 100.0)
+            .as("spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "x30_asof_last_order" -> ((s, d) => Temporal.asofLastOrder(s, d)),
     "x31_attribution_window" -> ((s, d) => Temporal.attributionWindow(s, d)),
     "x32_exists_big_spenders" -> ((s, d) => RelationalExt.existsBigSpenders(s, d)),
@@ -1370,6 +1387,13 @@ object SparkEntry {
         "WHERE n1.n_name <> n2.n_name " +
         "GROUP BY 1, 2 ORDER BY cust_nation, supp_nation"),
     "x29_bucketed_segment_spend" ->
+      ("SELECT c_mktsegment, " +
+        "CAST(CAST(sum(CASE WHEN isfinite(o_totalprice) THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS DOUBLE) / 100.0 " +
+        "AS spend, count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY c_mktsegment"),
+    "x35_salted_segment_spend" ->
+      // same relation as x29 — the salted rewrite must be join-equivalent
       ("SELECT c_mktsegment, " +
         "CAST(CAST(sum(CASE WHEN isfinite(o_totalprice) THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS DOUBLE) / 100.0 " +
         "AS spend, count(*) AS n_orders " +
