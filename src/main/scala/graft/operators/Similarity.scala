@@ -156,8 +156,14 @@ object Similarity {
 
   /** Seeded k-means++ init + Lloyd iterations over a bounded in-memory
     * sample (the IVF coarse quantizer). Deterministic for a fixed seed;
-    * an emptied cluster keeps its previous centroid. */
-  private[operators] def kmeansLloyd(rawPoints: Array[Array[Double]], k: Int,
+    * an emptied cluster keeps its previous centroid. Fails loudly when
+    * the usable sample cannot seat k distinct seeds: past that point the
+    * D² seeding loop has consumed all mass and would silently reuse
+    * sample points — duplicate centroids that concentrate vectors into
+    * fewer effective cells and quadratically inflate SemDeDup's
+    * within-cell self-join (the exact failure the k-scaled sample in
+    * [[trainIvfCentroids]] exists to prevent). */
+  private[graft] def kmeansLloyd(rawPoints: Array[Array[Double]], k: Int,
                                      iters: Int, seed: Long): Array[Array[Double]] = {
     require(rawPoints.nonEmpty, "kmeans sample is empty")
     // fix the quantizer dimension to the sample's MODAL vector length and
@@ -169,6 +175,10 @@ object Similarity {
     val dim = rawPoints.map(_.length).groupBy(identity)
       .maxBy { case (len, g) => (g.length, len) }._1
     val points = rawPoints.filter(_.length == dim)
+    require(points.length >= k,
+      s"kmeans sample has only ${points.length} usable points (modal dim $dim) " +
+        s"for k=$k clusters — the D² seeding would degenerate into duplicate " +
+        s"centroids; raise samplesPerCentroid / the corpus, or lower nClusters")
     val rng = new scala.util.Random(seed)
     def sqDist(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var j = 0
@@ -227,34 +237,207 @@ object Similarity {
     centroids
   }
 
+  /** Training-sample size for a k-list quantizer: the floor stays at the
+    * historical 10k (so small-k quantizers — d22's 16, d59's 8 — train on
+    * the bit-identical draw every prior round verified), and past
+    * 10k/samplesPerCentroid lists the sample GROWS with k. A fixed cap
+    * contradicts the 50k-cluster SemDeDup regime: k-means++ seeding
+    * consumes the sample's D² mass, so at k > sample size it must reuse
+    * points (silent duplicate centroids), and even at k = sample/2 each
+    * centroid trains on ~2 points — starved cells that concentrate
+    * vectors and quadratically inflate the within-cell self-join. */
+  private[graft] def trainSampleTarget(nLists: Int,
+                                       samplesPerCentroid: Int = 20): Long =
+    math.max(10000L, samplesPerCentroid.toLong * nLists)
+
+  /** Driver-training knee: the capped-sample Lloyd's runs on the driver
+    * while BOTH hold —
+    *  - rows: the sample fits comfortably in driver memory
+    *    (1M × 64-dim doubles ≈ 0.5 GB);
+    *  - work: seeding + 5 Lloyd iterations are O(sample · k · dim) —
+    *    2e7 row·centroid pairs ≈ 10 s single-threaded at dim 64, the
+    *    largest constant a query-time build should pay.
+    * Above either bound, training hands off to the distributed Lloyd's
+    * ([[kmeansDistributedLloyd]]) — the same literal→broadcast knee
+    * pattern as [[assignCells]]: the SEMANTICS (modal dim, argmin-first,
+    * empty-cluster-keeps-centroid) carry over; only the plan shape
+    * changes. */
+  private[graft] val driverTrainMaxRows = 1000000L
+  private[graft] val driverTrainMaxWork = 20000000L
+
+  private[graft] def trainsOnDriver(nLists: Int,
+                                    samplesPerCentroid: Int = 20): Boolean = {
+    val target = trainSampleTarget(nLists, samplesPerCentroid)
+    target <= driverTrainMaxRows && target * nLists <= driverTrainMaxWork
+  }
+
   /** Train the IVF coarse quantizer once (capped-sample k-means) so
     * repeated [[ivfTopK]] calls amortize the index build — the production
     * shape: build at ingest, probe at query time.
     *
-    * The 10k training sample is the top-k by a SEEDED HASH of `vec_id`
-    * (a distributed TakeOrdered: each task keeps its local top 10k, the
-    * driver merges) — a uniform draw over the whole corpus that is
-    * deterministic under any partition count or arrival order. The
-    * obvious alternatives both fail at scale: `limit(10000)` returns
-    * whatever partitions answer first, so a range-partitioned or
+    * The training sample is the top-[[trainSampleTarget]] by a SEEDED
+    * HASH of `vec_id` (a distributed TakeOrdered: each task keeps its
+    * local top-N, the driver merges) — a uniform draw over the whole
+    * corpus that is deterministic under any partition count or arrival
+    * order. The obvious alternatives both fail at scale: `limit(n)`
+    * returns whatever partitions answer first, so a range-partitioned or
     * time-ordered corpus trains every centroid on one shard of the
     * distribution; Bernoulli `sample(fraction, seed)` derives its stream
     * from the partition index, so the drawn set — and therefore the
     * centroids and every downstream cell assignment — changes when the
-    * layout does, breaking replay-identical verification. */
+    * layout does, breaking replay-identical verification.
+    *
+    * Past the [[trainsOnDriver]] knee (k ≳ 1000 at the default 20
+    * samples/centroid) the hand-off is [[kmeansDistributedLloyd]].
+    * Contract either way: EXACTLY nLists centroids come back (an emptied
+    * cluster keeps its previous centroid rather than collapsing — the
+    * `require(centroids.length == nClusters)` in [[semanticDedup]]/
+    * [[ivfTopK]] guards persisted-index/caller mismatches, not trainer
+    * behavior), and a sample too small to seat nLists distinct seeds
+    * fails loudly instead of silently duplicating centroids. */
   def trainIvfCentroids(embeddings: DataFrame, nLists: Int,
-                        seed: Long = 42L): Array[Array[Double]] = {
+                        seed: Long = 42L,
+                        samplesPerCentroid: Int = 20): Array[Array[Double]] = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    if (!trainsOnDriver(nLists, samplesPerCentroid))
+      return kmeansDistributedLloyd(embeddings, nLists,
+        trainSampleTarget(nLists, samplesPerCentroid), iters = 5, seed)
     val sample: Array[Array[Double]] = indexable(embeddings)
       .select(col("embedding"),
         xxhash64(col("vec_id"), lit(seed)).as("__draw"))
       // vec_id tiebreaker: a hash tie exactly at the cap boundary would
       // otherwise leave the chosen row layout-dependent
       .orderBy(col("__draw"), col("vec_id"))
-      .limit(10000)
+      .limit(trainSampleTarget(nLists, samplesPerCentroid).toInt)
       .select(col("embedding"))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(r => toDoubleArray(r.getSeq[Any](0)))
     kmeansLloyd(sample, nLists, iters = 5, seed)
+  }
+
+  /** Number-safe element read: the canonical embedding type is
+    * `array<float>` ([[graft.Tables.normalizeEmbedding]]), but a caller
+    * handing this module a raw double-typed column must get the same
+    * doubles on every path — a hard-coded `getSeq[Float]` would make the
+    * driver/literal paths work and the kernel paths ClassCastException,
+    * i.e. the same corpus succeeding at k=64 and crashing at k=65. */
+  private def toDoubleArray(s: Seq[Any]): Array[Double] = {
+    val out = new Array[Double](s.length)
+    var j = 0
+    val it = s.iterator
+    while (it.hasNext) { out(j) = it.next().asInstanceOf[Number].doubleValue(); j += 1 }
+    out
+  }
+
+  /** Distributed Lloyd's — the above-knee quantizer trainer for the
+    * SemDeDup regime (nClusters ~ n/targetCellSize, up to ~50k lists).
+    * Same semantics as the driver path where they can be shared (modal
+    * quantizer dimension, first-minimum argmin with NaN ordered greatest,
+    * an emptied cluster keeps its previous centroid, exactly k centroids
+    * returned); the SEEDING differs by design — k-means++'s D² loop is
+    * inherently sequential in k (k full passes), so the distributed
+    * trainer seeds with a seeded-hash Forgy draw over DISTINCT vectors
+    * (k-means|| is the literature alternative; Forgy + the same Lloyd
+    * refinement is the cheap deterministic one, and duplicate seed
+    * vectors — which Lloyd's can never re-separate — are excluded by
+    * construction).
+    *
+    * Scale/determinism shape: the training set is a seeded-hash threshold
+    * subsample (layout-invariant, no global sort — ~sampleTarget rows in
+    * expectation), materialized once; each iteration broadcasts the k×dim
+    * centroid matrix and runs ONE mapPartitions pass that accumulates
+    * per-cell micro-quantized integer sums (round(x·2^24) as Long — the
+    * repo's integer-cent aggregation pattern), so the reduceByKey merge
+    * is ORDER-INDEPENDENT and the trained centroids are bit-identical
+    * under any partition layout, unlike a double-summed reduce. Driver
+    * traffic per iteration = k×dim longs (the size of the result itself).
+    * Quantization grid 2^-24 ≈ 6e-8 per element — noise relative to
+    * k-means convergence, bounded cumulative error < sample·|x|·2^-24. */
+  private[graft] def kmeansDistributedLloyd(embeddings: DataFrame, k: Int,
+      sampleTarget: Long, iters: Int, seed: Long): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    val base = indexable(embeddings).select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val pts0 =
+      if (n <= sampleTarget) base
+      else {
+        // hash-threshold subsample: keeps ~sampleTarget rows in
+        // expectation, deterministic per vec_id (layout-invariant), one
+        // scan — a TakeOrdered at this scale would gather millions of
+        // rows through the driver for no training benefit
+        val m = 1000000L
+        val thresh = math.min(m, (m * sampleTarget + n - 1) / n)
+        base.where(pmod(xxhash64(col("vec_id"), lit(seed)), lit(m)) < thresh)
+      }
+    // modal quantizer dimension, distributed (mirrors kmeansLloyd's rule:
+    // most frequent length, ties to the larger)
+    val dimRows = pts0.groupBy(size(col("embedding")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+    require(dimRows.nonEmpty, "kmeans training set is empty")
+    val dim = dimRows.maxBy(r => (r.getAs[Long]("n"), r.getAs[Int]("d"))).getAs[Int]("d")
+    // materialized once: scanned by the seed draw + every Lloyd iteration
+    val pts = pts0.where(size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    // Forgy seeding over DISTINCT vectors: seed draw keyed on the min
+    // vec_id carrying each distinct embedding (deterministic under
+    // layout and duplication)
+    val init: Array[Array[Double]] = pts
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).as("__draw"), col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+      .map(r => toDoubleArray(r.getSeq[Any](0)))
+    require(init.length >= k,
+      s"quantizer training set has only ${init.length} distinct usable vectors " +
+        s"(modal dim $dim) for k=$k clusters — duplicate seeds would never " +
+        s"re-separate; lower nClusters or widen the corpus/sample")
+    var centroids = init
+    val scale = (1L << 24).toDouble
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val agg = pts.select(col("embedding")).rdd.mapPartitions { rows =>
+        val cs = bc.value
+        val sums = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+        val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+        rows.foreach { r =>
+          val e = r.getSeq[Any](0)
+          val x = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { x(j) = e(j).asInstanceOf[Number].doubleValue(); j += 1 }
+          var best = 0
+          var bestD = { var d = 0.0; var j2 = 0
+            while (j2 < dim) { val t = x(j2) - cs(0)(j2); d += t * t; j2 += 1 }; d }
+          var ci = 1
+          while (ci < cs.length) {
+            var d = 0.0; var j2 = 0
+            while (j2 < dim) { val t = x(j2) - cs(ci)(j2); d += t * t; j2 += 1 }
+            if (java.lang.Double.compare(d, bestD) < 0) { best = ci; bestD = d }
+            ci += 1
+          }
+          val s = sums.getOrElseUpdate(best, new Array[Long](dim))
+          var j3 = 0
+          while (j3 < dim) { s(j3) += math.round(x(j3) * scale); j3 += 1 }
+          counts.update(best, counts.getOrElse(best, 0L) + 1L)
+        }
+        sums.iterator.map { case (c, s) => (c, (s, counts(c))) }
+      }.reduceByKey { (a: (Array[Long], Long), b: (Array[Long], Long)) =>
+        var j = 0
+        while (j < a._1.length) { a._1(j) += b._1(j); j += 1 }
+        (a._1, a._2 + b._2)
+      }.collect()
+      bc.destroy()
+      val next = centroids.map(_.clone())
+      agg.foreach { case (c, (s, cnt)) =>
+        var j = 0
+        while (j < dim) { next(c)(j) = (s(j) / scale) / cnt; j += 1 }
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
   }
 
   /** Rows a vector index can hold: NULL, empty, or null-ELEMENT embeddings
@@ -333,13 +516,16 @@ object Similarity {
       val cs = bc.value
       val dim = if (cs.isEmpty) -1 else cs(0).length
       it.map { r =>
-        val emb = r.getSeq[Float](1)
+        // Number read, not getSeq[Float]: the literal path CASTs any
+        // numeric array, so a double-typed embedding column must take
+        // the same knee without a ClassCastException at k=65
+        val emb = r.getSeq[Number](1)
         val cell: Any =
           if (emb == null || emb.length != dim) null
           else {
             val x = new Array[Double](dim)
             var j = 0
-            while (j < dim) { x(j) = emb(j).toDouble; j += 1 }
+            while (j < dim) { x(j) = emb(j).doubleValue(); j += 1 }
             def dist(c: Array[Double]): Double = {
               var d = 0.0; var k = 0
               while (k < dim) { val t = x(k) - c(k); d += t * t; k += 1 }
@@ -385,7 +571,14 @@ object Similarity {
     * the same cell — ≈ 1 for true duplicates (distance ≪ cell radius),
     * and pinned for planted dups + density-banded on the real corpus in
     * DedupSimilaritySpec. Rows-only in the oracle gate: the cells are an
-    * engine-local k-means artifact no SQL engine reproduces. */
+    * engine-local k-means artifact no SQL engine reproduces.
+    *
+    * Output contract for malformed vectors: rows [[indexable]] excludes
+    * (NULL / empty / null-element embeddings) and rows whose LENGTH
+    * differs from the quantizer dimension (NULL cell from
+    * [[assignCells]]) are never considered duplicates and never appear
+    * in the output — they are quarantine material for the caller's
+    * validation pass, not dedup evidence. */
   def semanticDedup(embeddings: DataFrame, nClusters: Int, minSim: Double,
                     seed: Long = 42L,
                     precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
@@ -476,7 +669,7 @@ object Similarity {
       .collect()
     import spark.implicits._
     val probes = queries.flatMap { r =>
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val q = toDoubleArray(r.getSeq[Any](1))
       val byDist = centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < math.min(q.length, c.length)) { val t = q(j) - c(j); d += t * t; j += 1 }

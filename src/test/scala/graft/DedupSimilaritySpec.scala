@@ -653,4 +653,82 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dropped < n / 10,
       s"d59 dropped $dropped of $n vectors — degenerate drop decision")
   }
+
+  test("quantizer training: sample scales with k, declared draws unchanged, knee routes the SemDeDup regime off-driver") {
+    // floor preserved — the declared d22 (k=16) / d59 (k=8) draws stay
+    // the historical 10k, so their centroids are bit-identical to every
+    // prior verified round
+    assert(Similarity.trainSampleTarget(8) == 10000L)
+    assert(Similarity.trainSampleTarget(16) == 10000L)
+    // growth past the floor: 20 samples per centroid
+    assert(Similarity.trainSampleTarget(640) == 12800L)
+    assert(Similarity.trainSampleTarget(5000) == 100000L)
+    assert(Similarity.trainSampleTarget(50000) == 1000000L)
+    // the work knee (sample × k) hands the large-k regime to the
+    // distributed trainer; the small-k production paths stay on-driver
+    assert(Similarity.trainsOnDriver(8) && Similarity.trainsOnDriver(16) &&
+      Similarity.trainsOnDriver(640))
+    assert(!Similarity.trainsOnDriver(5000) && !Similarity.trainsOnDriver(50000))
+  }
+
+  test("quantizer training fails loudly when the sample cannot seat k seeds (no silent duplicate centroids)") {
+    val pts = Array.tabulate(10)(i => Array.tabulate(4)(j => (i * 4 + j).toDouble))
+    val ex = intercept[IllegalArgumentException](
+      Similarity.kmeansLloyd(pts, k = 50, iters = 2, seed = 1L))
+    assert(ex.getMessage.contains("usable points"), ex.getMessage)
+    // same contract on the distributed path: fewer DISTINCT vectors than k
+    val tiny = spark.range(6).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(id % 3 AS FLOAT))").as("embedding"))
+    val ex2 = intercept[IllegalArgumentException](
+      Similarity.kmeansDistributedLloyd(tiny, k = 5, sampleTarget = 100L,
+        iters = 2, seed = 1L))
+    assert(ex2.getMessage.contains("distinct usable vectors"), ex2.getMessage)
+  }
+
+  test("distributed Lloyd's: exactly k distinct centroids, bit-identical under any layout, planted recall 1 through semanticDedup") {
+    // deterministic synthetic corpus with an exact duplicate planted
+    // every 100 ids (the semdedup probe's shape, at test size); k = 80
+    // puts the downstream assignment on the broadcast kernel (> 64)
+    val n = 2000L
+    val synthEmb = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> " +
+        "CAST(CAST(xxhash64(CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END, j) % 1000000 AS DOUBLE) / 1000000.0 AS FLOAT))")
+        .as("embedding"))
+    val k = 80
+    val c1 = Similarity.kmeansDistributedLloyd(synthEmb, k,
+      sampleTarget = 1500L, iters = 5, seed = 42L)
+    assert(c1.length == k && c1.forall(_.length == 64))
+    // distinct seeds by construction — duplicate centroids are exactly
+    // the degeneration the fixed 10k cap used to allow at large k
+    assert(c1.map(_.toSeq).distinct.length == k, "duplicate centroids")
+    // micro-quantized integer sums → the trained quantizer is
+    // bit-identical under any partition layout (the replay contract)
+    val c2 = Similarity.kmeansDistributedLloyd(synthEmb.repartition(7), k,
+      sampleTarget = 1500L, iters = 5, seed = 42L)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "distributed trainer is layout-sensitive")
+    // every planted exact copy drops onto its base at cos 1.0 when the
+    // distributed-trained quantizer feeds semanticDedup (recall 1)
+    val out = Similarity.semanticDedup(synthEmb, k, 0.99,
+      precomputedCentroids = Some(c1)).collect()
+    assert(out.length == (n / 100L).toInt,
+      s"expected ${n / 100} planted drops, got ${out.length}")
+    assert(out.forall(r => r.getAs[Long]("keeper_id") == r.getAs[Long]("vec_id") - 1L))
+  }
+
+  test("assignCells: double-typed embeddings take the broadcast kernel exactly like the literal path (knee cannot crash)") {
+    // the literal path CASTs any numeric array; the kernel must accept
+    // the same corpus (Number read) or k=64 works and k=65 throws
+    val dEmb = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val centroids = Similarity.trainIvfCentroids(dEmb, 8)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Int]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    val viaLiteral = cells(Similarity.assignCellsLiteral(dEmb, centroids))
+    val viaKernel = cells(Similarity.assignCellsBroadcast(dEmb, centroids))
+    assert(viaLiteral == viaKernel)
+    assert(viaKernel.nonEmpty && viaKernel.values.forall(_.nonEmpty))
+  }
 }
