@@ -1271,8 +1271,13 @@ object SparkEntry {
       // d35's transitive closure + d58's md5 fences, over the
       // REPRESENTATIVE's text; docs outside the bounded evidence range
       // are singletons (LEFT JOIN misses → rep = self). NULL doc_id has
-      // no identity in a grouped split — drops at the representative
-      // join in both engines.
+      // no identity in a grouped split — the engine filters NULL rep_id,
+      // the oracle's inner representative join drops the same rows. The
+      // engine computes the fence BEFORE its rep join (narrow (rep_id,
+      // split) shuffle — same bits, splitColumn is pure in text); the
+      // oracle fences after its join — equivalent over any fixture whose
+      // component ids ⊆ doc ids, which the declared wiring guarantees
+      // (comp = min member id, members drawn from documents).
       ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
         "FROM documents WHERE doc_id < 60), " +
         "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a, t b " +

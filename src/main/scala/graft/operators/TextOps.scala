@@ -704,19 +704,34 @@ object TextOps {
     * member id); documents without a row there are singletons and split by
     * their own text — identical to [[hashSplit]] for them.
     *
-    * Scale: two id-keyed equijoins (attach comp, fetch representative
-    * text) around the same zero-shuffle fence projection — the component
-    * relation is the near-dup pipeline's existing artifact, not a new
-    * computation. A NULL-id document has no identity in a grouped split
-    * and drops at the representative join (both engines). */
+    * Scale: two id-keyed equijoins (attach comp, fetch the
+    * representative's SPLIT) around the same zero-shuffle fence
+    * projection — the component relation is the near-dup pipeline's
+    * existing artifact, not a new computation. `splitColumn` is a pure
+    * function of text, so it is computed on the rep side BEFORE the join:
+    * the rep-side shuffle carries a (rep_id, split) relation (~16
+    * bytes/row) instead of every document's full text — at corpus scale
+    * that is the difference between a trivial and a dominant exchange,
+    * and the result is bit-identical because both forms evaluate the one
+    * shared `splitColumn` definition on the same text.
+    *
+    * Row contract: a NULL-id document has no identity in a grouped split
+    * and is dropped (its rep_id is NULL — no row can match it). A member
+    * whose non-NULL representative id is ABSENT from `docs` (a stale or
+    * externally-built `components` relation) is KEPT with a NULL split —
+    * the same quarantine signal as NULL text, not a silent row loss;
+    * under the pipeline's own components (comp = min member id, always
+    * present) the case never arises. */
   def componentSplit(docs: DataFrame, components: DataFrame): DataFrame = {
     val withRep = docs
       .join(components.select(col("id").as("doc_id"), col("comp")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep_id"))
-    val repText = docs.select(col("doc_id").as("rep_id"), col("text").as("rep_text"))
-    withRep.join(repText, "rep_id")
-      .select(col("doc_id"), col("rep_id"), splitColumn(col("rep_text")).as("split"))
+      .where(col("rep_id").isNotNull)
+    val repSplit = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id").as("rep_id"), splitColumn(col("text")).as("split"))
+    withRep.join(repSplit, Seq("rep_id"), "left")
+      .select(col("doc_id"), col("rep_id"), col("split"))
       .orderBy(col("doc_id"), col("split"), col("rep_id"))
   }
 

@@ -416,6 +416,21 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(own(1L) == "train", "fixture must exercise a member whose own split differs")
     assert(out(21L)._2 == own(21L))
+    // a stale/externally-built components relation pointing at a rep
+    // ABSENT from docs keeps the member with a NULL split (quarantine
+    // signal), never a silent row drop; a NULL-id document has no
+    // identity in a grouped split and stays dropped
+    val hostile = Seq((0L, Option("doc0")), (1L, Option("doc1")),
+      (99L, Option.empty[String])).toDF("doc_id", "text")
+      .union(Seq((Option.empty[Long], Option("orphan"))).toDF("doc_id", "text"))
+    val staleComps = Seq((1L, 777L)).toDF("id", "comp") // rep 777 not in docs
+    val hout = TextOps.componentSplit(hostile, staleComps).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), Option(r.getAs[String]("split")))).toMap
+    assert(hout.keySet == Set(0L, 1L, 99L), "NULL-id row must drop; stale-rep member must stay")
+    assert(hout(1L) == ((777L, None)), "missing representative must surface as NULL split")
+    assert(hout(99L)._2.isEmpty, "NULL text stays quarantined through the rep path")
+    assert(hout(0L)._2.contains("val"))
   }
 
   test("D5 epoch shuffle: ranks are a 1..N permutation, layout-invariant, seed-keyed to the md5 spec") {

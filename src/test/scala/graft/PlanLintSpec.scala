@@ -229,6 +229,36 @@ class PlanLintSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("d62 shuffles never carry document text: the fence is computed below every exchange") {
+    // splitColumn is a pure function of text, so componentSplit computes
+    // it in the scan-side projection and shuffles a narrow (rep_id, split)
+    // relation; a regression that moves the fence ABOVE the rep join puts
+    // every document's full text through the exchange — at 100 TB the
+    // difference between a trivial and a dominant stage (r17 verdict #2)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      val here = p match { case e: ShuffleExchangeLike => Seq(e); case _ => Seq.empty }
+      here ++ p.children.flatMap(exchanges)
+    }
+    // AQE off for the plan BUILD only: AdaptiveSparkPlanExec inserts its
+    // exchanges lazily per query stage (its pre-execution tree hides them
+    // from a children traversal); EnsureRequirements places the same
+    // shuffles either way, and this lint is about their payload width
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val exs = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      exchanges(SparkEntry.queries("d62_component_split")(spark, sfDir)
+        .queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // the join/sort shuffles must exist (the lint must be looking at the
+    // real plan, not a collapsed one) and none may output a text column
+    assert(exs.nonEmpty, "expected at least one shuffle in the d62 plan")
+    val wide = exs.filter(_.output.exists(_.name.toLowerCase.contains("text")))
+    assert(wide.isEmpty,
+      s"exchange carries document text: ${wide.map(_.output.map(_.name).mkString("[", ",", "]"))}")
+  }
+
   test("catalog consistency: every oracle belongs to a declared query; rows-only set is the documented one") {
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
