@@ -360,6 +360,11 @@ object SparkEntry {
     "d8_lang_source_matrix" -> ((s, d) => TextOps.langSourceMatrix(Tables.documents(s, d))),
     "d58_hash_split" -> ((s, d) => TextOps.hashSplit(Tables.documents(s, d))),
     "d61_epoch_shuffle" -> ((s, d) => TextOps.epochShuffle(Tables.documents(s, d), 17)),
+    // the data-loader materialization: d61's permutation driving d41's
+    // next-fit packing (pack groups follow the epoch order, not doc-id
+    // locality) — proves the two compose into what a trainer consumes
+    "d63_epoch_packed" -> ((s, d) =>
+      TextOps.epochPackedSequences(Tables.documents(s, d), 17)),
     "d9_props_summary" -> ((s, d) => EventOps.propsSummary(Tables.eventsRaw(s, d))),
     "d10_hourly_events" -> ((s, d) => EventOps.hourlyCounts(Tables.eventsTs(s, d))),
     "d11_session_counts" -> ((s, d) => EventOps.sessionCounts(Tables.eventsTs(s, d))),
@@ -1530,6 +1535,35 @@ object SparkEntry {
       ("SELECT CAST(row_number() OVER (ORDER BY md5('17:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank, " +
         "doc_id, md5('17:' || CAST(doc_id AS VARCHAR)) AS shuffle_key " +
         "FROM documents WHERE doc_id IS NOT NULL ORDER BY shuffle_rank"),
+    "d63_epoch_packed" ->
+      // d61's permutation (rank − 1 = ord) joined onto d33's chunks, then
+      // d41's next-fit recursion with the pack GROUP and the within-group
+      // walk both keyed on ord instead of doc_id — the composed
+      // data-loader semantics. chunk_ids orders by (ord, chunk_id): pack
+      // order, which for ord = doc_id degenerates to d41's listing.
+      ("WITH RECURSIVE rk AS (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY md5('17:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS ord " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL), " +
+        "e AS (SELECT doc_id, unnest(range(0, greatest(1, CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1))) AS chunk_id, toks FROM t), " +
+        "c AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n FROM e), " +
+        "j AS (SELECT rk.ord, c.doc_id, c.chunk_id, c.n FROM c JOIN rk USING (doc_id)), " +
+        "g AS (SELECT CAST(floor(ord / 50.0) AS BIGINT) AS grp, ord, doc_id, chunk_id, n, " +
+        "row_number() OVER (PARTITION BY CAST(floor(ord / 50.0) AS BIGINT) ORDER BY ord, chunk_id) AS rn FROM j), " +
+        "pack(grp, rn, ord, doc_id, chunk_id, n, seq, fill) AS (" +
+        "SELECT grp, rn, ord, doc_id, chunk_id, n, CAST(0 AS BIGINT), n FROM g WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT g.grp, g.rn, g.ord, g.doc_id, g.chunk_id, g.n, " +
+        "CASE WHEN p.fill + g.n > 512 THEN p.seq + 1 ELSE p.seq END, " +
+        "CASE WHEN p.fill + g.n > 512 THEN g.n ELSE p.fill + g.n END " +
+        "FROM pack p JOIN g ON g.grp = p.grp AND g.rn = p.rn + 1) " +
+        "SELECT CAST(grp * 1000000 + seq AS BIGINT) AS seq_id, " +
+        "CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "string_agg(doc_id || ':' || chunk_id, ',' ORDER BY ord, chunk_id) AS chunk_ids, " +
+        "CAST(sum(n) AS BIGINT) AS total_tokens, " +
+        pr("CAST(sum(n) AS DOUBLE) / CAST(512 AS DOUBLE)", 6) + " AS fill_ratio " +
+        "FROM pack GROUP BY grp, seq ORDER BY seq_id"),
     "d9_props_summary" ->
       // json_valid guard: Spark's from_json is PERMISSIVE (malformed
       // payload → NULL row, skipped by sum); DuckDB's json_extract_string

@@ -507,8 +507,25 @@ object TextOps {
     * groups are id-ranged so the output is reproducible under any
     * parallelism. */
   def packChunks(chunks: DataFrame, budget: Int = 512, docsPerGroup: Int = 50,
-                 seqStride: Long = 1000000L): DataFrame = {
-    require(budget >= 1 && docsPerGroup >= 1, "budget and docsPerGroup must be >= 1")
+                 seqStride: Long = 1000000L): DataFrame =
+    // ord = doc_id reproduces the historical (doc_id, chunk_id) pack
+    // order bit-for-bit: the generalized fold sorts struct(ord, doc_id,
+    // chunk_id, n), which for ord ≡ doc_id is the same total order
+    packChunksBy(chunks.withColumn("ord", col("doc_id")),
+      budget, docsPerGroup, seqStride)
+
+  /** The generalized next-fit packer behind [[packChunks]] (ord =
+    * doc_id) and [[epochPackedSequences]] (ord = the epoch permutation
+    * rank): chunks are packed in (ord, chunk_id) order within pack
+    * groups `floor(ord / ordsPerGroup)`. `ord` must be a non-negative
+    * long that is CONSTANT per document (each document's chunks stay
+    * consecutive in pack order — the streaming property a sequence
+    * loader needs). Everything else — budget rule, seq_id arithmetic,
+    * the seqStride guard, output schema — is [[packChunks]]'s contract
+    * verbatim. */
+  def packChunksBy(chunks: DataFrame, budget: Int = 512, ordsPerGroup: Int = 50,
+                   seqStride: Long = 1000000L): DataFrame = {
+    require(budget >= 1 && ordsPerGroup >= 1, "budget and ordsPerGroup must be >= 1")
     // seq_id = grp·seqStride + seq is collision-free only while every
     // group's sequence count stays below seqStride; a pathological group
     // (one ~40M-token doc → >1e6 chunks at the defaults) must fail loudly
@@ -519,12 +536,12 @@ object TextOps {
       .otherwise(raise_error(concat(
         lit(s"packChunks: per-group sequence index reached seqStride ($seqStride) in grp "),
         col("grp").cast("string"),
-        lit(" — raise seqStride or lower docsPerGroup"))))
+        lit(" — raise seqStride or lower ordsPerGroup"))))
     chunks.select(
-        floor(col("doc_id") / docsPerGroup).cast("long").as("grp"),
-        col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+        floor(col("ord") / ordsPerGroup).cast("long").as("grp"),
+        col("ord"), col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
       .groupBy(col("grp"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("chunk_id"),
+      .agg(sort_array(collect_list(struct(col("ord"), col("doc_id"), col("chunk_id"),
         col("n_chunk_tokens").as("n")))).as("cs"))
       // next-fit fold: fill starts AT budget so the first chunk always
       // "overflows" into seq 0 — keeps the numbering dense without a
@@ -532,22 +549,22 @@ object TextOps {
       .select(col("grp"), explode(expr(
         s"""aggregate(cs,
              named_struct(
-               'out', cast(array() as array<struct<doc_id:bigint,chunk_id:bigint,n:bigint,seq:bigint>>),
+               'out', cast(array() as array<struct<ord:bigint,doc_id:bigint,chunk_id:bigint,n:bigint,seq:bigint>>),
                'fill', cast($budget as bigint),
                'seq', cast(-1 as bigint)),
              (acc, x) -> named_struct(
                'out', array_append(acc.out, named_struct(
-                 'doc_id', x.doc_id, 'chunk_id', x.chunk_id, 'n', x.n,
+                 'ord', x.ord, 'doc_id', x.doc_id, 'chunk_id', x.chunk_id, 'n', x.n,
                  'seq', if(acc.fill + x.n > $budget, acc.seq + 1, acc.seq))),
                'fill', if(acc.fill + x.n > $budget, x.n, acc.fill + x.n),
                'seq', if(acc.fill + x.n > $budget, acc.seq + 1, acc.seq))
            ).out""")).as("c"))
       .select((col("grp") * seqStride + checkedSeq).as("seq_id"),
-        col("c.doc_id").as("doc_id"), col("c.chunk_id").as("chunk_id"),
-        col("c.n").as("n"))
+        col("c.ord").as("ord"), col("c.doc_id").as("doc_id"),
+        col("c.chunk_id").as("chunk_id"), col("c.n").as("n"))
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        array_join(expr("transform(sort_array(collect_list(struct(doc_id, chunk_id))), " +
+        array_join(expr("transform(sort_array(collect_list(struct(ord, doc_id, chunk_id))), " +
           "s -> concat(cast(s.doc_id as string), ':', cast(s.chunk_id as string)))"), ",")
           .as("chunk_ids"),
         sum(col("n")).as("total_tokens"))
@@ -777,5 +794,30 @@ object TextOps {
     docs.sparkSession.createDataFrame(ranked)
       .toDF("shuffle_rank", "doc_id", "shuffle_key")
       .orderBy(col("shuffle_rank"))
+  }
+
+  /** D5 — the data-loader materialization: [[epochShuffle]]'s seeded
+    * permutation driving [[packChunksBy]]'s next-fit packing — i.e. what
+    * a trainer's input pipeline actually consumes each epoch: documents
+    * visited in the epoch's shuffle order, chunked, and packed into
+    * fixed-budget sequences whose pack groups follow the PERMUTATION
+    * (grp = floor(rank−1 / 50)), not document-id locality. A new seed
+    * re-shuffles the corpus into a different packing; the same seed
+    * reproduces it bit-for-bit on any layout (both parents are
+    * layout-invariant and RNG-free).
+    *
+    * Scale shape: the rank relation is (doc_id, ord) — 16 bytes/row —
+    * joined to chunks on doc_id (id-keyed equijoin, chunk text never
+    * materialized: chunks carry counts and hashes only), then the d41
+    * pack fold with parallelism = #groups ≈ corpus/50. One TeraSort
+    * (epochShuffle) + two shuffles (join, pack groupBy). */
+  def epochPackedSequences(docs: DataFrame, seed: Int = 0, budget: Int = 512,
+                           docsPerGroup: Int = 50,
+                           seqStride: Long = 1000000L): DataFrame = {
+    val ranks = epochShuffle(docs, seed)
+      .select(col("doc_id"), (col("shuffle_rank") - 1L).as("ord"))
+    val chunks = chunkDocs(docs)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+    packChunksBy(chunks.join(ranks, "doc_id"), budget, docsPerGroup, seqStride)
   }
 }

@@ -452,6 +452,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(k0 == expected)
   }
 
+  test("D5 epoch-packed sequences: the permutation drives the packing; a new seed repacks the SAME chunk multiset; replay is layout-invariant") {
+    val docs = Tables.documents(spark, SparkFixture.sfDir)
+    val a = TextOps.epochPackedSequences(docs, 17).collect()
+    assert(a.nonEmpty)
+    // deterministic replay under any partition layout (both parents are
+    // layout-invariant and RNG-free — the data-loader reproducibility
+    // contract)
+    val b = TextOps.epochPackedSequences(docs.repartition(7), 17).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // a different seed is a different epoch: different packing...
+    val c = TextOps.epochPackedSequences(docs, 18).collect()
+    assert(a.map(_.getAs[String]("chunk_ids")).toSeq !=
+      c.map(_.getAs[String]("chunk_ids")).toSeq)
+    // ...over the SAME chunks — a shuffle permutes, never drops or dups
+    def chunks(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.flatMap(_.getAs[String]("chunk_ids").split(",")).toSeq.sorted
+    assert(chunks(a) == chunks(c))
+    // token mass conserved vs the id-ordered d41 packing (same chunk set)
+    val d41Mass = TextOps.packChunks(TextOps.chunkDocs(docs)).collect()
+      .map(_.getAs[Long]("total_tokens")).sum
+    assert(a.map(_.getAs[Long]("total_tokens")).sum == d41Mass)
+    // pack groups follow the PERMUTATION: group 0's documents are the
+    // first 50 ranks of the epoch order, not the first 50 doc ids
+    val rank = TextOps.epochShuffle(docs, 17).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val grp0Docs = a.filter(_.getAs[Long]("seq_id") < 1000000L)
+      .flatMap(_.getAs[String]("chunk_ids").split(","))
+      .map(s => s.split(":")(0).toLong).distinct
+    assert(grp0Docs.nonEmpty && grp0Docs.forall(d => rank(d) <= 50L),
+      "pack group 0 must hold the epoch order's first 50 documents")
+  }
+
   test("V9 PSI: identical slices score ~0, shifted slices score high") {
     import spark.implicits._
     def mk(rows: Seq[(Double, String)]) = rows.zipWithIndex
