@@ -255,6 +255,11 @@ object SparkEntry {
       TextOps.langConfusion(Tables.documents(s, d))),
     "d40_domain_mix" -> ((s, d) => TextOps.domainMix(Tables.documents(s, d),
       Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))),
+    // temperature-based mixture weights DERIVED from observed mass (d40
+    // audits a hand-configured rate map); eager-fit contract — the
+    // #sources-bounded totals fold on the driver in sorted order
+    "d64_temperature_mix" -> ((s, d) =>
+      TextOps.temperatureMix(Tables.documents(s, d))),
     "d41_packed_sequences" -> ((s, d) =>
       TextOps.packChunks(TextOps.chunkDocs(Tables.documents(s, d)))),
     "d42_pii_scrub" -> ((s, d) => TextOps.piiScrub(Tables.documents(s, d))),
@@ -729,6 +734,27 @@ object SparkEntry {
         "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
         "CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
         "FROM k GROUP BY 1 ORDER BY 1"),
+    "d64_temperature_mix" ->
+      // the engine folds its totals on the driver in sorted-source order;
+      // DuckDB's sum over the same #sources doubles may differ in the
+      // last ulp, masked by the shared pround(6) (the v9/v10 ln()
+      // precedent). CASE WHEN char_mass > 0 mirrors the zero/NULL-mass
+      // NULL guard on all three derived columns.
+      ("WITH ps AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS char_mass FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(sum(char_mass) AS BIGINT) AS total_mass, " +
+        "sum(pow(CAST(char_mass AS DOUBLE), 0.7)) AS total_pow FROM ps) " +
+        "SELECT ps.source, ps.n_docs, ps.char_mass, " +
+        "CASE WHEN ps.char_mass > 0 THEN " +
+        pr("CAST(ps.char_mass AS DOUBLE) / CAST(t.total_mass AS DOUBLE)", 6) +
+        " END AS raw_share, " +
+        "CASE WHEN ps.char_mass > 0 THEN " +
+        pr("pow(CAST(ps.char_mass AS DOUBLE), 0.7) / t.total_pow", 6) +
+        " END AS weight, " +
+        "CASE WHEN ps.char_mass > 0 THEN " +
+        pr("pow(CAST(ps.char_mass AS DOUBLE), 0.7) / t.total_pow * " +
+          "CAST(t.total_mass AS DOUBLE) / CAST(ps.char_mass AS DOUBLE)", 6) +
+        " END AS effective_epochs FROM ps, t ORDER BY source"),
     "d41_packed_sequences" ->
       // chunking CTEs mirror d33; the recursive CTE walks each pack group's
       // chunks in (doc_id, chunk_id) order applying the same next-fit rule

@@ -660,6 +660,64 @@ object TextOps {
     pmod(col("doc_id"), lit(m.toLong)) < rate * m
   }
 
+  /** D1/D5 — temperature-based mixture weights (the GPT-3/PaLM mixing
+    * rule, Brown et al. 2020 §2.2 / Chowdhery et al. 2022 Table 2 —
+    * public method): each source's sampling weight ∝ mass^T for
+    * temperature T ∈ (0, 1], so low-resource sources are up-weighted
+    * relative to their raw share (T = 1 is proportional sampling, T → 0
+    * approaches uniform). Emits per source: doc count, char mass, raw
+    * share, the temperature weight, and `effective_epochs` — how many
+    * passes over that source one epoch of the MIXED stream implies
+    * (weight · total_mass / source_mass), the overfitting-risk number a
+    * data engineer actually checks (PaLM caps it; >1 means the source
+    * repeats within an epoch).
+    *
+    * Complements [[domainMix]]: that audits a hand-CONFIGURED rate map;
+    * this DERIVES the rates from observed mass. Float discipline: mass
+    * and counts are exact integer sums; pow/divisions happen once per
+    * SOURCE (a handful of rows), pround(6) for the oracle compare.
+    *
+    * Scale: one scan, one #sources-key aggregate, the 1-row total
+    * broadcast-attached (the repo's stat-attachment pattern) — never a
+    * window, independent of corpus size. A NULL source is its own
+    * mixture component (a real upstream population the mix must budget
+    * for, grouped as SQL's NULL group in both engines). */
+  def temperatureMix(docs: DataFrame, temperature: Double = 0.7): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0, 1], got $temperature")
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        // NULL n_chars (hostile row) contributes nothing — sum skips it
+        sum(col("n_chars")).as("char_mass"))
+      .localCheckpoint(true) // feeds the driver totals AND the final projection
+    // totals folded on the driver in SORTED source order: an in-plan
+    // sum(pow(...)) merges double partials in shuffle-arrival order
+    // (layout-nondeterministic, the class the integer-sum discipline
+    // exists for) — here the relation is #sources-bounded metadata, so
+    // the deterministic shape is a fixed-order driver fold entering the
+    // plan as literals (the exactPercentiles/quantileFlag eager-fit
+    // contract: refit by calling again)
+    val rows = perSource.collect().sortBy(r => Option(r.getAs[String]("source")))
+    val masses = rows.map(r => if (r.isNullAt(2)) 0L else r.getAs[Long]("char_mass"))
+    val totalMass = masses.sum
+    val totalPow = masses.map(m => math.pow(m.toDouble, temperature)).sum
+    // a zero/NULL-mass source has no share/weight/epochs — NULL via the
+    // `when` guard (when(NULL > 0) is false), not a 0/0 NaN
+    def guarded(c: org.apache.spark.sql.Column) = when(col("char_mass") > 0, c)
+    perSource
+      .select(col("source"), col("n_docs"), col("char_mass"),
+        guarded(Features.pround(col("char_mass").cast("double") / totalMass, 6))
+          .as("raw_share"),
+        guarded(Features.pround(
+          pow(col("char_mass").cast("double"), lit(temperature)) / totalPow, 6))
+          .as("weight"),
+        guarded(Features.pround(
+          pow(col("char_mass").cast("double"), lit(temperature)) / totalPow *
+            totalMass / col("char_mass").cast("double"), 6))
+          .as("effective_epochs"))
+      .orderBy(col("source"))
+  }
+
   /** D1/D5 — domain-mix audit: per-source total/kept doc counts and kept
     * char mass under [[domainMixKeep]] — the view a pipeline checks before
     * materializing the mix (`docs.filter(domainMixKeep(...))`). One scan,

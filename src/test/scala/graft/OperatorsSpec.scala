@@ -368,6 +368,44 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 2L) -> 1L)) // user 3 on day 3
   }
 
+  test("D1/D5 temperature mix: hand-computed weights, low-resource up-weighting, zero/NULL-mass quarantine") {
+    import spark.implicits._
+    def pr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = Seq(
+      (0L, "a", "big", Option(8000L)), (1L, "b", "small", Option(1000L)),
+      (2L, "c", "empty", Option(0L)), (3L, "d", "nullsrc", Option.empty[Long]))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val res = TextOps.temperatureMix(docs, 0.5).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // totals fold in sorted source order: big, empty, nullsrc, small —
+    // pow(0) = 0 and a NULL mass counts as 0, so the denominator is
+    // sqrt(8000) + sqrt(1000)
+    val tp = math.sqrt(8000.0) + math.sqrt(1000.0)
+    assert(res("big").getAs[Double]("weight") == pr6(math.sqrt(8000.0) / tp))
+    assert(res("small").getAs[Double]("weight") == pr6(math.sqrt(1000.0) / tp))
+    assert(res("big").getAs[Double]("raw_share") == pr6(8000.0 / 9000.0))
+    // the mixing rule's whole point: the low-resource source's weight
+    // rises above its raw share, the big one's falls below
+    assert(res("small").getAs[Double]("weight") > pr6(1000.0 / 9000.0))
+    assert(res("big").getAs[Double]("weight") < pr6(8000.0 / 9000.0))
+    // effective epochs: big repeats weight·total/mass times per mixed epoch
+    assert(res("big").getAs[Double]("effective_epochs") ==
+      pr6(math.sqrt(8000.0) / tp * 9000.0 / 8000.0))
+    // zero- and NULL-mass sources are quarantined (NULL derived columns,
+    // never 0/0 NaN), but stay visible as mixture components
+    for (s <- Seq("empty", "nullsrc"); c <- Seq("raw_share", "weight", "effective_epochs"))
+      assert(res(s).isNullAt(res(s).fieldIndex(c)), s"$s.$c must be NULL")
+    // T = 1 is proportional sampling: weight == raw_share exactly
+    val t1 = TextOps.temperatureMix(docs, 1.0).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(t1("big").getAs[Double]("weight") == t1("big").getAs[Double]("raw_share"))
+    // deterministic under any layout (driver fold in sorted order)
+    val again = TextOps.temperatureMix(docs.repartition(7), 0.5).collect()
+    assert(again.map(_.toString).toSeq ==
+      TextOps.temperatureMix(docs, 0.5).collect().map(_.toString).toSeq)
+    assertThrows[IllegalArgumentException](TextOps.temperatureMix(docs, 0.0))
+  }
+
   test("D1/D5 hash split: content-addressed, duplicate-safe, NULL-quarantined, fences honored") {
     import spark.implicits._
     val planted = Seq(
