@@ -526,6 +526,24 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d), 64, 20, 5)),
     "d22_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), 20, 5)),
+    // rows-only (PQ codebooks/codes are engine-local k-means artifacts —
+    // d22's rationale): PQ/ADC search, the memory-bounded scale path —
+    // the corpus is scanned as 16-byte codes, never raw vectors.
+    // Evidence in DedupSimilaritySpec: exact duplicates share codes,
+    // exact-L2 top-1 recall 16/20 at k=5 on this corpus (measured before
+    // declaring; iid-uniform fixtures are PQ's worst case — neighbor
+    // order is noise-dominated even when distances approximate well),
+    // ADC distance error bars (mean < 0.25, max < 0.5; measured
+    // 0.11/0.30), layout determinism, codebook save/load round-trip.
+    "d65_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), 64, 20, 5)),
+    // rows-only (same rationale): IVF-PQ composition (IVFADC,
+    // by_residual=false) — the coarse quantizer shrinks the ROWS probed,
+    // PQ shrinks the BYTES per row. Evidence: every returned pair's ADC
+    // distance equals the full-scan d65 value (probing only narrows the
+    // candidate set), recall floor vs d65's top-1.
+    "d66_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), 64, 20, 5)),
     // rows-only like the IVF path it shares a quantizer with (the cells
     // are an engine-local k-means artifact no SQL engine reproduces);
     // evidence: DedupSimilaritySpec pins exact-verification precision

@@ -79,7 +79,11 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     "m17_champion_select"  -> "exactPercentile over empty relation",
     "m20_calibration_bins" -> "exactPercentile over empty relation",
     "d22_ivf_topk"         -> "kmeans sample is empty",
-    "d59_semantic_dedup"   -> "kmeans sample is empty")
+    "d59_semantic_dedup"   -> "kmeans sample is empty",
+    // PQ trains k-means codebooks (d65: the PQ books; d66: the coarse
+    // quantizer first) — same no-vectors-to-train precondition
+    "d65_pq_topk"          -> "kmeans sample is empty",
+    "d66_ivfpq_topk"       -> "kmeans sample is empty")
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf0").toString
@@ -159,7 +163,11 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     * same rows to the FULL 500-vector fixture) run clean. */
   private val hostilePreconditions: Map[String, String] = Map(
     "d22_ivf_topk"       -> "usable points",
-    "d59_semantic_dedup" -> "usable points")
+    "d59_semantic_dedup" -> "usable points",
+    // the PQ family's k-means (ksub=64 books / k=16 coarse) likewise
+    // cannot seat its seeds on 5 usable vectors
+    "d65_pq_topk"        -> "usable points",
+    "d66_ivfpq_topk"     -> "usable points")
 
   test("every declared query tolerates NULL / degenerate / junk / exotic-unicode rows mixed into real data") {
     gateCatalog(hostileDir, hostilePreconditions)

@@ -717,6 +717,94 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("keeper_id") == r.getAs[Long]("vec_id") - 1L))
   }
 
+  test("D4 PQ: exact duplicates share codes, codes are m bytes, wrong-dim rows quarantine as NULL codes") {
+    val dup = spark.range(1).selectExpr("CAST(9000 AS BIGINT) AS vec_id")
+      .crossJoin(emb.filter(col("vec_id") === 0L).select(col("embedding")))
+    val short = Seq((9001L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(dup).unionByName(short)
+    val books = Similarity.trainPqCodebooks(emb, 64)
+    assert(books.length == 16 && books.forall(_.length == 64) &&
+      books.forall(_.forall(_.length == 4)))
+    val enc = Similarity.pqEncode(corpus, books).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]]("codes"))).toMap
+    // 16x compression: a 64-float vector becomes 16 code bytes
+    assert(enc(0L).get.length == 16)
+    // an exact copy quantizes to the identical codes — ADC distance 0
+    assert(enc(9000L).get.sameElements(enc(0L).get))
+    assert(enc(9001L).isEmpty, "dim-mismatch row must carry NULL codes")
+  }
+
+  test("D4 PQ/ADC: sums the query LUTs exactly, recall floor vs exact L2, layout-determinism, codebook round-trip") {
+    val res = Similarity.pqTopK(emb, 64, 20, 5).collect()
+    // ranks contiguous, ascending distance, no self pairs
+    assert(res.forall(r => r.getAs[Long]("nbr_id") != r.getAs[Long]("query_id")))
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+      assert(rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("adc_dist"))
+        .sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // recall: the exact-L2 top-1 neighbor appears in PQ's top-5 for most
+    // queries (the d16-LSH evidence bar; ADC is lossy by design)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    val exactTop1 = (0L until 20L).map { q =>
+      q -> vecs.iterator.filter(_._1 != q)
+        .minBy { case (id, v) => (l2(vecs(q), v), id) }._1
+    }.toMap
+    val pqByQ = res.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    val hits = exactTop1.count { case (q, n) => pqByQ.getOrElse(q, Set.empty).contains(n) }
+    assert(hits >= exactTop1.size / 2, s"PQ recall too low: $hits/${exactTop1.size}")
+    // distance APPROXIMATION quality — the contract that holds even
+    // where neighbor order is noise-dominated (measured 0.11 mean /
+    // 0.30 max at m=16, ksub=64; bars carry ~2x headroom)
+    val errs = res.map { r =>
+      val e = l2(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("nbr_id")))
+      math.abs(r.getAs[Double]("adc_dist") - e) / e
+    }
+    assert(errs.sum / errs.length < 0.25, s"mean ADC rel-err ${errs.sum / errs.length}")
+    assert(errs.max < 0.5, s"max ADC rel-err ${errs.max}")
+    // deterministic under any partition layout (driver LUTs, fixed
+    // subspace summation order, salted rank with id tie-breaks)
+    val again = Similarity.pqTopK(emb.repartition(13), 64, 20, 5).collect()
+    assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // codebook persistence round-trips exactly
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString + "/books"
+    val books = Similarity.trainPqCodebooks(emb, 64)
+    Similarity.savePqCodebooks(spark, books, dir)
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    assert(loaded.length == books.length)
+    books.zip(loaded).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (c, d) => assert(c.sameElements(d)) }
+    }
+  }
+
+  test("D4 IVF-PQ: every returned pair carries the same ADC distance as full-scan PQ; probing only narrows the candidate set") {
+    val full = Similarity.pqTopK(emb, 64, 20, 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")) -> r.getAs[Double]("adc_dist")).toMap
+    val ivfpq = Similarity.ivfPqTopK(emb, 64, 20, 5).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))
+      full.get(key).foreach(d => assert(d == r.getAs[Double]("adc_dist"),
+        s"ADC distance diverged between the full-scan and probed paths at $key"))
+    }
+    // recall against full-scan PQ's top-1 (the coarse probe's only loss)
+    val top1 = full.toSeq.groupBy(_._1._1)
+      .map { case (q, xs) => q -> xs.minBy(x => (x._2, x._1._2))._1._2 }
+    val byQ = ivfpq.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    val hits = top1.count { case (q, n) => byQ.getOrElse(q, Set.empty).contains(n) }
+    assert(hits >= top1.size / 3, s"IVF-PQ recall too low vs PQ: $hits/${top1.size}")
+  }
+
   test("assignCells: double-typed embeddings take the broadcast kernel exactly like the literal path (knee cannot crash)") {
     // the literal path CASTs any numeric array; the kernel must accept
     // the same corpus (Number read) or k=64 works and k=65 throws

@@ -273,6 +273,11 @@ class PlanLintSpec extends AnyFunSuite {
       // d22); evidence = DedupSimilaritySpec's planted-recall, brute-
       // force-precision, and density-band pins
       "d59_semantic_dedup",
+      // PQ codebooks/codes are engine-local k-means artifacts (d22's
+      // rationale); evidence = dup-code identity, exact-L2 recall floor,
+      // ADC distance-error bars, layout determinism, probed-vs-full
+      // ADC-distance equality (DedupSimilaritySpec)
+      "d65_pq_topk", "d66_ivfpq_topk",
       // BPE merge loop = iterative global argmax, not SQL-expressible
       "d46_bpe_merges",
       // winnowing hash family is engine-local (same rationale as d28)
