@@ -455,30 +455,28 @@ object Similarity {
     embeddings.where(col("embedding").isNotNull && size(col("embedding")) > 0 &&
       !expr("exists(embedding, x -> x IS NULL)"))
 
-  /** Past this centroid count the literal-expression assignment plan stops
-    * being the right shape: the projection embeds nClusters × dim double
-    * literals (64 × 64 ≈ 4k is fine; a SemDeDup-scale 50k × 64 ≈ 3.2M
-    * literals would blow codegen method limits and analyzer time), so
-    * larger quantizers take the broadcast-kernel path. The knee is a
-    * PLAN-SIZE bound, not a data bound — both paths are one scan. */
-  private[graft] val literalAssignMaxCentroids = 64
-
   /** Assign each vector its nearest centroid — ONE scan, no join, no
     * shuffle, materialized (localCheckpoint) because every consumer scans
-    * the assigned relation more than once. Two same-semantics plan shapes
-    * (bit-identical cell assignment, pinned in SimilaritySpec):
-    *  - ≤ [[literalAssignMaxCentroids]] centroids: per-centroid squared-L2
-    *    distances as fused array expressions with the centroids as plan
-    *    LITERALS, cell = argmin — fully codegen'd, zero per-row overhead;
-    *  - above it: a broadcast of the centroid matrix + one mapPartitions
-    *    kernel (the MLlib-KMeans shape) — the plan stays O(1) in nClusters,
-    *    which is what lets `nClusters ~ n / targetCellSize` scale to the
-    *    50k-cluster SemDeDup regime. */
+    * the assigned relation more than once. Always the broadcast kernel
+    * ([[assignCellsBroadcast]], the MLlib-KMeans shape): the plan is O(1)
+    * in nClusters — which is what lets `nClusters ~ n / targetCellSize`
+    * scale to the 50k-cluster SemDeDup regime — AND it is the faster
+    * form at every non-trivial size. The previous knee routed
+    * ≤ 64 centroids through [[assignCellsLiteral]] on a "fully codegen'd,
+    * zero per-row overhead" theory that measurement falsified (r18,
+    * 250k × 64-dim rows, k=16: literal 9.6 s vs kernel 0.47 s — the
+    * aggregate/zip_with higher-order functions allocate per ELEMENT, so
+    * the literal plan pays ~k·dim allocations/row where the kernel pays
+    * one primitive loop); at fixture sizes the two are within the same
+    * ~0.1 s fixed cost, so retiring the knee is bench-neutral at small n
+    * and 20× at probe scale. The literal form remains as the
+    * SQL-expressible REFERENCE implementation — the parity spec pins the
+    * kernel bit-identical to it (same IEEE sum order, first-minimum
+    * argmin, NaN-greatest, NULL cell on dim mismatch), which is exactly
+    * the role an independent second implementation should play. */
   private[graft] def assignCells(corpus: DataFrame,
                                      centroids: Array[Array[Double]]): DataFrame =
-    if (centroids.length <= literalAssignMaxCentroids)
-      assignCellsLiteral(corpus, centroids)
-    else assignCellsBroadcast(corpus, centroids)
+    assignCellsBroadcast(corpus, centroids)
 
   private[graft] def assignCellsLiteral(corpus: DataFrame,
                                             centroids: Array[Array[Double]]): DataFrame = {
@@ -887,11 +885,20 @@ object Similarity {
     * and the probe join is cell-keyed exactly like [[ivfTopK]]. */
   def ivfPqTopK(embeddings: DataFrame, dim: Int, nQueries: Int, k: Int,
                 nLists: Int = 16, nProbe: Int = 4, m: Int = 16, ksub: Int = 64,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L,
+                precomputedCentroids: Option[Array[Array[Double]]] = None,
+                precomputedCodebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val corpus = indexable(embeddings)
-    val coarse = trainIvfCentroids(embeddings, nLists, seed)
-    val books = trainPqCodebooks(embeddings, dim, m, ksub, seed)
+    // production shape: both quantizers are built ONCE at ingest
+    // (saveIvfIndex/savePqCodebooks) and passed in; the self-training
+    // form remains for the declared query
+    val coarse = precomputedCentroids.getOrElse(
+      trainIvfCentroids(embeddings, nLists, seed))
+    require(coarse.length == nLists,
+      s"expected $nLists coarse centroids, got ${coarse.length}")
+    val books = precomputedCodebooks.getOrElse(
+      trainPqCodebooks(embeddings, dim, m, ksub, seed))
     val encoded = pqEncode(assignCells(corpus, coarse), books, carry = Seq("cell"))
     val luts = adcLuts(embeddings, dim, nQueries, books)
     // each query probes its nProbe nearest coarse centroids (driver-side

@@ -152,7 +152,9 @@ import graft.{GraftExtensions, SparkEntry}
   * n = 20k / 80k / 320k with k = n/500 clusters — two successive 4×
   * data steps cost 1.9× and 3.3× (subquadratic; the all-pairs form this
   * replaces grows 16× per step). The 80k and 320k runs cross the
-  * literal-assignment knee (64) onto the broadcast kernel, and every
+  * then-literal-assignment knee (64; retired in r18 — the kernel is
+  * now the only assignment path, measured 20× faster at 250k rows) onto
+  * the broadcast kernel, and every
   * run ASSERTS recall 1 with the exact keeper map, so the kernel path
   * is correctness-verified at 640 clusters / 40× fixture scale, not
   * just timed. The k=640 run's constant includes ~5 s of driver-side
@@ -211,7 +213,7 @@ object ScaleProbe {
     // host; a single block re-measure should not pay for the rest)
     val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
       "amp10x", "quantile", "split", "crossover", "semdedup", "quantizer",
-      "compsplit")
+      "compsplit", "pq")
     args.foreach(a => require(blocks(a),
       s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
     def block(name: String)(body: => Unit): Unit =
@@ -608,7 +610,8 @@ object ScaleProbe {
     // is "nClusters ~ n/targetCellSize keeps within-cell verification
     // O(n·cellSize)". This block holds cellSize ≈ 500 and grows n past
     // the literal-assignment knee (k = 40 → 160 → 640 centroids; the
-    // knee at 64 routes the larger two through the broadcast kernel).
+    // r17 knee at 64 routed the larger two through the broadcast
+    // kernel; since r18 every size takes the kernel).
     // Corpus: synthesized 64-dim vectors, deterministic per id, with an
     // EXACT duplicate planted every 100 ids (id%100==99 copies id−1):
     // background pairs concentrate near cos ≈ 0.75 (all-positive
@@ -694,6 +697,61 @@ object ScaleProbe {
       require(bad == 0L && drops == n / 100L,
         s"recall broken at k=$k: $drops drops ($bad non-planted), expected ${n / 100}")
       println(f"[scaleprobe] quantizer_k5000_dedup   n=$n%-9d $dedupS%.1f s (recall 1 asserted)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // PQ/ADC at 125× fixture scale (round 18): the memory-bounded ANN
+    // leg's A/B — exact brute-force cosine vs full-scan ADC vs IVF-PQ on
+    // the same 250k×64-dim corpus with an exact duplicate planted every
+    // 100 ids. Planted recall is ASSERTED for the PQ paths (an exact
+    // copy shares codes, so its ADC distance to its base is the self-
+    // distance floor); the recorded signal is the wall-time and the
+    // index width (16 code bytes vs 256 vector bytes — at 100 TB that
+    // factor is what keeps the scanned index in page cache).
+    block("pq") {
+      import org.apache.spark.sql.functions._
+      val n = 250000L
+      val emb = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST(CAST(xxhash64(CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END, j) % 1000000 AS DOUBLE) / 1000000.0 AS FLOAT))")
+          .as("embedding"))
+        .localCheckpoint(true)
+      def planted(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        // every planted copy (vec_id % 100 == 99) must rank its base as
+        // top-1: identical codes → ADC distance = the base's own
+        // quantization floor, strictly below any non-copy at these n
+        val top1 = df.filter(col("rank") === 1L &&
+          pmod(col("query_id"), lit(100L)) === 99L)
+        val bad = top1.filter(col("nbr_id") =!= col("query_id") - 1L).count()
+        require(bad == 0L, s"$label: $bad planted copies missed their base at top-1")
+      }
+      def timed(label: String)(f: => Unit): Unit = {
+        f // warm
+        val t0 = System.nanoTime(); f
+        val t1 = System.nanoTime(); f
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        println(f"[scaleprobe] $label%-24s n=$n%-9d $dt%.3f s")
+      }
+      // query set: 200 queries including two planted copies (99, 199)
+      timed("pq_bruteforce_cosine") {
+        graft.operators.Similarity.bruteForceTopK(emb, 200, 5).count()
+      }
+      val books = graft.operators.Similarity.trainPqCodebooks(emb, 64)
+      timed("pq_adc_fullscan") {
+        val r = graft.operators.Similarity.pqTopK(emb, 64, 200, 5,
+          precomputedCodebooks = Some(books))
+        planted(r, "pq_adc")
+      }
+      // build-once query path (the production shape — both quantizers
+      // precomputed, like an ingest-time saveIvfIndex/savePqCodebooks):
+      // what a repeated query actually costs
+      val coarse = graft.operators.Similarity.trainIvfCentroids(emb, 64)
+      timed("pq_ivfadc_probed") {
+        val r = graft.operators.Similarity.ivfPqTopK(emb, 64, 200, 5,
+          nLists = 64, nProbe = 8,
+          precomputedCentroids = Some(coarse), precomputedCodebooks = Some(books))
+        planted(r, "ivfpq")
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // componentSplit + connectedComponents end-to-end at amplified scale
