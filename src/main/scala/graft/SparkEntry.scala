@@ -544,6 +544,17 @@ object SparkEntry {
     // candidate set), recall floor vs d65's top-1.
     "d66_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), 64, 20, 5)),
+    // rows-only (same rationale): IVFADC with by_residual=true — codes
+    // quantize (x − coarse(cell)), the FAISS default d66's scaladoc
+    // documented as a simplification. On the iid-uniform fixture the
+    // two paths measure within noise (residual ≈ raw — PQ's worst
+    // case); on clustered data residual coding cuts mean ADC error
+    // 0.388 → 0.149 at the same 16-byte budget (the pinned
+    // DedupSimilaritySpec clustered-corpus test). Evidence: residual
+    // dup-code identity, recall floor vs exact L2 (0.46 measured, 0.40
+    // floor in the cross-family audit), layout determinism.
+    "d67_ivfpq_residual_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), 64, 20, 5, byResidual = true)),
     // rows-only like the IVF path it shares a quantizer with (the cells
     // are an engine-local k-means artifact no SQL engine reproduces);
     // evidence: DedupSimilaritySpec pins exact-verification precision
@@ -1321,12 +1332,15 @@ object SparkEntry {
       // REPRESENTATIVE's text; docs outside the bounded evidence range
       // are singletons (LEFT JOIN misses → rep = self). NULL doc_id has
       // no identity in a grouped split — the engine filters NULL rep_id,
-      // the oracle's inner representative join drops the same rows. The
-      // engine computes the fence BEFORE its rep join (narrow (rep_id,
-      // split) shuffle — same bits, splitColumn is pure in text); the
-      // oracle fences after its join — equivalent over any fixture whose
-      // component ids ⊆ doc ids, which the declared wiring guarantees
-      // (comp = min member id, members drawn from documents).
+      // the oracle groups it out the same way. The engine computes the
+      // fence BEFORE its rep join (narrow (rep_id, split) shuffle — same
+      // bits, splitColumn is pure in text); the oracle fences after its
+      // join. The representative join is LEFT so both engines agree on
+      // the stale-rep contract too: a component whose representative is
+      // absent from docs (possible only when d62 is wired to an
+      // EXTERNALLY-built components relation — the declared wiring's
+      // comp = min member id is always a doc) quarantines as NULL split
+      // in both, rather than the row silently dropping oracle-side only.
       ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
         "FROM documents WHERE doc_id < 60), " +
         "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a, t b " +
@@ -1345,7 +1359,11 @@ object SparkEntry {
         "WHEN substr(md5(rd.text), 1, 2) < 'cc' THEN 'train' " +
         "WHEN substr(md5(rd.text), 1, 2) < 'e6' THEN 'val' " +
         "ELSE 'test' END AS split " +
-        "FROM a JOIN documents rd ON a.rep_id = rd.doc_id " +
+        // rep_id IS NOT NULL: the inner-join form dropped NULL-identity
+        // rows implicitly; the LEFT form must keep that contract explicit
+        // (the engine filters NULL rep_id the same way)
+        "FROM a LEFT JOIN documents rd ON a.rep_id = rd.doc_id " +
+        "WHERE a.rep_id IS NOT NULL " +
         "ORDER BY a.doc_id, split, a.rep_id"),
     "d36_funnel_steps" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +

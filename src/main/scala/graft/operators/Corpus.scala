@@ -541,7 +541,7 @@ object Corpus {
     auditOf(docs0, s)
   }
 
-  private def auditOf(docs0: DataFrame, s: Stages): DataFrame = {
+  private[graft] def auditOf(docs0: DataFrame, s: Stages): DataFrame = {
     def row(stage: String, df: DataFrame,
             tok: org.apache.spark.sql.Column): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),

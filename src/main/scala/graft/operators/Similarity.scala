@@ -74,12 +74,19 @@ object Similarity {
       .orderBy(ord, col("nbr_id"))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(ord, col("nbr_id"))
-    scored
-      // a NULL score (length mismatch, zero-norm/empty embedding —
-      // [[graft.functions.CosineSimilarity]]'s undefined cases) is not a
-      // rankable candidate; without the filter it would fill top-k slots
-      // whenever the candidate pool is smaller than k
-      .where(col(scoreCol).isNotNull)
+    // a NULL score (length mismatch, zero-norm/empty embedding —
+    // [[graft.functions.CosineSimilarity]]'s undefined cases) is not a
+    // rankable candidate; without the filter it would fill top-k slots
+    // whenever the candidate pool is smaller than k
+    val nonNull = scored.where(col(scoreCol).isNotNull)
+    // spark.graft.topkPrune=off bypasses the bounded pre-selection — an
+    // A/B lever for ScaleProbe's shuffle-volume measurement and the
+    // parity spec, never for production (the bloomPrune precedent)
+    val pruned =
+      if (scored.sparkSession.conf.get("spark.graft.topkPrune", "on") == "off")
+        nonNull
+      else partitionLocalTopK(nonNull, k, scoreCol, ascending)
+    pruned
       .withColumn("__salt", pmod(col("nbr_id"), lit(salts)))
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= k)
@@ -87,6 +94,76 @@ object Similarity {
         row_number().over(w2).cast("long").as("rank"))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Partition-local bounded selection feeding [[topKPerQuery]]'s rank
+    * exchange: keep the best `k` candidates per query WITHIN each input
+    * partition (a narrow mapPartitions, no shuffle), so the exchange
+    * carries O(partitions · queries · k) rows instead of the full
+    * O(corpus · queries) scored relation — with 20 queries the unpruned
+    * form shuffles 20× the corpus rows of which only queries·k survive.
+    * Bit-identical by the same containment argument the salted window
+    * makes for salts: the global top-k under the total order
+    * (score [asc|desc], nbr_id asc) is contained in the union of
+    * per-partition top-ks, and the downstream two-phase rank re-ranks
+    * the survivors globally. Scores compare with Spark's SQL double
+    * ordering (−0.0 == 0.0, NaN greatest — `SQLOrderingUtil`'s rule,
+    * reproduced here as `if (x == y) 0 else Double.compare`), so a
+    * candidate kept/dropped here is exactly the one the window rank
+    * would keep/drop. Selection is a worst-at-head bounded heap —
+    * O(log k) per replacement, q·k rows of state per partition (the
+    * query set is bounded by contract on every D4 path). */
+  private def partitionLocalTopK(scored: DataFrame, k: Int,
+                                 scoreCol: String,
+                                 ascending: Boolean): DataFrame = {
+    val spark = scored.sparkSession
+    val schema = scored.schema
+    val qi = schema.fieldIndex("query_id")
+    val ni = schema.fieldIndex("nbr_id")
+    val si = schema.fieldIndex(scoreCol)
+    val asc = ascending
+    val kk = k
+    val out = scored.rdd.mapPartitions { it =>
+      import org.apache.spark.sql.Row
+      // Spark SQL's double ordering: value-equal (-0.0 == 0.0) is a tie;
+      // otherwise Double.compare (NaN greater than everything)
+      def cmpScore(x: Double, y: Double): Int =
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      // true iff `a` outranks `b` under (score [asc|desc], nbr_id asc)
+      def better(sa: Double, na: Long, sb: Double, nb: Long): Boolean = {
+        val c = cmpScore(sa, sb)
+        if (c != 0) { if (asc) c < 0 else c > 0 }
+        else na < nb
+      }
+      final case class Cand(score: Double, nbr: Long, row: Row)
+      // worst-at-head: the heap root is the currently weakest kept
+      // candidate, so an incoming better row replaces it in O(log k)
+      val worstFirst = new java.util.Comparator[Cand] {
+        def compare(a: Cand, b: Cand): Int =
+          if (better(a.score, a.nbr, b.score, b.nbr)) 1
+          else if (better(b.score, b.nbr, a.score, a.nbr)) -1
+          else 0
+      }
+      val heaps = scala.collection.mutable.LongMap
+        .empty[java.util.PriorityQueue[Cand]]
+      it.foreach { r =>
+        val q = r.get(qi).asInstanceOf[Number].longValue()
+        val n = r.get(ni).asInstanceOf[Number].longValue()
+        val s = r.get(si).asInstanceOf[Number].doubleValue()
+        val h = heaps.getOrElseUpdate(q,
+          new java.util.PriorityQueue[Cand](kk + 1, worstFirst))
+        if (h.size < kk) h.add(Cand(s, n, r))
+        else {
+          val w = h.peek()
+          if (better(s, n, w.score, w.nbr)) { h.poll(); h.add(Cand(s, n, r)) }
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(h.iterator()).asScala
+          .map(_.row)
+      }
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** D4 exact — brute-force top-k cosine neighbors for a bounded query set
@@ -305,7 +382,7 @@ object Similarity {
     if (!trainsOnDriver(nLists, samplesPerCentroid))
       return kmeansDistributedLloyd(embeddings, nLists,
         trainSampleTarget(nLists, samplesPerCentroid), iters = 5, seed)
-    val sample: Array[Array[Double]] = indexable(embeddings)
+    val sample: Array[Array[Double]] = trainable(embeddings)
       .select(col("embedding"),
         xxhash64(col("vec_id"), lit(seed)).as("__draw"))
       // vec_id tiebreaker: a hash tie exactly at the cap boundary would
@@ -359,7 +436,7 @@ object Similarity {
   private[graft] def kmeansDistributedLloyd(embeddings: DataFrame, k: Int,
       sampleTarget: Long, iters: Int, seed: Long): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
-    val base = indexable(embeddings).select(col("vec_id"), col("embedding"))
+    val base = trainable(embeddings).select(col("vec_id"), col("embedding"))
     val n = base.count()
     val pts0 =
       if (n <= sampleTarget) base
@@ -384,18 +461,38 @@ object Similarity {
       .localCheckpoint(true)
     // Forgy seeding over DISTINCT vectors: seed draw keyed on the min
     // vec_id carrying each distinct embedding (deterministic under
-    // layout and duplication)
-    val init: Array[Array[Double]] = pts
-      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+    // layout and duplication). The distinct-vector dedup keys its
+    // exchange on a 64-bit DIGEST of the embedding, not the embedding
+    // itself — the d62 lesson: a 256-byte array as a groupBy key shuffles
+    // full vectors where (hash, min vec_id) ≈ 16 B/row carries the same
+    // decision; the k seed VECTORS are then fetched by id in a second
+    // id-keyed pass (broadcast of k ids). A 64-bit collision between two
+    // distinct vectors can only merge them into one representative —
+    // never duplicate a seed — and a merged seed shortfall still trips
+    // the loud require below.
+    val seedIds: Array[Long] = pts
+      .groupBy(xxhash64(col("embedding")).as("__h"))
+      .agg(min(col("vec_id")).as("vec_id"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)).as("__draw"), col("vec_id"))
       .limit(k)
-      .select(col("embedding"))
-      .collect()
-      .map(r => toDoubleArray(r.getSeq[Any](0)))
-    require(init.length >= k,
-      s"quantizer training set has only ${init.length} distinct usable vectors " +
+      .select(col("vec_id"))
+      .collect().map(_.getLong(0))
+    require(seedIds.length >= k,
+      s"quantizer training set has only ${seedIds.length} distinct usable vectors " +
         s"(modal dim $dim) for k=$k clusters — duplicate seeds would never " +
         s"re-separate; lower nClusters or widen the corpus/sample")
+    val seedDf = {
+      import spark.implicits._
+      seedIds.toSeq.toDF("vec_id")
+    }
+    val byId: Map[Long, Array[Double]] = pts
+      .join(broadcast(seedDf), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> toDoubleArray(r.getSeq[Any](1))).toMap
+    // re-ordered to the draw order: centroid INDEX assignment feeds the
+    // first-minimum argmin tie rule, so seed order is part of bit-identity
+    val init: Array[Array[Double]] = seedIds.map(byId)
     var centroids = init
     val scale = (1L << 24).toDouble
     var it = 0
@@ -451,9 +548,21 @@ object Similarity {
     * exclude them up front. The exact and LSH paths need no such gate —
     * their kernels are null-safe and a NULL embedding simply never reaches
     * a top-k list. */
-  private def indexable(embeddings: DataFrame): DataFrame =
+  private[graft] def indexable(embeddings: DataFrame): DataFrame =
     embeddings.where(col("embedding").isNotNull && size(col("embedding")) > 0 &&
       !expr("exists(embedding, x -> x IS NULL)"))
+
+  /** Rows a quantizer can TRAIN on: [[indexable]] minus NaN-bearing
+    * vectors. A NaN element is harmless at assignment time (all
+    * distances compare NaN-greatest, the row lands in cell 0, and every
+    * exact verification against it yields NULL cosine — it can never
+    * emit a pair), but inside Lloyd's it poisons training:
+    * `round(NaN·2^24) = 0` adds zero to every element sum while still
+    * incrementing the count, silently dragging the first centroid
+    * toward the origin. Poisoned rows are quarantine material for the
+    * caller's validation pass, not training mass. */
+  private def trainable(embeddings: DataFrame): DataFrame =
+    indexable(embeddings).where(!expr("exists(embedding, x -> isnan(x))"))
 
   /** Assign each vector its nearest centroid — ONE scan, no join, no
     * shuffle, materialized (localCheckpoint) because every consumer scans
@@ -766,7 +875,7 @@ object Similarity {
       s"need 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
     require(dim % m == 0, s"PQ subspaces must tile the vector: dim=$dim, m=$m")
     val subDim = dim / m
-    val sample: Array[Array[Double]] = indexable(embeddings)
+    val sample: Array[Array[Double]] = trainable(embeddings)
       .where(size(col("embedding")) === dim) // codes are dim-fixed by contract
       .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("__draw"))
       .orderBy(col("__draw"), col("vec_id"))
@@ -779,6 +888,26 @@ object Similarity {
     }
   }
 
+  /** Fail fast on a persisted codebook that does not tile the caller's
+    * vector dimension — without this, a mismatched artifact silently
+    * NULL-quarantines EVERY vector (empty result, no error) when the
+    * implied dim is smaller, and [[adcLuts]] indexes query subvectors
+    * out of bounds when it is larger. Mirrors [[trainPqCodebooks]]'
+    * `dim % m == 0` require on the training side. */
+  private def requireBooksTile(books: Array[Array[Array[Double]]],
+                               dim: Int): Unit = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "PQ codebooks are empty — corrupt or unwritten index artifact")
+    val subDim = books(0)(0).length
+    require(books.forall(_.forall(_.length == subDim)),
+      s"PQ codebooks are ragged (expected every codeword at subDim=$subDim) " +
+        "— corrupt index artifact")
+    require(books.length * subDim == dim,
+      s"PQ codebooks (m=${books.length} × subDim=$subDim = " +
+        s"${books.length * subDim}) do not tile dim=$dim — wrong persisted " +
+        "artifact for this corpus")
+  }
+
   /** Encode each vector as its m nearest-codebook-centroid bytes — the
     * persisted PQ index relation (vec_id, [carry...,] codes BINARY).
     * One broadcast-codebook scan (the [[assignCellsBroadcast]] kernel
@@ -787,30 +916,62 @@ object Similarity {
     * assignment kernel here. A vector whose length differs from the
     * codebook dim gets NULL codes (quarantine, the [[semanticDedup]]
     * malformed-vector contract). `carry` propagates extra columns
-    * (e.g. the IVF cell) through the one scan instead of re-joining. */
+    * (e.g. the IVF cell) through the one scan instead of re-joining.
+    *
+    * `materialize` (default true — the ingest-time index build) eagerly
+    * checkpoints the encoded relation so downstream consumers scan
+    * codes, never lineage; the single-pass query paths ([[pqTopK]]/
+    * [[ivfPqTopK]] self-encode) pass false — they scan the relation
+    * exactly once, so a checkpoint would only accumulate block-manager
+    * storage across repeated queries in a long-lived session (the
+    * production shape persists codes ONCE via [[savePqCodes]] and
+    * queries pass `precomputedCodes` instead of re-encoding at all).
+    *
+    * `residualOf = (cellCol, coarse)` encodes the IVFADC
+    * `by_residual=true` form: the kernel subtracts the row's coarse
+    * centroid `coarse(row(cellCol))` from the vector before coding, so
+    * codes quantize the (smaller-variance) cell residual rather than
+    * the raw vector — Jégou et al. 2011 §IV. A NULL cell quarantines
+    * as NULL codes, same as a wrong-length vector. */
   def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]],
-               carry: Seq[String] = Nil): DataFrame = {
+               carry: Seq[String] = Nil,
+               materialize: Boolean = true,
+               residualOf: Option[(String, Array[Array[Double]])] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
     val spark = vectors.sparkSession
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val dim = m * subDim
+    requireBooksTile(codebooks, dim)
+    residualOf.foreach { case (cellCol, coarse) =>
+      require(carry.contains(cellCol),
+        s"residual coding needs the cell column '$cellCol' carried through the scan")
+      require(coarse.forall(_.length == dim),
+        s"coarse centroids must match the codebook dim $dim for residual coding")
+    }
     val base = vectors.select((col("vec_id") +: carry.map(col) :+ col("embedding")): _*)
-    val bc = spark.sparkContext.broadcast(codebooks)
+    val cellIdx = residualOf.map { case (cellCol, _) => 1 + carry.indexOf(cellCol) }
+    val bc = spark.sparkContext.broadcast((codebooks, residualOf.map(_._2)))
     val schema = StructType(
       base.schema.fields.dropRight(1) :+ StructField("codes", BinaryType, nullable = true))
     val out = base.rdd.mapPartitions { it =>
-      val books = bc.value
+      val (books, coarseOpt) = bc.value
       it.map { r =>
         val embIdx = r.length - 1
         val emb = r.getSeq[Number](embIdx)
+        val cellOk = cellIdx.forall(ci => !r.isNullAt(ci))
         val codes: Any =
-          if (emb == null || emb.length != dim) null
+          if (emb == null || emb.length != dim || !cellOk) null
           else {
             val x = new Array[Double](dim)
             var j = 0
             while (j < dim) { x(j) = emb(j).doubleValue(); j += 1 }
+            cellIdx.foreach { ci =>
+              val c = coarseOpt.get(r.get(ci).asInstanceOf[Number].intValue())
+              var j2 = 0
+              while (j2 < dim) { x(j2) -= c(j2); j2 += 1 }
+            }
             val cs = new Array[Byte](m)
             var s = 0
             while (s < m) {
@@ -833,7 +994,8 @@ object Similarity {
         Row.fromSeq(Seq.tabulate(embIdx)(r.get) :+ codes)
       }
     }
-    spark.createDataFrame(out, schema).localCheckpoint(true)
+    val df = spark.createDataFrame(out, schema)
+    if (materialize) df.localCheckpoint(true) else df
   }
 
   /** D4 scale path #3 — PQ/ADC approximate top-k: the whole corpus is
@@ -845,11 +1007,20 @@ object Similarity {
     * Compose with IVF via [[ivfPqTopK]] to also shrink the ROWS. */
   def pqTopK(embeddings: DataFrame, dim: Int, nQueries: Int, k: Int,
              m: Int = 16, ksub: Int = 64, seed: Long = 42L,
-             precomputedCodebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+             precomputedCodebooks: Option[Array[Array[Array[Double]]]] = None,
+             precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val books = precomputedCodebooks.getOrElse(
       trainPqCodebooks(embeddings, dim, m, ksub, seed))
-    val encoded = pqEncode(indexable(embeddings), books)
+    requireBooksTile(books, dim)
+    // production: codes are built ONCE at ingest (pqEncode +
+    // [[savePqCodes]]) and passed in — repeated queries then scan the
+    // persisted 16-byte-per-vector relation without re-encoding the
+    // corpus or accumulating per-call checkpoints; the self-encode form
+    // (materialize=false — scanned exactly once, nothing persisted)
+    // remains for the declared query
+    val encoded = precomputedCodes.getOrElse(
+      pqEncode(indexable(embeddings), books, materialize = false))
     val luts = adcLuts(embeddings, dim, nQueries, books)
     val bc = spark.sparkContext.broadcast(luts)
     import org.apache.spark.sql.Row
@@ -887,61 +1058,254 @@ object Similarity {
                 nLists: Int = 16, nProbe: Int = 4, m: Int = 16, ksub: Int = 64,
                 seed: Long = 42L,
                 precomputedCentroids: Option[Array[Array[Double]]] = None,
-                precomputedCodebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+                precomputedCodebooks: Option[Array[Array[Array[Double]]]] = None,
+                precomputedCodes: Option[DataFrame] = None,
+                byResidual: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     val corpus = indexable(embeddings)
-    // production shape: both quantizers are built ONCE at ingest
-    // (saveIvfIndex/savePqCodebooks) and passed in; the self-training
-    // form remains for the declared query
+    // production shape: quantizers AND codes are built ONCE at ingest
+    // (saveIvfIndex/savePqCodebooks/savePqCodes) and passed in; the
+    // self-training form remains for the declared query. With
+    // byResidual, precomputedCodes must have been encoded with
+    // `residualOf` against the SAME coarse quantizer.
     val coarse = precomputedCentroids.getOrElse(
       trainIvfCentroids(embeddings, nLists, seed))
     require(coarse.length == nLists,
       s"expected $nLists coarse centroids, got ${coarse.length}")
     val books = precomputedCodebooks.getOrElse(
-      trainPqCodebooks(embeddings, dim, m, ksub, seed))
-    val encoded = pqEncode(assignCells(corpus, coarse), books, carry = Seq("cell"))
-    val luts = adcLuts(embeddings, dim, nQueries, books)
+      if (byResidual) trainPqCodebooksResidual(embeddings, coarse, dim, m, ksub, seed)
+      else trainPqCodebooks(embeddings, dim, m, ksub, seed))
+    requireBooksTile(books, dim)
+    val encoded = precomputedCodes.getOrElse(
+      pqEncode(assignCells(corpus, coarse), books, carry = Seq("cell"),
+        materialize = false,
+        residualOf = if (byResidual) Some(("cell", coarse)) else None))
     // each query probes its nProbe nearest coarse centroids (driver-side
     // math over nQueries × nLists, same as ivfTopK). The dim filter
     // matches adcLuts': a wrong-length query has no lookup table, so it
     // must not reach the probe join either
-    val qEmb = corpus.filter(col("vec_id") < nQueries && size(col("embedding")) === dim)
+    val qEmbRows = corpus.filter(col("vec_id") < nQueries && size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding")).collect()
-    import spark.implicits._
-    val probes = qEmb.flatMap { r =>
+    val probePairs: Array[(Long, Int)] = qEmbRows.flatMap { r =>
       val q = toDoubleArray(r.getSeq[Any](1))
       coarse.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < math.min(q.length, c.length)) { val t = q(j) - c(j); d += t * t; j += 1 }
         (i, d)
       }.sortBy(_._2).take(nProbe).map(_._1).map(cell => (r.getLong(0), cell))
-    }.toSeq.toDF("query_id", "cell")
-    val lutMap = luts.toMap
-    val bc = spark.sparkContext.broadcast(lutMap)
+    }
+    import spark.implicits._
+    val probes = probePairs.toSeq.toDF("query_id", "cell")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("query_id", LongType, nullable = false),
       StructField("nbr_id", LongType, nullable = false),
       StructField("__d", DoubleType, nullable = false)))
-    val cands = encoded.where(col("codes").isNotNull)
-      .join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("nbr_id"), col("codes"))
-    val scored = cands.rdd.mapPartitions { it =>
-      val qs = bc.value
-      it.map { r =>
-        val lut = qs(r.getLong(0))
-        val codes = r.getAs[Array[Byte]](2)
-        var d = 0.0; var s = 0
-        while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
-        Row(r.getLong(0), r.getLong(1), d)
+    val scored =
+      if (!byResidual) {
+        val lutMap = adcLuts(embeddings, dim, nQueries, books).toMap
+        val bc = spark.sparkContext.broadcast(lutMap)
+        val cands = encoded.where(col("codes").isNotNull)
+          .join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("nbr_id"), col("codes"))
+        cands.rdd.mapPartitions { it =>
+          val qs = bc.value
+          it.map { r =>
+            val lut = qs(r.getLong(0))
+            val codes = r.getAs[Array[Byte]](2)
+            var d = 0.0; var s = 0
+            while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+            Row(r.getLong(0), r.getLong(1), d)
+          }
+        }
+      } else {
+        // by_residual=true (IVFADC proper, Jégou et al. 2011 §IV): codes
+        // quantize (x − coarse(cell)), so the LUT for a (query, probed
+        // cell) pair is built from the query RESIDUAL (q − coarse(cell))
+        // — nQueries × nProbe tables instead of nQueries, still
+        // driver-bounded; the distance is ‖(q−c) − r̂‖², a tighter
+        // approximation of ‖q−x‖² because residual variance is
+        // cell-local (smaller than raw-vector variance at the same
+        // 16-byte code budget)
+        val subDim = dim / m
+        val qVecs = qEmbRows.map(r =>
+          r.getLong(0) -> toDoubleArray(r.getSeq[Any](1))).toMap
+        val lutMap: Map[(Long, Int), Array[Array[Double]]] =
+          probePairs.iterator.map { case (qid, cell) =>
+            val q = qVecs(qid); val c = coarse(cell)
+            val res = new Array[Double](dim)
+            var j = 0
+            while (j < dim) { res(j) = q(j) - c(j); j += 1 }
+            val lut = Array.tabulate(m) { s =>
+              val off = s * subDim
+              books(s).map { cw =>
+                var d = 0.0; var j2 = 0
+                while (j2 < subDim) { val t = res(off + j2) - cw(j2); d += t * t; j2 += 1 }
+                d
+              }
+            }
+            (qid, cell) -> lut
+          }.toMap
+        val bc = spark.sparkContext.broadcast(lutMap)
+        val cands = encoded.where(col("codes").isNotNull)
+          .join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("nbr_id"), col("codes"),
+            col("cell"))
+        cands.rdd.mapPartitions { it =>
+          val qs = bc.value
+          it.map { r =>
+            val lut = qs((r.getLong(0), r.getInt(3)))
+            val codes = r.getAs[Array[Byte]](2)
+            var d = 0.0; var s = 0
+            while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+            Row(r.getLong(0), r.getLong(1), d)
+          }
+        }
       }
-    }
     topKPerQuery(
       spark.createDataFrame(scored, schema)
         .select(col("query_id"), col("nbr_id"),
           Features.pround(col("__d"), 6).as("adc_dist")),
       k, scoreCol = "adc_dist", ascending = true)
+  }
+
+  /** Train RESIDUAL PQ codebooks (the IVFADC `by_residual=true` form):
+    * the same seeded-hash layout-invariant draw as [[trainPqCodebooks]],
+    * but each sample vector is first assigned its nearest coarse
+    * centroid (driver-side — the sample is bounded at max(10k, 20·ksub)
+    * rows × nLists distances) and the codebooks train on the residuals
+    * (x − coarse(cell)). Assignment uses the same first-minimum argmin
+    * as every kernel here, so a sample vector's training-time cell
+    * matches its encode-time cell exactly. */
+  def trainPqCodebooksResidual(embeddings: DataFrame,
+                               coarse: Array[Array[Double]],
+                               dim: Int, m: Int = 16, ksub: Int = 64,
+                               seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 2 && ksub <= 256,
+      s"need 1 <= m and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
+    require(dim % m == 0, s"PQ subspaces must tile the vector: dim=$dim, m=$m")
+    require(coarse.nonEmpty && coarse.forall(_.length == dim),
+      s"coarse centroids must match dim=$dim for residual training")
+    val subDim = dim / m
+    val sample: Array[Array[Double]] = trainable(embeddings)
+      .where(size(col("embedding")) === dim)
+      .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("__draw"))
+      .orderBy(col("__draw"), col("vec_id"))
+      .limit(trainSampleTarget(ksub).toInt)
+      .select(col("embedding")).collect()
+      .map(r => toDoubleArray(r.getSeq[Any](0)))
+    val residuals = sample.map { x =>
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < coarse.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = x(j) - coarse(ci)(j); d += t * t; j += 1 }
+        if (java.lang.Double.compare(d, bestD) < 0) { best = ci; bestD = d }
+        ci += 1
+      }
+      val r = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { r(j) = x(j) - coarse(best)(j); j += 1 }
+      r
+    }
+    Array.tabulate(m) { s =>
+      val pts = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      kmeansLloyd(pts, ksub, iters = 5, seed + s)
+    }
+  }
+
+  /** Streaming-ingest arm of the ANN index lifecycle (the d38
+    * incremental-dedup pattern on the embedding side): encode a NEW batch
+    * of vectors against the PRECOMPUTED index artifacts — coarse
+    * quantizer, PQ codebooks, and the persisted codes corpus — and flag
+    * each new vector's near-duplicates in the prior corpus by cell-keyed
+    * ADC distance. Designed as the body of a `foreachBatch` sink: the
+    * micro-batch is the bounded "query set" (its vectors and LUTs are
+    * driver-built, exactly like [[adcLuts]]' bounded-queries contract),
+    * the corpus side is scanned as 16-byte code rows narrowed by the
+    * probe join, and nothing corpus-side is ever re-encoded.
+    *
+    * Returns (newCodes, dupPairs):
+    *  - `newCodes` — (vec_id, cell, codes), the batch's index rows,
+    *    materialized; append them to the persisted relation (the
+    *    [[savePqCodes]] artifact) to advance the corpus snapshot;
+    *  - `dupPairs` — (new_id, corpus_id, adc_dist) for every corpus code
+    *    within `maxAdcDist` of a new vector in its probed cells —
+    *    ascending-distance evidence, exact-verify downstream if the
+    *    ingest policy needs certainty (ADC is approximate by design; an
+    *    EXACT copy of a corpus vector always surfaces at its
+    *    quantization-floor distance because codes coincide).
+    *
+    * `corpusCodes` must be raw-coded (`by_residual=false`) with the SAME
+    * books and coarse quantizer — the same artifact-compatibility
+    * contract as [[ivfPqTopK]]'s precomputedCodes. */
+  def incrementalVectorIngest(newVecs: DataFrame, dim: Int,
+                              coarse: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]],
+                              corpusCodes: DataFrame,
+                              maxAdcDist: Double,
+                              nProbe: Int = 4): (DataFrame, DataFrame) = {
+    requireBooksTile(books, dim)
+    require(coarse.nonEmpty && coarse.forall(_.length == dim),
+      s"coarse centroids must match dim=$dim")
+    val spark = newVecs.sparkSession
+    val m = books.length
+    val subDim = books(0)(0).length
+    val newAssigned = assignCells(indexable(newVecs), coarse)
+    val newCodes = pqEncode(newAssigned, books, carry = Seq("cell"))
+    // the batch is the bounded query side: probes + LUTs driver-built
+    val batchRows = newAssigned.where(size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding")).collect()
+    val probePairs: Array[(Long, Int)] = batchRows.flatMap { r =>
+      val q = toDoubleArray(r.getSeq[Any](1))
+      coarse.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = q(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1).map(cell => (r.getLong(0), cell))
+    }
+    val lutMap: Map[Long, Array[Array[Double]]] = batchRows.map { r =>
+      val q = toDoubleArray(r.getSeq[Any](1))
+      r.getLong(0) -> Array.tabulate(m) { s =>
+        val off = s * subDim
+        books(s).map { cw =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { val t = q(off + j) - cw(j); d += t * t; j += 1 }
+          d
+        }
+      }
+    }.toMap
+    import spark.implicits._
+    val probes = probePairs.toSeq.toDF("new_id", "cell")
+    val bc = spark.sparkContext.broadcast(lutMap)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("new_id", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("__d", DoubleType, nullable = false)))
+    val scored = corpusCodes.where(col("codes").isNotNull)
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("new_id"))
+      .select(col("new_id"), col("vec_id").as("corpus_id"), col("codes"))
+      .rdd.mapPartitions { it =>
+        val qs = bc.value
+        it.map { r =>
+          val lut = qs(r.getLong(0))
+          val codes = r.getAs[Array[Byte]](2)
+          var d = 0.0; var s = 0
+          while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+          Row(r.getLong(0), r.getLong(1), d)
+        }
+      }
+    val dups = spark.createDataFrame(scored, schema)
+      .select(col("new_id"), col("corpus_id"),
+        Features.pround(col("__d"), 6).as("adc_dist"))
+      .filter(col("adc_dist") <= maxAdcDist)
+      .orderBy(col("new_id"), col("adc_dist"), col("corpus_id"))
+    (newCodes, dups)
   }
 
   /** ADC lookup tables for the bounded query set: luts(q)(sub)(code) =
@@ -983,6 +1347,21 @@ object Similarity {
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Persist an encoded PQ codes relation ([[pqEncode]]'s output — the
+    * per-vector index artifact, 16 B/vector at m=16) so repeated queries
+    * scan persisted codes instead of re-encoding the corpus per call:
+    * build once at ingest, pass [[loadPqCodes]]' result as
+    * `precomputedCodes` at query time. Completes the index lifecycle
+    * triple with [[saveIvfIndex]] (cells) and [[savePqCodebooks]]
+    * (codebooks). */
+  def savePqCodes(codes: DataFrame, path: String): Unit =
+    codes.write.mode("overwrite").parquet(path)
+
+  /** Load a persisted PQ codes relation (inverse of [[savePqCodes]]). */
+  def loadPqCodes(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Load persisted PQ codebooks (inverse of [[savePqCodebooks]]). */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,

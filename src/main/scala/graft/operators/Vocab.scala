@@ -136,9 +136,25 @@ object Vocab {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        // per-partition memo (r19 self-review batch 17): natural text is
+        // Zipf-distributed, so the same head words re-encode constantly —
+        // encodeWord is O(len²·merges) per CALL, and without the memo a
+        // 100 TB corpus pays it once per OCCURRENCE instead of once per
+        // distinct word per partition. Bounded (64k entries ≈ a few MB of
+        // short strings) so a pathological all-distinct corpus cannot
+        // grow task memory; misses past the cap just re-encode.
+        val memo = mutable.HashMap.empty[String, Long]
         it.map { case (id, text) =>
           val n = text.split(" ", -1).iterator.filter(_.nonEmpty)
-            .map(w => encodeWord(w, ranks).length.toLong).sum
+            .map { w =>
+              memo.get(w) match {
+                case Some(len) => len
+                case None =>
+                  val len = encodeWord(w, ranks).length.toLong
+                  if (memo.size < 65536) memo.update(w, len)
+                  len
+              }
+            }.sum
           (id, n)
         }
       }

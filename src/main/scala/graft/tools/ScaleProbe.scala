@@ -248,7 +248,7 @@ object ScaleProbe {
     // host; a single block re-measure should not pay for the rest)
     val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
       "amp10x", "quantile", "split", "crossover", "semdedup", "quantizer",
-      "compsplit", "pq")
+      "compsplit", "pq", "topk", "audit")
     args.foreach(a => require(blocks(a),
       s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
     def block(name: String)(body: => Unit): Unit =
@@ -788,6 +788,86 @@ object ScaleProbe {
         planted(r, "ivfpq")
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // D4 scored-pair exchange A/B (round 19): partition-local bounded
+    // selection ON vs OFF on the 250k×64 corpus with 20 queries — the
+    // unpruned form shuffles one scored row per (corpus row, query)
+    // into the rank exchange (5M rows here, of which 100 survive); the
+    // pruned form shuffles O(partitions · queries · k). Asserts
+    // bit-identity between the two paths at probe scale and records
+    // wall time + shuffle-write bytes.
+    block("topk") {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      import org.apache.spark.sql.functions._
+      val n = 250000L
+      val emb = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST(CAST(xxhash64(id, j) % 1000000 AS DOUBLE) / 1000000.0 AS FLOAT))")
+          .as("embedding"))
+        .localCheckpoint(true)
+      var results = Map.empty[String, Seq[String]]
+      for (mode <- Seq("off", "on")) {
+        spark.conf.set("spark.graft.topkPrune", mode)
+        @volatile var shuffleWrite = 0L
+        val listener = new SparkListener {
+          override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              shuffleWrite += e.taskMetrics.shuffleWriteMetrics.bytesWritten
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def run(): Array[String] =
+          graft.operators.Similarity.bruteForceTopK(emb, 20, 5)
+            .collect().map(_.toString)
+        run() // warm
+        shuffleWrite = 0L
+        val t0 = System.nanoTime()
+        val rows = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        results += mode -> rows.toSeq
+        println(f"[scaleprobe] topk_prune_$mode%-14s n=$n%-8d $dt%.3f s " +
+          f"shuffleWrite=${shuffleWrite / 1e6}%.2f MB rows=${rows.length}")
+      }
+      require(results("off") == results("on"),
+        "partition-local top-k pruning diverged from the unpruned rank at probe scale")
+      println("[scaleprobe] topk_prune bit-identity asserted (off == on)")
+      spark.conf.unset("spark.graft.topkPrune")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // d45 cost decomposition (round 19, verdict #5): is the audit's cost
+    // the stage chain (d43's own floor — eager checkpoint jobs + the
+    // component loop's per-round count+checkpoint) or the audit
+    // aggregates? Times (a) the stage chain alone, (b) the six 1-row
+    // audit aggregates on ALREADY-materialized stages, (c) declared d45
+    // end-to-end. If (b) ≈ ε and (c) ≈ (a) + ε, the floor is the chain
+    // and d45 is already at the d43+ε shape the audit promises.
+    block("audit") {
+      val rates = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+      for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+        val docs = graft.Tables.documents(spark, sf)
+        def timed(label: String)(f: => Unit): Unit = {
+          f // warm
+          val t0 = System.nanoTime(); f
+          val t1 = System.nanoTime(); f
+          val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+          println(f"[scaleprobe] $label%-24s $sf%-26s $dt%.3f s")
+        }
+        timed("audit_stage_chain") {
+          graft.operators.Corpus.stages(docs, rates).packed.count()
+          graft.operators.Corpus.releaseStages(spark)
+        }
+        val s = graft.operators.Corpus.stages(docs, rates)
+        s.packed.count()
+        timed("audit_aggregates_only") {
+          graft.operators.Corpus.auditOf(docs, s).count()
+        }
+        graft.operators.Corpus.releaseStages(spark)
+        timed("audit_d45_declared") {
+          SparkEntry.queries("d45_pipeline_audit")(spark, sf).count()
+          graft.operators.Corpus.releaseStages(spark)
+        }
+      }
     }
     // componentSplit + connectedComponents end-to-end at amplified scale
     // (round 18): sf0.1's documents amplified 1× / 4× / 16× with near-dup

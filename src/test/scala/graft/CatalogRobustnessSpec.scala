@@ -83,7 +83,8 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     // PQ trains k-means codebooks (d65: the PQ books; d66: the coarse
     // quantizer first) — same no-vectors-to-train precondition
     "d65_pq_topk"          -> "kmeans sample is empty",
-    "d66_ivfpq_topk"       -> "kmeans sample is empty")
+    "d66_ivfpq_topk"       -> "kmeans sample is empty",
+    "d67_ivfpq_residual_topk" -> "kmeans sample is empty")
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf0").toString
@@ -167,7 +168,8 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     // the PQ family's k-means (ksub=64 books / k=16 coarse) likewise
     // cannot seat its seeds on 5 usable vectors
     "d65_pq_topk"        -> "usable points",
-    "d66_ivfpq_topk"     -> "usable points")
+    "d66_ivfpq_topk"     -> "usable points",
+    "d67_ivfpq_residual_topk" -> "usable points")
 
   test("every declared query tolerates NULL / degenerate / junk / exotic-unicode rows mixed into real data") {
     gateCatalog(hostileDir, hostilePreconditions)

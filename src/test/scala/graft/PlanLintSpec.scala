@@ -278,6 +278,10 @@ class PlanLintSpec extends AnyFunSuite {
       // ADC distance-error bars, layout determinism, probed-vs-full
       // ADC-distance equality (DedupSimilaritySpec)
       "d65_pq_topk", "d66_ivfpq_topk",
+      // residual-coded IVFADC (by_residual=true — same rationale as
+      // d66); evidence = residual dup-code identity, clustered-corpus
+      // error-halving pin, cross-family recall floor, layout determinism
+      "d67_ivfpq_residual_topk",
       // BPE merge loop = iterative global argmax, not SQL-expressible
       "d46_bpe_merges",
       // winnowing hash family is engine-local (same rationale as d28)

@@ -558,6 +558,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.toSet == Set((10L, 0L)), hits)
   }
 
+  test("streaming ANN-index ingest: new batches encode against precomputed artifacts; planted dup caught vs the prior corpus") {
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    // ingest-time artifacts built ONCE from the prior corpus: coarse
+    // quantizer, PQ codebooks, and the persisted 4-byte code rows — the
+    // streaming arm must never re-encode the corpus
+    val rng = new scala.util.Random(11L)
+    val corpusRows = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rng.nextFloat())))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainIvfCentroids(corpus, 4)
+    val books = Similarity.trainPqCodebooks(corpus, 16, m = 4, ksub = 8)
+    val corpusCodes = Similarity.pqEncode(
+      Similarity.assignCellsBroadcast(Similarity.indexable(corpus), coarse),
+      books, carry = Seq("cell"))
+    val dupHits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val codesSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF.toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (codes, dups) = Similarity.incrementalVectorIngest(
+          batch, 16, coarse, books, corpusCodes, maxAdcDist = 2.0)
+        dupHits.synchronized {
+          dupHits ++= dups.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Double]("adc_dist")))
+        }
+        codesSeen.synchronized {
+          codesSeen ++= codes.collect().map(r =>
+            (r.getLong(0), r.getAs[Array[Byte]]("codes")))
+        }
+        ()
+      }
+      .start()
+    // batch 1: an exact copy of corpus vector 7 (must share codes — its
+    // ADC distance is the quantization floor) plus a far-away novel
+    // vector (no corpus code within the gate)
+    input.addData((1000L, corpusRows(7)._2), (1001L, Seq.fill(16)(100.0f)))
+    q.processAllAvailable()
+    // batch 2: novel in-distribution vector — the arm keeps running
+    input.addData((1002L, Seq.fill(16)(rng.nextFloat())))
+    q.processAllAvailable()
+    q.stop()
+    val corpusCodesMap = corpusCodes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes")).toMap
+    val seen = codesSeen.toMap
+    assert(seen(1000L).sameElements(corpusCodesMap(7L)),
+      "exact dup must encode to its base's codes against the same books")
+    val for1000 = dupHits.filter(_._1 == 1000L)
+    assert(for1000.nonEmpty, s"planted dup not flagged: $dupHits")
+    assert(for1000.minBy(h => (h._3, h._2))._2 == 7L,
+      s"planted dup's base must be the closest corpus hit: $for1000")
+    assert(!dupHits.exists(_._1 == 1001L),
+      s"far-away novel vector must not flag: $dupHits")
+  }
+
   test("streaming corpus hygiene: per-batch quality filter + PII scrub via foreachBatch") {
     import graft.operators.TextOps
     implicit val ctx = spark.sqlContext
