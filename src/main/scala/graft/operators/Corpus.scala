@@ -418,11 +418,13 @@ object Corpus {
                             shingleK: Int = 12, maxDf: Int = 20,
                             chunkTokens: Int = 50, stride: Int = 40,
                             budget: Int = 512, docsPerGroup: Int = 50,
-                            minShared: Int = 1): Stages =
+                            minShared: Int = 1,
+                            materializeForAudit: Boolean = false): Stages =
     stagesWithEdges(docs0, rates,
       exactShingleEdges(_, shingleK, maxDf, minShared),
       chunkTokens, stride, budget, docsPerGroup,
-      probeKey = s"exact:k=$shingleK:maxDf=$maxDf:minShared=$minShared")
+      probeKey = s"exact:k=$shingleK:maxDf=$maxDf:minShared=$minShared",
+      materializeForAudit = materializeForAudit)
 
   /** Exact-shingle near-dup evidence (the oracle-expressible default):
     * k-token shingles, md5-hashed; distinct per (doc, shingle) so a
@@ -490,7 +492,8 @@ object Corpus {
                                      chunkTokens: Int = 50, stride: Int = 40,
                                      budget: Int = 512,
                                      docsPerGroup: Int = 50,
-                                     probeKey: String = ""): Stages = {
+                                     probeKey: String = "",
+                                     materializeForAudit: Boolean = false): Stages = {
     // dense-corpus auto-selection BEFORE the first materialization, so
     // the decision covers every stage of the run (see
     // [[denseCorpusStrategy]]); every materialization below is eager,
@@ -508,12 +511,22 @@ object Corpus {
     // min-label propagation labels each component with its min id, so the
     // canonical winner is exactly the row whose id equals its label
     val winners = labels.filter(col("id") === col("comp")).select(col("id"))
-    val deduped = kept
-      .join(winners, kept("doc_id") === winners("id"), "left_semi")
+    // materializeForAudit (r19 audit-probe finding): the AUDIT consumes
+    // every stage as its own aggregate branch, and the stages past `kept`
+    // are lazy — without materialization the six branches re-derive the
+    // suffix per branch (the dedup semi-join runs 4×, chunking 2×).
+    // The two fan-out nodes (deduped: 4 consumers; chunks: 2) checkpoint
+    // on the audit path only; the output-only path (d43) keeps its
+    // single-consumer chain un-barriered. stageMaterialize is
+    // row-transparent, so the audit's counts are bit-identical either way.
+    def auditStage(df: DataFrame): DataFrame =
+      if (materializeForAudit) stageMaterialize(df) else df
+    val deduped = auditStage(kept
+      .join(winners, kept("doc_id") === winners("id"), "left_semi"))
     val mixed = deduped
       .filter(TextOps.domainMixKeep(rates))
       .select(col("doc_id"), col("text"))
-    val chunks = TextOps.chunkDocs(mixed, chunkTokens, stride)
+    val chunks = auditStage(TextOps.chunkDocs(mixed, chunkTokens, stride))
     Stages(kept, deduped, mixed, chunks,
       TextOps.packChunks(chunks, budget, docsPerGroup))
     }
@@ -537,7 +550,7 @@ object Corpus {
                     budget: Int = 512, docsPerGroup: Int = 50,
                     minShared: Int = 1): DataFrame = {
     val s = stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
-      budget, docsPerGroup, minShared)
+      budget, docsPerGroup, minShared, materializeForAudit = true)
     auditOf(docs0, s)
   }
 
@@ -571,7 +584,7 @@ object Corpus {
                                  budget: Int = 512, docsPerGroup: Int = 50,
                                  minShared: Int = 1): (DataFrame, DataFrame) = {
     val s = stages(docs0, rates, shingleK, maxDf, chunkTokens, stride,
-      budget, docsPerGroup, minShared)
+      budget, docsPerGroup, minShared, materializeForAudit = true)
     (s.packed, auditOf(docs0, s))
   }
 

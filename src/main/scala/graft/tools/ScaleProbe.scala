@@ -234,6 +234,34 @@ import graft.{GraftExtensions, SparkEntry}
   * caveat: the same run measured d45 at 6.9 s vs the same-day quiet
   * bench's 3.0 s, so absolute sf0.1 figures here carry ~2× host noise;
   * the within-run ratios are the signal.)
+  *
+  * Round-19 `topk` block (250k×64, 20 queries, k=5): partition-local
+  * pre-selection OFF 1.853 s / 0.52 MB shuffle write vs ON 1.055 s /
+  * 0.13 MB — 4× fewer exchange bytes, 1.75× wall, bit-identity
+  * asserted at probe scale. Measurement corrected the r18 verdict's
+  * premise: the unpruned exchange was NOT O(corpus·queries) bytes —
+  * Spark's WindowGroupLimit (rank ≤ k under row_number) already
+  * applies a map-side group limit before the shuffle — so the
+  * pruning's real wins are (a) replacing the per-partition SORT of
+  * the full 5M-row scored relation with an O(n·log k) bounded heap
+  * and (b) pruning before the salt column exists (WindowGroupLimit
+  * keeps k per (query, salt) per map task = salts× the survivors).
+  *
+  * Round-19 `audit` block (d45 decomposition, verdict #5): stage chain
+  * alone 3.39 s, audit aggregates on materialized stages 0.62 s, d45
+  * declared 4.04 s at sf0.1 (same-run figures). BEFORE the
+  * materializeForAudit fix d45 ran 1.88× its own chain (5.19 s vs
+  * 2.76 s same run): the six audit branches re-derived the LAZY stage
+  * suffix per branch — the dedup semi-join ran 4×, chunking 2×. With
+  * the two fan-out nodes checkpointed on the audit path only, d45 =
+  * chain + ε (1.19×); the remaining floor is the chain itself (eager
+  * checkpoint jobs + ≥2 component-loop rounds — the r4-measured fixed
+  * cost), irreducible without changing pipeline semantics. d54 drain
+  * re-profile (verdict #5 second half): 2.25 s at the r18 quiet
+  * record, 3.66 s in the r19 loaded bench (loadavg 2.5–5) — scales
+  * with load exactly like the other drains; the clamp holds and the
+  * floor is micro-batch scheduling (~5 batches × state-store setup),
+  * not width.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
