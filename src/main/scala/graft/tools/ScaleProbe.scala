@@ -247,6 +247,21 @@ import graft.{GraftExtensions, SparkEntry}
   * and (b) pruning before the salt column exists (WindowGroupLimit
   * keeps k per (query, salt) per map task = salts× the survivors).
   *
+  * Round-19 `pq` re-probe AFTER the in-kernel bounded selection: the
+  * first pruning cut (the generic partitionLocalTopK over the scored
+  * DataFrame) REGRESSED full-scan ADC at probe scale — 6.3 s (r18) →
+  * 24.9 s — because the flatMap still materialized one Row per
+  * (corpus row, query) (50M at 250k×200) and the generic pruning added
+  * an InternalRow↔Row round-trip on all of them. Moving the bounded
+  * heap INSIDE the scoring kernel (emit only partitions·q·k survivor
+  * rows, selection under the exact (pround(d,6), nbr_id) rank order)
+  * fixed it decisively: pq_bruteforce 2.94 s, pq_adc_fullscan
+  * **0.93 s** (6.8× faster than the r18 figure), pq_ivfadc_probed
+  * 1.28 s — planted recall asserted, 114/114 oracle + 131/131
+  * dump-diff bit-identical after the change. Lesson recorded: for
+  * RDD-kernel scorers, prune at the point of ROW CREATION, not after
+  * the DataFrame boundary.
+  *
   * Round-19 `audit` block (d45 decomposition, verdict #5): stage chain
   * alone 3.39 s, audit aggregates on materialized stages 0.62 s, d45
   * declared 4.04 s at sf0.1 (same-run figures). BEFORE the
