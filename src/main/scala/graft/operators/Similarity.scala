@@ -99,9 +99,13 @@ object Similarity {
   /** Partition-local bounded selection feeding [[topKPerQuery]]'s rank
     * exchange: keep the best `k` candidates per query WITHIN each input
     * partition (a narrow mapPartitions, no shuffle), so the exchange
-    * carries O(partitions · queries · k) rows instead of the full
-    * O(corpus · queries) scored relation — with 20 queries the unpruned
-    * form shuffles 20× the corpus rows of which only queries·k survive.
+    * carries O(partitions · queries · k) rows. Note (ScaleProbe r19):
+    * Spark's own WindowGroupLimit already pushes a map-side group limit
+    * below the rank exchange, so the raw shuffle-volume bound is NOT
+    * unique to this operator — the measured win is (a) replacing the
+    * per-partition SORT WindowGroupLimit does with an O(n·log k) bounded
+    * heap and (b) pruning BEFORE the `__salt` column multiplies the
+    * per-group survivors by `salts`.
     * Bit-identical by the same containment argument the salted window
     * makes for salts: the global top-k under the total order
     * (score [asc|desc], nbr_id asc) is contained in the union of
@@ -908,6 +912,38 @@ object Similarity {
         "artifact for this corpus")
   }
 
+  /** Validate a codes relation (self-encoded or a loaded [[savePqCodes]]
+    * artifact) and project it to the scoring kernels' (vec_id, codes)
+    * shape BY NAME — the persisted artifact may carry extra columns
+    * (`cell`, from the IVF build) in any order, so a positional
+    * `getAs[Array[Byte]](1)` on the raw relation is a ClassCastException
+    * waiting to happen. Loud-failure contract mirrors
+    * [[requireBooksTile]]: a codes relation without the expected
+    * columns/types is a wrong or corrupt index artifact, never a silent
+    * quarantine. Code WIDTH (the one encoding-compatibility signal the
+    * bytes carry — codes must have exactly m = books.length entries) is
+    * checked per row inside each scoring kernel (a closure-local check —
+    * codes encoded with m' ≠ m codebooks would otherwise AIOOBE or
+    * silently sum a prefix); codebook-VALUE compatibility is the
+    * caller's artifact-management contract (load books and codes from
+    * the same build). */
+  private def requireCodesRelation(codes: DataFrame,
+                                   extraCols: String*): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val schema = codes.schema
+    def field(name: String) = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"codes relation has no '$name' column (found " +
+          s"${schema.fieldNames.mkString(", ")}) — wrong persisted artifact"))
+    require(field("vec_id").dataType == LongType,
+      s"codes relation 'vec_id' must be BIGINT, got ${field("vec_id").dataType.simpleString}")
+    require(field("codes").dataType == BinaryType,
+      s"codes relation 'codes' must be BINARY (pqEncode output), got " +
+        s"${field("codes").dataType.simpleString} — wrong persisted artifact")
+    extraCols.foreach(field)
+    codes.select(col("vec_id") +: col("codes") +: extraCols.map(col): _*)
+  }
+
   /** Encode each vector as its m nearest-codebook-centroid bytes — the
     * persisted PQ index relation (vec_id, [carry...,] codes BINARY).
     * One broadcast-codebook scan (the [[assignCellsBroadcast]] kernel
@@ -1019,8 +1055,8 @@ object Similarity {
     // corpus or accumulating per-call checkpoints; the self-encode form
     // (materialize=false — scanned exactly once, nothing persisted)
     // remains for the declared query
-    val encoded = precomputedCodes.getOrElse(
-      pqEncode(indexable(embeddings), books, materialize = false))
+    val encoded = requireCodesRelation(precomputedCodes.getOrElse(
+      pqEncode(indexable(embeddings), books, materialize = false)))
     val luts = adcLuts(embeddings, dim, nQueries, books)
     val bc = spark.sparkContext.broadcast(luts)
     import org.apache.spark.sql.Row
@@ -1039,9 +1075,16 @@ object Similarity {
     // pass through identically), so the global top-k is contained in
     // the per-partition survivors and the result is bit-identical.
     val kk = k
+    val mWidth = books.length
     val scored = encoded.where(col("codes").isNotNull).rdd.mapPartitions { it =>
       val qsArr = bc.value
       val nq = qsArr.length
+      def checkWidth(c: Array[Byte]): Array[Byte] = {
+        if (c.length != mWidth) throw new IllegalArgumentException(
+          s"PQ codes row has ${c.length} bytes but the supplied codebooks " +
+            s"have m=$mWidth subspaces — codes encoded with different codebooks")
+        c
+      }
       def pr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
       def better(da: Double, ia: Long, db: Double, ib: Long): Boolean = {
         val pa = pr6(da); val pb = pr6(db)
@@ -1058,8 +1101,9 @@ object Similarity {
       val heaps = Array.fill(nq)(
         new java.util.PriorityQueue[Cand](kk + 1, worstFirst))
       it.foreach { r =>
+        // positions fixed by requireCodesRelation's named projection
         val id = r.getLong(0)
-        val codes = r.getAs[Array[Byte]](1)
+        val codes = checkWidth(r.getAs[Array[Byte]](1))
         var qi = 0
         while (qi < nq) {
           if (qsArr(qi)._1 != id) {
@@ -1118,10 +1162,10 @@ object Similarity {
       if (byResidual) trainPqCodebooksResidual(embeddings, coarse, dim, m, ksub, seed)
       else trainPqCodebooks(embeddings, dim, m, ksub, seed))
     requireBooksTile(books, dim)
-    val encoded = precomputedCodes.getOrElse(
+    val encoded = requireCodesRelation(precomputedCodes.getOrElse(
       pqEncode(assignCells(corpus, coarse), books, carry = Seq("cell"),
         materialize = false,
-        residualOf = if (byResidual) Some(("cell", coarse)) else None))
+        residualOf = if (byResidual) Some(("cell", coarse)) else None)), "cell")
     // each query probes its nProbe nearest coarse centroids (driver-side
     // math over nQueries × nLists, same as ivfTopK). The dim filter
     // matches adcLuts': a wrong-length query has no lookup table, so it
@@ -1151,11 +1195,15 @@ object Similarity {
           .join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("nbr_id"), col("codes"))
+        val mWidth = books.length
         cands.rdd.mapPartitions { it =>
           val qs = bc.value
           it.map { r =>
             val lut = qs(r.getLong(0))
             val codes = r.getAs[Array[Byte]](2)
+            if (codes.length != mWidth) throw new IllegalArgumentException(
+              s"PQ codes row has ${codes.length} bytes but m=$mWidth — codes " +
+                "encoded with different codebooks")
             var d = 0.0; var s = 0
             while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
             Row(r.getLong(0), r.getLong(1), d)
@@ -1170,7 +1218,10 @@ object Similarity {
         // approximation of ‖q−x‖² because residual variance is
         // cell-local (smaller than raw-vector variance at the same
         // 16-byte code budget)
-        val subDim = dim / m
+        // geometry from the BOOKS actually in use (precomputed artifacts
+        // may differ from the m training parameter)
+        val mBooks = books.length
+        val subDim = books(0)(0).length
         val qVecs = qEmbRows.map(r =>
           r.getLong(0) -> toDoubleArray(r.getSeq[Any](1))).toMap
         val lutMap: Map[(Long, Int), Array[Array[Double]]] =
@@ -1179,7 +1230,7 @@ object Similarity {
             val res = new Array[Double](dim)
             var j = 0
             while (j < dim) { res(j) = q(j) - c(j); j += 1 }
-            val lut = Array.tabulate(m) { s =>
+            val lut = Array.tabulate(mBooks) { s =>
               val off = s * subDim
               books(s).map { cw =>
                 var d = 0.0; var j2 = 0
@@ -1200,6 +1251,9 @@ object Similarity {
           it.map { r =>
             val lut = qs((r.getLong(0), r.getInt(3)))
             val codes = r.getAs[Array[Byte]](2)
+            if (codes.length != mBooks) throw new IllegalArgumentException(
+              s"PQ codes row has ${codes.length} bytes but m=$mBooks — codes " +
+                "encoded with different codebooks")
             var d = 0.0; var s = 0
             while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
             Row(r.getLong(0), r.getLong(1), d)
@@ -1279,17 +1333,31 @@ object Similarity {
     *    ascending-distance evidence, exact-verify downstream if the
     *    ingest policy needs certainty (ADC is approximate by design; an
     *    EXACT copy of a corpus vector always surfaces at its
-    *    quantization-floor distance because codes coincide).
+    *    quantization-floor distance because codes coincide). Pairs where
+    *    `new_id == corpus_id` are NOT excluded: the batch and corpus are
+    *    different relations, so an id-equal pair is either a replay of
+    *    the same vector (surfaces at the quantization floor) or an id
+    *    collision with CHANGED content (surfaces at a larger distance) —
+    *    both are exactly the events an ingest dedup exists to catch, and
+    *    a cross-relation id filter would silently hide them (r19 advice).
     *
-    * `corpusCodes` must be raw-coded (`by_residual=false`) with the SAME
-    * books and coarse quantizer — the same artifact-compatibility
-    * contract as [[ivfPqTopK]]'s precomputedCodes. */
+    * `corpusCodes` must be coded with the SAME books and coarse
+    * quantizer — and with the SAME coding axis as the `byResidual` flag:
+    * raw-coded corpus ↔ `byResidual=false`, residual-coded corpus
+    * (pqEncode `residualOf`) ↔ `byResidual=true`. Same
+    * artifact-compatibility contract as [[ivfPqTopK]]'s
+    * precomputedCodes; with `byResidual` the per-(vector, probed-cell)
+    * residual LUTs mirror [[ivfPqTopK]]'s IVFADC branch (d67), and the
+    * exact-replay invariant still holds — identical content encodes to
+    * identical residual codes in the same cell, so it surfaces at the
+    * quantization floor. */
   def incrementalVectorIngest(newVecs: DataFrame, dim: Int,
                               coarse: Array[Array[Double]],
                               books: Array[Array[Array[Double]]],
                               corpusCodes: DataFrame,
                               maxAdcDist: Double,
-                              nProbe: Int = 4): (DataFrame, DataFrame) = {
+                              nProbe: Int = 4,
+                              byResidual: Boolean = false): (DataFrame, DataFrame) = {
     requireBooksTile(books, dim)
     require(coarse.nonEmpty && coarse.forall(_.length == dim),
       s"coarse centroids must match dim=$dim")
@@ -1297,7 +1365,8 @@ object Similarity {
     val m = books.length
     val subDim = books(0)(0).length
     val newAssigned = assignCells(indexable(newVecs), coarse)
-    val newCodes = pqEncode(newAssigned, books, carry = Seq("cell"))
+    val newCodes = pqEncode(newAssigned, books, carry = Seq("cell"),
+      residualOf = if (byResidual) Some(("cell", coarse)) else None)
     // the batch is the bounded query side: probes + LUTs driver-built
     val batchRows = newAssigned.where(size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding")).collect()
@@ -1309,38 +1378,80 @@ object Similarity {
         (i, d)
       }.sortBy(_._2).take(nProbe).map(_._1).map(cell => (r.getLong(0), cell))
     }
-    val lutMap: Map[Long, Array[Array[Double]]] = batchRows.map { r =>
-      val q = toDoubleArray(r.getSeq[Any](1))
-      r.getLong(0) -> Array.tabulate(m) { s =>
-        val off = s * subDim
-        books(s).map { cw =>
-          var d = 0.0; var j = 0
-          while (j < subDim) { val t = q(off + j) - cw(j); d += t * t; j += 1 }
-          d
-        }
-      }
-    }.toMap
     import spark.implicits._
     val probes = probePairs.toSeq.toDF("new_id", "cell")
-    val bc = spark.sparkContext.broadcast(lutMap)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("new_id", LongType, nullable = false),
       StructField("corpus_id", LongType, nullable = false),
       StructField("__d", DoubleType, nullable = false)))
-    val scored = corpusCodes.where(col("codes").isNotNull)
-      .join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("new_id"))
-      .select(col("new_id"), col("vec_id").as("corpus_id"), col("codes"))
-      .rdd.mapPartitions { it =>
-        val qs = bc.value
-        it.map { r =>
-          val lut = qs(r.getLong(0))
-          val codes = r.getAs[Array[Byte]](2)
-          var d = 0.0; var s = 0
-          while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
-          Row(r.getLong(0), r.getLong(1), d)
+    val mWidth = m
+    def lutFor(vec: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(m) { s =>
+        val off = s * subDim
+        books(s).map { cw =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { val t = vec(off + j) - cw(j); d += t * t; j += 1 }
+          d
         }
+      }
+    val candidates = requireCodesRelation(corpusCodes, "cell")
+      .where(col("codes").isNotNull)
+      .join(broadcast(probes), "cell")
+    val scored =
+      if (!byResidual) {
+        val lutMap: Map[Long, Array[Array[Double]]] = batchRows.map { r =>
+          r.getLong(0) -> lutFor(toDoubleArray(r.getSeq[Any](1)))
+        }.toMap
+        val bc = spark.sparkContext.broadcast(lutMap)
+        candidates
+          .select(col("new_id"), col("vec_id").as("corpus_id"), col("codes"))
+          .rdd.mapPartitions { it =>
+            val qs = bc.value
+            it.map { r =>
+              val lut = qs(r.getLong(0))
+              val codes = r.getAs[Array[Byte]](2)
+              if (codes.length != mWidth) throw new IllegalArgumentException(
+                s"PQ codes row has ${codes.length} bytes but m=$mWidth — codes " +
+                  "encoded with different codebooks")
+              var d = 0.0; var s = 0
+              while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+              Row(r.getLong(0), r.getLong(1), d)
+            }
+          }
+      } else {
+        // residual arm (mirrors ivfPqTopK's by_residual branch): corpus
+        // codes quantize (x − coarse(cell)), so each (new vector, probed
+        // cell) pair gets a LUT built from the new vector's RESIDUAL
+        // against that cell — batch·nProbe tables, still driver-bounded
+        // by the micro-batch contract
+        val batchVecs = batchRows.map(r =>
+          r.getLong(0) -> toDoubleArray(r.getSeq[Any](1))).toMap
+        val lutMap: Map[(Long, Int), Array[Array[Double]]] =
+          probePairs.iterator.map { case (nid, cell) =>
+            val q = batchVecs(nid); val c = coarse(cell)
+            val res = new Array[Double](dim)
+            var j = 0
+            while (j < dim) { res(j) = q(j) - c(j); j += 1 }
+            (nid, cell) -> lutFor(res)
+          }.toMap
+        val bc = spark.sparkContext.broadcast(lutMap)
+        candidates
+          .select(col("new_id"), col("vec_id").as("corpus_id"), col("codes"),
+            col("cell"))
+          .rdd.mapPartitions { it =>
+            val qs = bc.value
+            it.map { r =>
+              val lut = qs((r.getLong(0), r.getInt(3)))
+              val codes = r.getAs[Array[Byte]](2)
+              if (codes.length != mWidth) throw new IllegalArgumentException(
+                s"PQ codes row has ${codes.length} bytes but m=$mWidth — codes " +
+                  "encoded with different codebooks")
+              var d = 0.0; var s = 0
+              while (s < lut.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+              Row(r.getLong(0), r.getLong(1), d)
+            }
+          }
       }
     val dups = spark.createDataFrame(scored, schema)
       .select(col("new_id"), col("corpus_id"),

@@ -850,27 +850,46 @@ object ScaleProbe {
           .as("embedding"))
         .localCheckpoint(true)
       var results = Map.empty[String, Seq[String]]
+      // listener-bus task-end events are delivered asynchronously and from
+      // multiple dispatcher threads: the counter must be an AtomicLong (a
+      // volatile += is a lost-update race) and the bus must be DRAINED
+      // before the figure is read or the listener removed, or late events
+      // under-count (r19 advice). LiveListenerBus.waitUntilEmpty is
+      // private[spark] — bytecode-public, so the probe reaches it
+      // reflectively; on any failure it falls back to polling the counter
+      // until stable.
+      def drainListenerBus(): Unit = {
+        val sc = spark.sparkContext
+        try {
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch {
+          case scala.util.control.NonFatal(_) => Thread.sleep(2000)
+        }
+      }
       for (mode <- Seq("off", "on")) {
         spark.conf.set("spark.graft.topkPrune", mode)
-        @volatile var shuffleWrite = 0L
+        val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
         val listener = new SparkListener {
           override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
             if (e.taskMetrics != null)
-              shuffleWrite += e.taskMetrics.shuffleWriteMetrics.bytesWritten
+              shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
         spark.sparkContext.addSparkListener(listener)
         def run(): Array[String] =
           graft.operators.Similarity.bruteForceTopK(emb, 20, 5)
             .collect().map(_.toString)
         run() // warm
-        shuffleWrite = 0L
+        drainListenerBus()
+        shuffleWrite.set(0L)
         val t0 = System.nanoTime()
         val rows = run()
         val dt = (System.nanoTime() - t0) / 1e9
+        drainListenerBus()
         spark.sparkContext.removeSparkListener(listener)
         results += mode -> rows.toSeq
         println(f"[scaleprobe] topk_prune_$mode%-14s n=$n%-8d $dt%.3f s " +
-          f"shuffleWrite=${shuffleWrite / 1e6}%.2f MB rows=${rows.length}")
+          f"shuffleWrite=${shuffleWrite.get() / 1e6}%.2f MB rows=${rows.length}")
       }
       require(results("off") == results("on"),
         "partition-local top-k pruning diverged from the unpruned rank at probe scale")

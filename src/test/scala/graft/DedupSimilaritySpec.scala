@@ -922,6 +922,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "persisted-codes IVF-PQ path diverged from self-encode")
   }
 
+  test("D4 PQ: codes relation is resolved by name and validated — cell-carrying artifacts work, wrong shapes and wrong-m codes fail loudly") {
+    // r19 advice: pqTopK read codes positionally, so passing the
+    // cell-carrying savePqCodes artifact (the IVF build's shape) as
+    // precomputedCodes ClassCastException'd. Now: by-name projection —
+    // the cell-carrying artifact is simply accepted…
+    val books = Similarity.trainPqCodebooks(emb, 64)
+    val coarse = Similarity.trainIvfCentroids(emb, 16)
+    val cellCodes = Similarity.pqEncode(
+      Similarity.assignCellsBroadcast(Similarity.indexable(emb), coarse),
+      books, carry = Seq("cell"))
+    val self = Similarity.pqTopK(emb, 64, 20, 5).collect()
+    val viaCell = Similarity.pqTopK(emb, 64, 20, 5,
+      precomputedCodebooks = Some(books),
+      precomputedCodes = Some(cellCodes)).collect()
+    assert(self.map(_.toString).toSeq == viaCell.map(_.toString).toSeq,
+      "cell-carrying codes artifact must score identically to plain codes")
+    // …a relation without the codes column fails loudly at plan time…
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, 64, 20, 5, precomputedCodebooks = Some(books),
+        precomputedCodes = Some(emb))
+    }
+    assert(e1.getMessage.contains("no 'codes' column"), e1.getMessage)
+    // …a codes column of the wrong type fails loudly too…
+    import org.apache.spark.sql.functions.{col => c}
+    val wrongType = cellCodes.withColumn("codes", c("vec_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, 64, 20, 5, precomputedCodebooks = Some(books),
+        precomputedCodes = Some(wrongType))
+    }
+    assert(e2.getMessage.contains("must be BINARY"), e2.getMessage)
+    // …and codes encoded with DIFFERENT-m codebooks fail in the kernel
+    // with the artifact-mismatch message, not an AIOOBE/prefix-sum
+    val narrowBooks = Similarity.trainPqCodebooks(emb, 64, m = 8, ksub = 16)
+    val narrowCodes = Similarity.pqEncode(Similarity.indexable(emb), narrowBooks)
+    val e3 = intercept[Exception] {
+      Similarity.pqTopK(emb, 64, 20, 5, precomputedCodebooks = Some(books),
+        precomputedCodes = Some(narrowCodes)).collect()
+    }
+    assert(e3.toString.contains("different codebooks") ||
+      Option(e3.getCause).exists(_.toString.contains("different codebooks")) ||
+      e3.getMessage.contains("different codebooks"), e3.toString)
+  }
+
   test("D4 PQ: mismatched persisted codebooks fail loudly instead of silently quarantining the corpus") {
     val books = Similarity.trainPqCodebooks(emb, 64)
     val e1 = intercept[IllegalArgumentException] {

@@ -613,6 +613,62 @@ class StreamingSpec extends AnyFunSuite {
       s"far-away novel vector must not flag: $dupHits")
   }
 
+  test("streaming ANN-index ingest, residual arm: planted dup surfaces under residual codes against a residual-coded corpus artifact") {
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    // the d67 lifecycle on the streaming side: corpus artifact is
+    // RESIDUAL-coded (pqEncode residualOf) with residual-trained books;
+    // the ingest arm must encode and score new batches on the same axis
+    val rng = new scala.util.Random(13L)
+    val corpusRows = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rng.nextFloat())))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainIvfCentroids(corpus, 4)
+    val books = Similarity.trainPqCodebooksResidual(corpus, coarse, 16,
+      m = 4, ksub = 8)
+    val corpusCodes = Similarity.pqEncode(
+      Similarity.assignCellsBroadcast(Similarity.indexable(corpus), coarse),
+      books, carry = Seq("cell"), residualOf = Some(("cell", coarse)))
+    val dupHits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val codesSeen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF.toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (codes, dups) = Similarity.incrementalVectorIngest(
+          batch, 16, coarse, books, corpusCodes, maxAdcDist = 2.0,
+          byResidual = true)
+        dupHits.synchronized {
+          dupHits ++= dups.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Double]("adc_dist")))
+        }
+        codesSeen.synchronized {
+          codesSeen ++= codes.collect().map(r =>
+            (r.getLong(0), r.getAs[Array[Byte]]("codes")))
+        }
+        ()
+      }
+      .start()
+    // batch 1: an exact copy of corpus vector 7 (same cell → same
+    // residual → same codes → quantization-floor ADC distance) plus a
+    // far-away novel vector; batch 2: novel in-distribution vector
+    input.addData((1000L, corpusRows(7)._2), (1001L, Seq.fill(16)(100.0f)))
+    q.processAllAvailable()
+    input.addData((1002L, Seq.fill(16)(rng.nextFloat())))
+    q.processAllAvailable()
+    q.stop()
+    val corpusCodesMap = corpusCodes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes")).toMap
+    val seen = codesSeen.toMap
+    assert(seen(1000L).sameElements(corpusCodesMap(7L)),
+      "exact dup must encode to its base's residual codes against the same artifacts")
+    val for1000 = dupHits.filter(_._1 == 1000L)
+    assert(for1000.nonEmpty, s"planted dup not flagged under residual codes: $dupHits")
+    assert(for1000.minBy(h => (h._3, h._2))._2 == 7L,
+      s"planted dup's base must be the closest corpus hit: $for1000")
+    assert(!dupHits.exists(_._1 == 1001L),
+      s"far-away novel vector must not flag: $dupHits")
+  }
+
   test("streaming corpus hygiene: per-batch quality filter + PII scrub via foreachBatch") {
     import graft.operators.TextOps
     implicit val ctx = spark.sqlContext
