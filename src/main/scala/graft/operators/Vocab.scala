@@ -56,9 +56,137 @@ object Vocab {
   }
 
   /** Learned merge table as plain data: (rank, left, right, pair_count).
-    * Deterministic given the corpus; stops early when no pair remains. */
+    * Deterministic given the corpus; stops early when no pair remains.
+    *
+    * Driver-knee shape (r19 verdict): the distributed phase bounds the
+    * word table at `maxWordTypes` (named in SURVEY §2.8's d46/d48
+    * rationale), and the merge loop below is INCREMENTAL — a full
+    * recount per round (the reference shape, kept as
+    * [[bpeTrainMergesNaive]] and pinned bit-identical by VocabSpec +
+    * the ScaleProbe `bpe` block) costs O(types · wordLen) PER MERGE,
+    * which at a production vocabulary (10⁵ word types × 32k merges) is
+    * hours on one core. This loop instead maintains pair counts and a
+    * pair → word-occurrence index, touching only the words that CONTAIN
+    * the merged pair each round (Zipf corpora: a vanishing fraction past
+    * the head merges), with a lazy max-heap for argmax selection —
+    * measured at 10⁵ word types (ScaleProbe `bpe`, figures in that
+    * block): the naive loop's per-merge wall makes 32k merges a
+    * multi-hour job while the incremental one stays in driver
+    * milliseconds-per-merge, the same published shape HF tokenizers /
+    * subword-nmt's caching trainer use. Selection is EXACTLY the naive
+    * argmax: (count desc, left asc, right asc), lazy-stale entries
+    * skipped on pop — every pair's CURRENT count is in the heap because
+    * each update pushes it. */
   def bpeTrainMerges(docs: DataFrame, numMerges: Int,
                      maxWordTypes: Int = 10000): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1 && maxWordTypes >= 1, "numMerges and maxWordTypes >= 1")
+    val words: Array[(Array[String], Long)] = wordCounts(docs, maxWordTypes)
+      .collect().map { r: Row => (splitSymbols(r.getString(0)), r.getLong(1)) }
+    val syms: Array[Array[String]] = words.map(_._1)
+    val weight: Array[Long] = words.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    // which word indices currently CONTAIN a pair (membership, not
+    // multiplicity — counts carry multiplicity)
+    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // lazy max-heap over (count, left, right): stale entries (count no
+    // longer current for that pair) are skipped at pop time
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      1024,
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // count DESC
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2)             // left ASC
+            if (l != 0) l else a._3.compareTo(b._3)  // right ASC
+          }
+        }
+      })
+    // lazy-decrease discipline: push ONLY on increases (the exact new
+    // value); decreases leave a stale-HIGH entry that the pop loop
+    // detects (stored > current) and re-pushes at the current value.
+    // Pushing on every decrement instead grows the heap with the total
+    // number of retractions — O(merges · touched words · wordLen)
+    // entries, the exact blowup this discipline bounds.
+    def bump(k: (String, String), delta: Long, wordIdx: Int, add: Boolean): Unit = {
+      val next = pairCounts.getOrElse(k, 0L) + delta
+      if (next <= 0L) pairCounts.remove(k) else pairCounts.update(k, next)
+      if (delta > 0L && next > 0L) heap.add((next, k._1, k._2))
+      // membership removal is implicit: a stale member is filtered at
+      // use — its word simply no longer yields the pair
+      if (add) occurs.getOrElseUpdate(k, new mutable.BitSet()).add(wordIdx)
+    }
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w); val n = weight(w)
+      var i = 0
+      while (i + 1 < s.length) { bump((s(i), s(i + 1)), n, w, add = true); i += 1 }
+      w += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // pop to the first CURRENT entry; a stale-HIGH entry (its pair has
+      // since decreased but is still live) re-enters at its current
+      // count so the max invariant holds — every live pair always has an
+      // entry with stored >= current, so the first CURRENT pop is the
+      // true (count desc, left asc, right asc) argmax
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val cand = heap.poll()
+        val cur = pairCounts.getOrElse((cand._2, cand._3), 0L)
+        if (cur == cand._1) top = cand
+        else if (cur > 0L && cand._1 > cur) heap.add((cur, cand._2, cand._3))
+      }
+      if (top == null) done = true
+      else {
+        val (cnt, l, r) = top
+        merges += ((rank, l, r, cnt))
+        val key = (l, r)
+        val members = occurs.getOrElse(key, new mutable.BitSet())
+        val touched = members.toArray // snapshot: bump mutates sets
+        var t = 0
+        while (t < touched.length) {
+          val wi = touched(t)
+          val s = syms(wi); val n = weight(wi)
+          // stale membership: the word may no longer contain the pair
+          var has = false
+          var i = 0
+          while (!has && i + 1 < s.length) {
+            if (s(i) == l && s(i + 1) == r) has = true
+            i += 1
+          }
+          if (has) {
+            // retract the word's current adjacent pairs…
+            i = 0
+            while (i + 1 < s.length) { bump((s(i), s(i + 1)), -n, wi, add = false); i += 1 }
+            // …merge…
+            val ns = mergeOnce(s, l, r)
+            syms(wi) = ns
+            // …and add the new ones
+            i = 0
+            while (i + 1 < ns.length) { bump((ns(i), ns(i + 1)), n, wi, add = true); i += 1 }
+          }
+          t += 1
+        }
+        // the merged pair is gone from every word that contained it
+        pairCounts.remove(key)
+        occurs.remove(key)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** REFERENCE implementation (the textbook full-recount loop) — kept,
+    * like assignCellsLiteral, as the independent second implementation
+    * the parity spec and the ScaleProbe `bpe` block pin
+    * [[bpeTrainMerges]] bit-identical against. O(types · wordLen) per
+    * merge: correct, and exactly the driver knee the incremental loop
+    * removes. */
+  private[graft] def bpeTrainMergesNaive(docs: DataFrame, numMerges: Int,
+                                         maxWordTypes: Int = 10000): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1 && maxWordTypes >= 1, "numMerges and maxWordTypes >= 1")
     var words: Array[(Array[String], Long)] = wordCounts(docs, maxWordTypes)
       .collect().map { r: Row => (splitSymbols(r.getString(0)), r.getLong(1)) }

@@ -22,6 +22,24 @@ class VocabSpec extends AnyFunSuite {
     assert(merges.length == 3)
   }
 
+  test("incremental trainer is bit-identical to the naive full-recount reference on the real corpus") {
+    // r20: bpeTrainMerges switched to incremental pair maintenance + a
+    // lazy max-heap (the HF/subword-nmt shape); the retired full-recount
+    // loop stays as the REFERENCE implementation (assignCellsLiteral
+    // precedent) and must never diverge — same merges, same tie-breaks,
+    // same early stop, same pair counts
+    val docs = Tables.documents(spark, sfDir)
+    val fast = Vocab.bpeTrainMerges(docs, numMerges = 200, maxWordTypes = 2000)
+    val ref = Vocab.bpeTrainMergesNaive(docs, numMerges = 200, maxWordTypes = 2000)
+    assert(fast == ref)
+    // degenerate early-stop corpus: single-symbol words exhaust pairs
+    val tiny = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(Vocab.bpeTrainMerges(tiny, 5) == Vocab.bpeTrainMergesNaive(tiny, 5))
+    // overlap counting: "aaaa" has three adjacent (a,a) positions
+    val ovl = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    assert(Vocab.bpeTrainMerges(ovl, 4) == Vocab.bpeTrainMergesNaive(ovl, 4))
+  }
+
   test("determinism: identical merges from a repartitioned corpus") {
     val docs = Tables.documents(spark, sfDir)
     val a = Vocab.bpeTrainMerges(docs, numMerges = 20, maxWordTypes = 500)
