@@ -91,12 +91,20 @@ object StreamMonitor {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Session windows: a session closes after `gap` of user silence. */
+  /** Session windows: a session closes after `gap` of user silence.
+    * Value mass sums integer cents (r20 self-review batch 20): the raw
+    * `sum(double)` was the last order-dependent float sum in this module
+    * — micro-batch merge order is layout-dependent, so two drains of the
+    * same data could differ in the last ulp (the x28 rule every sibling
+    * monitor already follows); non-finite values contribute NULL cents
+    * (skipped) instead of poisoning the whole session row. */
   def userSessions(events: DataFrame, gap: String = "30 minutes",
                    watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.operators.Features.qlong(col("value"), 100.0)).cast("double") / 100.0)
+          .as("session_value"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
