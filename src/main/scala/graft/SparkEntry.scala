@@ -555,6 +555,16 @@ object SparkEntry {
     // floor in the cross-family audit), layout determinism.
     "d67_ivfpq_residual_topk" -> ((s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), 64, 20, 5, byResidual = true)),
+    // rows-only (same engine-local-codebook rationale as d65): PQ/SDC —
+    // the query is its CODES (Jégou et al. 2011 §III.B symmetric
+    // distance), so query time touches no raw vectors at all: the
+    // raw-vector-free re-rank a production index runs index-to-index.
+    // Evidence: planted exact copy ranks first at SDC distance exactly 0
+    // (shared codes → diagonal lookups), recall floor 0.30 vs exact L2
+    // (0.33 measured; ADC's exact query side dominates at 0.52 — the
+    // published SDC trade-off, pinned), layout determinism.
+    "d68_sdc_topk" -> ((s, d) =>
+      Similarity.pqTopKSDC(Tables.embeddings(s, d), 64, 20, 5)),
     // rows-only like the IVF path it shares a quantizer with (the cells
     // are an engine-local k-means artifact no SQL engine reproduces);
     // evidence: DedupSimilaritySpec pins exact-verification precision

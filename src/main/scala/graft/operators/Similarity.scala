@@ -1187,6 +1187,69 @@ object Similarity {
     val encoded = requireCodesRelation(precomputedCodes.getOrElse(
       pqEncode(indexable(embeddings), books, materialize = false)))
     val luts = adcLuts(embeddings, dim, nQueries, books)
+    lutScanTopK(spark, encoded, luts, k, books.length, "adc_dist")
+  }
+
+  /** D4 scale path #3b — PQ/SDC (symmetric distance computation, Jégou
+    * et al. 2011 §III.B): the QUERY is represented by its m-byte codes
+    * too, and distance is the sum of m codebook-to-codebook subspace
+    * distances — d(q, x) ≈ Σ_s ‖c(qcode_s) − c(xcode_s)‖². The per-query
+    * lookup table is a ROW of the precomputed m × ksub × ksub
+    * codeword-pair distance tables (driver-built once from the
+    * codebooks alone — m·ksub²·subDim flops, ~1M at the defaults), so
+    * query time needs NO raw vectors at all: the published SDC
+    * trade-off — one extra quantization error on the query side (lower
+    * accuracy than ADC at the same byte budget, pinned by the spec's
+    * SDC-vs-ADC comparison) in exchange for querying straight from the
+    * persisted codes artifact (index-to-index joins, raw-vector-free
+    * re-ranking). Same heap-inside-the-scan kernel, same salted
+    * two-phase rank; output column `sdc_dist`. */
+  def pqTopKSDC(embeddings: DataFrame, dim: Int, nQueries: Int, k: Int,
+                m: Int = 16, ksub: Int = 64, seed: Long = 42L,
+                precomputedCodebooks: Option[Array[Array[Array[Double]]]] = None,
+                precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val books = precomputedCodebooks.getOrElse(
+      trainPqCodebooks(embeddings, dim, m, ksub, seed))
+    requireBooksTile(books, dim)
+    val mBooks = books.length
+    val subDim = books(0)(0).length
+    val encoded = requireCodesRelation(precomputedCodes.getOrElse(
+      pqEncode(indexable(embeddings), books, materialize = false)))
+    // m × ksub × ksub codeword-pair tables — from the codebooks alone
+    val pairTables: Array[Array[Array[Double]]] = books.map { book =>
+      Array.tabulate(book.length) { i =>
+        Array.tabulate(book.length) { j =>
+          var d = 0.0; var t = 0
+          while (t < subDim) { val x = book(i)(t) - book(j)(t); d += x * x; t += 1 }
+          d
+        }
+      }
+    }
+    // bounded query side: the queries' CODES (nQueries × m bytes); their
+    // per-query LUT is the qcode-indexed row of each pair table
+    val qCodes: Array[(Long, Array[Byte])] = encoded
+      .where(col("vec_id") < nQueries && col("codes").isNotNull)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes"))
+    val luts: Array[(Long, Array[Array[Double]])] = qCodes.map { case (qid, qc) =>
+      if (qc.length != mBooks) throw new IllegalArgumentException(
+        s"PQ codes row has ${qc.length} bytes but the supplied codebooks " +
+          s"have m=$mBooks subspaces — codes encoded with different codebooks")
+      qid -> Array.tabulate(mBooks)(s => pairTables(s)(qc(s) & 0xff))
+    }
+    lutScanTopK(spark, encoded, luts, k, mBooks, "sdc_dist")
+  }
+
+  /** Shared scoring kernel for the codes-scan top-k family ([[pqTopK]],
+    * [[pqTopKSDC]]): one pass over the persisted m-byte codes with the
+    * bounded per-query LUTs broadcast and the top-k heap INSIDE the
+    * kernel. */
+  private def lutScanTopK(spark: org.apache.spark.sql.SparkSession,
+                          encoded: DataFrame,
+                          luts: Array[(Long, Array[Array[Double]])],
+                          k: Int, mWidth: Int, scoreCol: String): DataFrame = {
     val bc = spark.sparkContext.broadcast(luts)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -1204,7 +1267,6 @@ object Similarity {
     // pass through identically), so the global top-k is contained in
     // the per-partition survivors and the result is bit-identical.
     val kk = k
-    val mWidth = books.length
     val scored = encoded.where(col("codes").isNotNull).rdd.mapPartitions { it =>
       val qsArr = bc.value
       val nq = qsArr.length
@@ -1258,8 +1320,8 @@ object Similarity {
     topKPerQuery(
       spark.createDataFrame(scored, schema)
         .select(col("query_id"), col("nbr_id"),
-          Features.pround(col("__d"), 6).as("adc_dist")),
-      k, scoreCol = "adc_dist", ascending = true)
+          Features.pround(col("__d"), 6).as(scoreCol)),
+      k, scoreCol = scoreCol, ascending = true)
   }
 
   /** D4 scale path #4 — IVF-PQ (IVFADC, `by_residual=false` — the

@@ -84,7 +84,8 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     // quantizer first) — same no-vectors-to-train precondition
     "d65_pq_topk"          -> "kmeans sample is empty",
     "d66_ivfpq_topk"       -> "kmeans sample is empty",
-    "d67_ivfpq_residual_topk" -> "kmeans sample is empty")
+    "d67_ivfpq_residual_topk" -> "kmeans sample is empty",
+    "d68_sdc_topk"         -> "kmeans sample is empty")
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf0").toString
@@ -169,7 +170,8 @@ class CatalogRobustnessSpec extends AnyFunSuite {
     // cannot seat its seeds on 5 usable vectors
     "d65_pq_topk"        -> "usable points",
     "d66_ivfpq_topk"     -> "usable points",
-    "d67_ivfpq_residual_topk" -> "usable points")
+    "d67_ivfpq_residual_topk" -> "usable points",
+    "d68_sdc_topk"       -> "usable points")
 
   test("every declared query tolerates NULL / degenerate / junk / exotic-unicode rows mixed into real data") {
     gateCatalog(hostileDir, hostilePreconditions)

@@ -1001,6 +1001,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "persisted-codes IVF-PQ path diverged from self-encode")
   }
 
+  test("D4 PQ/SDC: symmetric distance queries straight from codes — planted dup at distance 0, recall floor, ADC dominates, layout-deterministic") {
+    // SDC (Jégou et al. 2011 §III.B): the query is its CODES — no raw
+    // vector at query time. An exact copy shares codes, so its SDC
+    // distance is exactly 0 (every subspace looks up the diagonal).
+    val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.filter(col("vec_id") === 3L)
+        .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")))
+    val out = Similarity.pqTopKSDC(planted, 64, 20, 5).collect()
+    val q3 = out.filter(_.getAs[Long]("query_id") == 3L)
+    assert(q3.head.getAs[Long]("nbr_id") == 9003L &&
+      q3.head.getAs[Double]("sdc_dist") == 0.0,
+      s"planted exact copy must rank first at SDC distance 0: ${q3.toSeq}")
+    // recall floor vs exact L2 at the declared parameters — and the
+    // published ordering: ADC (exact query side) >= SDC (quantized query
+    // side) on the uniform corpus. r20 measured: sdc 0.33, adc 0.52.
+    val k = 5
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val exactL2 = (0L until 20L).map { q =>
+      q -> vecs.iterator.filter(_._1 != q).toSeq
+        .sortBy { case (id, v) => (l2d(vecs(q), v), id) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+      exactL2.toSeq.map { case (q, t) => (t & byQ.getOrElse(q, Set.empty)).size }
+        .sum.toDouble / exactL2.values.map(_.size).sum
+    }
+    val sdc = recall(Similarity.pqTopKSDC(emb, 64, 20, k).collect())
+    val adc = recall(Similarity.pqTopK(emb, 64, 20, k).collect())
+    info(f"recall@$k: sdc $sdc%.3f vs adc $adc%.3f")
+    assert(sdc >= 0.30, f"SDC recall regressed: $sdc%.3f")
+    assert(adc >= sdc - 0.05,
+      f"ADC should dominate SDC (exact vs quantized query side): adc $adc%.3f sdc $sdc%.3f")
+    // driver LUTs + fixed subspace order + salted rank → layout-invariant
+    val again = Similarity.pqTopKSDC(emb.repartition(13), 64, 20, 5).collect()
+    val base = Similarity.pqTopKSDC(emb, 64, 20, 5).collect()
+    assert(base.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("D4 PQ: codes relation is resolved by name and validated — cell-carrying artifacts work, wrong shapes and wrong-m codes fail loudly") {
     // r19 advice: pqTopK read codes positionally, so passing the
     // cell-carrying savePqCodes artifact (the IVF build's shape) as
