@@ -282,6 +282,11 @@ class PlanLintSpec extends AnyFunSuite {
       // d66); evidence = residual dup-code identity, clustered-corpus
       // error-halving pin, cross-family recall floor, layout determinism
       "d67_ivfpq_residual_topk",
+      // PQ/SDC (query-by-codes symmetric distance — same engine-local
+      // codebook rationale as d65); evidence = planted copy at SDC
+      // distance exactly 0, recall floor with ADC-dominates-SDC pinned,
+      // layout determinism (DedupSimilaritySpec)
+      "d68_sdc_topk",
       // BPE merge loop = iterative global argmax, not SQL-expressible
       "d46_bpe_merges",
       // winnowing hash family is engine-local (same rationale as d28)
