@@ -71,6 +71,26 @@ object SparkEntry {
     drainSession.conf.set("spark.sql.shuffle.partitions",
       math.min(drainSession.sessionState.conf.numShufflePartitions,
         drainStateWidth).toString)
+    // No empty trailing micro-batch (r20 optimization, guide §1/§2 "do
+    // fewer [work units]"): after AvailableNow drains the data, the
+    // engine by default runs one extra NO-DATA batch purely to advance
+    // the watermark — for these drains that is a full state-store
+    // provider round + WAL commit that can emit nothing new in any of
+    // the declared modes: complete re-emits identical state (the sink
+    // is then overwritten with the same rows), update emits only
+    // changed keys (none without data), and the stream-stream INNER
+    // join emits matches in the data batch that completes them — the
+    // watermark only evicts state, never releases new inner-join rows.
+    // Output is therefore bit-identical (oracle d51/d52/d54/d55/d56 +
+    // the multi-batch fixpoint tests pin it); measured (JobProfile r20
+    // A/B at sf0.1): the cost lives almost entirely in the stream-stream
+    // join drain, whose no-data batch runs 4 state-store providers per
+    // partition — d54 2.59 s → 1.87 s (one fewer job); the complete/
+    // update-mode drains were within noise.
+    // An always-on APPEND-mode aggregate deployment MUST keep the
+    // default (its window finalization rides no-data batches) — this
+    // clamp is drain-local, on the clone, like the width clamp above.
+    drainSession.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val sink = s"${sinkPrefix}_${streamSinkRuns.incrementAndGet()}"
     val q = build(drainSession).writeStream.format("memory").queryName(sink)
       .outputMode(mode)

@@ -267,7 +267,21 @@ object Dedup {
     def mat(df: DataFrame): DataFrame = Corpus.stageMaterialize(df)
     val sym = mat(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = mat(nodes.select(col("id"), col("id").as("comp")))
+    // Round 1 folded into initialization (r20 optimization): with the
+    // identity labeling (comp = id) the first round's pointer edges are
+    // id↔id no-ops and its neighbor-min is simply min(id, min of direct
+    // neighbor ids) — so start the loop FROM that state and skip one full
+    // mat+changed-count cycle per invocation. Bit-identical by
+    // construction (it IS the old round 1's aggregate, with the loop-
+    // control count dropped — the count only ever steered the loop); the
+    // fixture-profile motivation is that each round costs one
+    // materialization job plus one count job plus their driver planning,
+    // and typical near-dup graphs converge in 1–2 rounds past this fold.
+    var labels = mat(nodes
+      .join(sym.groupBy(col("dst")).agg(min(col("src")).as("__nbr")),
+        nodes("id") === col("dst"), "left")
+      .select(nodes("id"),
+        least(nodes("id"), coalesce(col("__nbr"), nodes("id"))).as("comp")))
     var retained = labels // the materialized relation backing `labels`
     var changed = 1L
     var it = 0

@@ -1015,10 +1015,36 @@ object Similarity {
       .limit(trainSampleTarget(ksub).toInt)
       .select(col("embedding")).collect()
       .map(r => toDoubleArray(r.getSeq[Any](0)))
-    Array.tabulate(m) { s =>
+    trainSubspacesParallel(m, s => {
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       kmeansLloyd(pts, ksub, iters = 5, seed + s)
+    })
+  }
+
+  /** Runs the m INDEPENDENT per-subspace k-means trainings concurrently
+    * (r20 optimization; guide §1.2 "per-task work"): the driver-knee
+    * codebook build was the dominant fixed cost of every self-training
+    * PQ query — m=16 sequential kmeansLloyd calls ≈ m·sample·ksub·subDim
+    * ·iters distance ops on ONE core while the whole worker pool idles
+    * between Spark jobs. Each subspace trains on its own slice with its
+    * own seed and writes its own output slot, so the result is
+    * bit-identical to the sequential loop under any interleaving. Plain
+    * threads, not an execution context: bounded by m (≤ 16 at every
+    * declared call), no shared pool to starve Spark's own machinery. */
+  private def trainSubspacesParallel(m: Int,
+      train: Int => Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    val out = new Array[Array[Array[Double]]](m)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until m).map { s =>
+      val t = new Thread(() =>
+        try out(s) = train(s)
+        catch { case e: Throwable => errs.add(e) },
+        s"graft-pq-train-$s")
+      t.start(); t
     }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    out
   }
 
   /** Fail fast on a persisted codebook that does not tile the caller's
@@ -1227,8 +1253,19 @@ object Similarity {
       }
     }
     // bounded query side: the queries' CODES (nQueries × m bytes); their
-    // per-query LUT is the qcode-indexed row of each pair table
-    val qCodes: Array[(Long, Array[Byte])] = encoded
+    // per-query LUT is the qcode-indexed row of each pair table.
+    // r20 optimization (guide §1.2): on the self-encode path this collect
+    // previously read `encoded` — whose RDD-kernel boundary blocks the
+    // vec_id filter from reaching the scan — so the WHOLE corpus was
+    // encoded twice per query (once here, once in the scan). Encoding
+    // the bounded query slice directly is per-row identical (pqEncode is
+    // deterministic per row) and O(nQueries); a supplied codes artifact
+    // is still read as-is — its codes ARE the index, not re-derivable.
+    val qSide = precomputedCodes.map(_ => encoded).getOrElse(
+      requireCodesRelation(pqEncode(
+        indexable(embeddings).where(col("vec_id") < nQueries),
+        books, materialize = false)))
+    val qCodes: Array[(Long, Array[Byte])] = qSide
       .where(col("vec_id") < nQueries && col("codes").isNotNull)
       .orderBy(col("vec_id"))
       .collect()
@@ -1497,11 +1534,11 @@ object Similarity {
       while (j < dim) { r(j) = x(j) - coarse(best)(j); j += 1 }
       r
     }
-    Array.tabulate(m) { s =>
+    trainSubspacesParallel(m, s => {
       val pts = residuals.map(v =>
         java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       kmeansLloyd(pts, ksub, iters = 5, seed + s)
-    }
+    })
   }
 
   /** Streaming-ingest arm of the ANN index lifecycle (the d38
