@@ -809,8 +809,19 @@ object Corpus {
       tf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf)
         .select(col("fp")))
-    val bfAll = stageMaterialize(fps(benchmark).select(col("fp")).distinct())
-    val bf = stageMaterialize(bfAll.join(stop, Seq("fp"), "left_anti"))
+    // bfAll/bf stay LAZY (r20 optimization): the benchmark side is small
+    // by contract and both relations derive from the MATERIALIZED tf/stop
+    // stages, so re-deriving them inside a consumer's job is one cheap
+    // benchmark scan + anti-join — where the previous eager
+    // materializations cost a job boundary each per query. The module's
+    // load-bearing contract ("ONE materialized train fingerprint relation
+    // and ONE train-df aggregate") is untouched: tf and stop are what
+    // bound the 100 TB work, and they remain materialized. Worst case for
+    // the paired entry (both views consumed): the benchmark is
+    // fingerprinted once per consuming view instead of once — bounded by
+    // the benchmark's own size, never by the corpus.
+    val bfAll = fps(benchmark).select(col("fp")).distinct()
+    val bf = bfAll.join(stop, Seq("fp"), "left_anti")
     // same operator-planted bloom prune as [[decontaminate]] (Spark's
     // injection rule cannot see through the winnow Generate either):
     // thins the train side's join exchange to fps that might match the
