@@ -277,8 +277,14 @@ object Dedup {
     // fixture-profile motivation is that each round costs one
     // materialization job plus one count job plus their driver planning,
     // and typical near-dup graphs converge in 1–2 rounds past this fold.
+    // semi-join guard: the old round 1 joined edge SOURCES against the
+    // label table, so an edge whose src is not a declared node
+    // contributed nothing — keep exactly that semantics (a hostile edge
+    // list naming an unknown low id must not become a component label)
+    val knownSrc = sym.join(nodes.select(col("id").as("__nid")),
+      col("src") === col("__nid"), "left_semi")
     var labels = mat(nodes
-      .join(sym.groupBy(col("dst")).agg(min(col("src")).as("__nbr")),
+      .join(knownSrc.groupBy(col("dst")).agg(min(col("src")).as("__nbr")),
         nodes("id") === col("dst"), "left")
       .select(nodes("id"),
         least(nodes("id"), coalesce(col("__nbr"), nodes("id"))).as("comp")))
