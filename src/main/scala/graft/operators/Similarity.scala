@@ -1015,7 +1015,7 @@ object Similarity {
       .limit(trainSampleTarget(ksub).toInt)
       .select(col("embedding")).collect()
       .map(r => toDoubleArray(r.getSeq[Any](0)))
-    trainSubspacesParallel(m, s => {
+    trainSubspacesParallel(embeddings.sparkSession, m, s => {
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       kmeansLloyd(pts, ksub, iters = 5, seed + s)
     })
@@ -1031,15 +1031,24 @@ object Similarity {
     * bit-identical to the sequential loop under any interleaving. Plain
     * threads, not an execution context: bounded by m (≤ 16 at every
     * declared call), no shared pool to starve Spark's own machinery. */
-  private def trainSubspacesParallel(m: Int,
+  private def trainSubspacesParallel(spark: org.apache.spark.sql.SparkSession,
+      m: Int,
       train: Int => Array[Array[Double]]): Array[Array[Array[Double]]] = {
     val out = new Array[Array[Array[Double]]](m)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (0 until m).map { s =>
+    // width bounded by the session's core budget (not a free-for-all m
+    // threads): a local[k] session declares k-way compute, and raw JVM
+    // threads beyond it would silently exceed that budget — the result
+    // is identical at any width, only the wall changes
+    val width = math.max(1, math.min(m, spark.sparkContext.defaultParallelism))
+    val queue = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until width).map { w =>
       val t = new Thread(() =>
-        try out(s) = train(s)
-        catch { case e: Throwable => errs.add(e) },
-        s"graft-pq-train-$s")
+        try {
+          var s = queue.getAndIncrement()
+          while (s < m) { out(s) = train(s); s = queue.getAndIncrement() }
+        } catch { case e: Throwable => errs.add(e) },
+        s"graft-pq-train-$w")
       t.start(); t
     }
     threads.foreach(_.join())
@@ -1534,7 +1543,7 @@ object Similarity {
       while (j < dim) { r(j) = x(j) - coarse(best)(j); j += 1 }
       r
     }
-    trainSubspacesParallel(m, s => {
+    trainSubspacesParallel(embeddings.sparkSession, m, s => {
       val pts = residuals.map(v =>
         java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       kmeansLloyd(pts, ksub, iters = 5, seed + s)
