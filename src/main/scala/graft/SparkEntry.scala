@@ -92,11 +92,38 @@ object SparkEntry {
     // clamp is drain-local, on the clone, like the width clamp above.
     drainSession.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val sink = s"${sinkPrefix}_${streamSinkRuns.incrementAndGet()}"
+    // Checkpoint on tmpfs when the host has one (r21 optimization, guide
+    // §1 "remove work you throw away"): a memory-sink AvailableNow drain's
+    // checkpoint (offset WAL + commit log + state-store delta files per
+    // micro-batch) is pure scratch — the query is stopped and the
+    // directory discarded before this method returns, so nothing ever
+    // restarts from it. By default Spark puts the temp checkpoint under
+    // java.io.tmpdir (disk); pointing it at /dev/shm turns every WAL/
+    // commit fsync into a memory write. Drain-local harness sizing
+    // exactly like the width clamp above — an always-on deployment needs
+    // a DURABLE checkpoint (HDFS/object store) because restart recovery
+    // is the point there; a drain has no restart by construction. The
+    // directory is removed in the finally; results are checkpoint-
+    // location-invariant (five drain oracles + fixpoint tests pin it).
+    val ckptBase = new java.io.File("/dev/shm")
+    val ckptDir = java.nio.file.Files.createTempDirectory(
+      if (ckptBase.isDirectory && ckptBase.canWrite) ckptBase.toPath
+      else new java.io.File(System.getProperty("java.io.tmpdir")).toPath,
+      s"graft_drain_$sink").toFile
     val q = build(drainSession).writeStream.format("memory").queryName(sink)
       .outputMode(mode)
+      .option("checkpointLocation", ckptDir.getAbsolutePath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(ckptDir)
+    }
     val out = drainSession.table(sink)
     drainSession.catalog.dropTempView(sink)
     out

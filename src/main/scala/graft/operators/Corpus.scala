@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * default, `persist(DISK_ONLY)` under `spark.graft.stageStorage=disk`
   * for fault-tolerant cluster runs, reliable `checkpoint()` under
   * `=reliable` for runs that must survive executor-host loss) and every
-  * later stage derives from it, so the base table is scanned exactly once. Shingling explodes O(tokens) rows, the df cap is
-  * one map-side-combined aggregate, edges are an equijoin on the shingle
-  * hash (bounded fan-out per key), components shuffle one (id, comp) pair
+  * later stage derives from it, so the base table is scanned exactly once. Shingling explodes O(tokens) rows, the df cap and
+  * the pair generation are ONE map-side-combined aggregate pass (a capped
+  * per-shingle doc-list collect with bounded fan-out per key — see
+  * [[exactShingleEdges]]), components shuffle one (id, comp) pair
   * per doc per round, and chunk+pack reuse the audited d33/d41 shapes.
   * At 100 TB replace the exact shingle set with winnowed fingerprints
   * (d28) for a ~1/w density reduction at the same join shape.
@@ -427,64 +428,55 @@ object Corpus {
       materializeForAudit = materializeForAudit)
 
   /** Exact-shingle near-dup evidence (the oracle-expressible default):
-    * k-token shingles, md5-hashed; distinct per (doc, shingle) so a
-    * phrase repeated within one doc counts once toward df. The df cap is
-    * a groupBy aggregate (map-side partial_count before the exchange) plus
-    * a join back on the surviving [2, maxDf] shingles — NOT a
-    * count-over-window: a window partition must be buffered by a single
-    * task (AQE splits skewed join partitions, never window partitions), so
-    * at corpus scale a boilerplate shingle shared by half the docs would
-    * pin one task to its entire row set just to count and discard it. The
-    * partial agg combines the hot key map-side instead, and AQE broadcasts
-    * the survivor list when it fits.
+    * k-token shingles, md5-hashed; `array_distinct` per doc so a phrase
+    * repeated within one doc counts once toward df (a per-row projection —
+    * the old global `(doc_id, sh)` distinct paid a full exchange of the
+    * exploded relation for the same set, since `doc_id` is the caller's
+    * primary key).
+    *
+    * The df cap and the pair generation are FUSED into one aggregate pass
+    * (r21 — guide §2.3/§2.4, the r20 verdict's deferred experiment): group
+    * the exploded relation by shingle and collect the carrying doc ids
+    * with a CAPPED collect ([[graft.functions.CappedCollectList]],
+    * cap = maxDf + 1) — per-group state is O(maxDf) even for a boilerplate
+    * shingle shared by half the corpus, the same skew bound the previous
+    * map-side partial_count provided (and NOT a count-over-window: a
+    * window partition must be buffered by one task). `size ∈ [2, maxDf]`
+    * is then the exact df band test, and the ordered pairs explode
+    * directly from each surviving id list — C(maxDf, 2) per shingle,
+    * exactly the rows the old survivor-join + self-equijoin emitted.
+    * Replaces two stage materializations (the uncapped exploded set and
+    * the survivor-joined set), the df-count shuffle, and the two-exchange
+    * self-join with a single aggregate exchange feeding the pair-count
+    * aggregate: 2 exchanges end to end, zero checkpoint jobs, identical
+    * edge set (CorpusSpec pins equivalence fixtures; the d43/d45 oracles
+    * pin it end to end).
     *
     * `minShared` is the edge-evidence threshold (the precision knob the
     * winnowed path exposes as d28's n_shared): at 1 (default) a single
     * shared rare shingle is enough — a quoted sentence can merge two
     * otherwise-distinct docs; at ≥ 2 an edge needs independent evidence.
-    * The pair join emits one row per shared surviving shingle, so the
+    * The pair explode emits one row per shared surviving shingle, so the
     * threshold is a plain pair-count filter. */
   private[graft] def exactShingleEdges(kept: DataFrame, shingleK: Int,
-                                       maxDf: Int, minShared: Int = 1,
-                                       // identity = plan-dump view: stage
-                                       // materialization truncates lineage,
-                                       // hiding the df-cap shape from the
-                                       // final plan (see tools.DumpPlans)
-                                       materialize: DataFrame => DataFrame =
-                                         stageMaterialize): DataFrame = {
+                                       maxDf: Int, minShared: Int = 1): DataFrame = {
     require(shingleK >= 1 && maxDf >= 2 && minShared >= 1,
       "shingleK >= 1, maxDf >= 2, minShared >= 1")
     // native shingle_md5s: bit-identical to the composed split/transform/
     // slice/concat_ws/md5 chain (asserted in ShingleMd5sSpec) with zero
     // per-window allocation beyond the hex output
-    // feeds the df aggregate AND the survivor join — this is the uncapped
-    // exploded shingle set; see [[stageMaterialize]] for the storage/
-    // fault-tolerance tradeoff at cluster scale
-    val sh0 = materialize(kept
-      .select(col("doc_id"), explode(shingleMd5s(col("text"), shingleK)).as("sh"))
-      .distinct())
-    // feeds both sides of the pair join
-    val shc = materialize(sh0.join(shingleDfSurvivors(sh0, maxDf), "sh")
-      .select(col("doc_id"), col("sh")))
-    shc.select(col("sh"), col("doc_id").as("id_a"))
-      .join(shc.select(col("sh").as("__sh2"), col("doc_id").as("id_b")),
-        col("sh") === col("__sh2") && col("id_a") < col("id_b"))
+    val grouped = kept
+      .select(col("doc_id"),
+        explode(array_distinct(shingleMd5s(col("text"), shingleK))).as("sh"))
+      .groupBy(col("sh"))
+      .agg(Dedup.cappedCollect(col("doc_id"), maxDf + 1).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDf))
+    Dedup.explodedIdPairs(grouped)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__n_shared"))
       .filter(col("__n_shared") >= minShared)
       .select(col("id_a"), col("id_b"))
   }
-
-  /** Shingles with corpus df in [2, maxDf] — the dup-signal band: df = 1
-    * can't pair, df > maxDf is boilerplate (no signal, quadratic fan-out).
-    * A groupBy on purpose: partial_count combines the hot key map-side
-    * before the exchange (plan-asserted in CorpusSpec), where a window
-    * over `sh` would buffer the hottest shingle's entire row set in one
-    * task. */
-  private[graft] def shingleDfSurvivors(sh0: DataFrame, maxDf: Int): DataFrame =
-    sh0.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDf)
-      .select(col("sh"))
 
   private[graft] def stagesWithEdges(docs0: DataFrame,
                                      rates: Map[String, Double],
@@ -665,16 +657,25 @@ object Corpus {
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     shingleK: Int = 8): DataFrame = {
     require(shingleK >= 1, "shingleK >= 1")
+    // array_distinct per doc (r21 — guide §2.4): `doc_id` is the caller's
+    // primary key, so per-row dedup makes the exploded relation distinct
+    // per (doc_id, sh) BY CONSTRUCTION — the train side's old global
+    // `.distinct()` paid a full exchange of the exploded corpus relation
+    // for the same set. The train side now flows scan → explode → bloom
+    // prune → join with NO exchange before the join's own.
     def raw(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(shingleMd5s(col("text"), shingleK)).as("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingleMd5s(col("text"), shingleK))).as("sh"))
+    // the benchmark side still needs the CROSS-doc distinct: `bs` is the
+    // set semijoined against, and duplicate fps across bench docs would
+    // double-count hits
     val bs = raw(benchmark).select(col("sh")).distinct()
     // auto-gate reads bs — the relation the join broadcasts or shuffles —
     // while the bloom builds from the pre-distinct benchmark shingles
     // (idempotent insert → same bloom, no extra exchange); the prune sits
-    // below the train side's distinct so it thins that exchange too
+    // below the train side's join input so it thins that exchange
     graft.plans.BloomPrune.pruned(raw(train), bs, "sh",
         bloomSource = Some(raw(benchmark).select(col("sh"))))
-      .distinct()
       .join(bs, "sh")
       .groupBy(col("doc_id"))
       // (doc_id, sh) is distinct on both join inputs → plain count is the
@@ -758,7 +759,15 @@ object Corpus {
   def massContaminationSuspects(train: DataFrame, benchmark: DataFrame,
                                 k: Int = 40, w: Int = 4,
                                 maxDf: Int = 50): DataFrame =
-    winnowedDecon(train, benchmark, k, w, maxDf, minHits = 1).massSuspects
+    // materializeStop = false (r21, the consumer-intent API): this entry
+    // consumes ONLY the massSuspects view, which reads `stop` exactly once
+    // (the bfAll semi-join) — so the train-df aggregate still runs once
+    // with `stop` left lazy, and the eager checkpoint job was pure
+    // job-boundary overhead for this caller. The verdict-consuming entries
+    // keep the materialization: their bf relation embeds twice (bloom
+    // subquery + join probe), so a lazy stop would re-run the aggregate.
+    winnowedDecon(train, benchmark, k, w, maxDf, minHits = 1,
+      materializeStop = false).massSuspects
 
   /** The verdict + mass-suspect pair from ONE pipeline construction.
     * [[decontaminateWinnowed]] and [[massContaminationSuspects]] each
@@ -784,7 +793,8 @@ object Corpus {
     * bench-side fingerprints, so nothing is silently dropped. */
   private[graft] def winnowedDecon(train: DataFrame, benchmark: DataFrame,
                                    k: Int, w: Int, maxDf: Int,
-                                   minHits: Int): DeconViews = {
+                                   minHits: Int,
+                                   materializeStop: Boolean = true): DeconViews = {
     require(k >= 1 && w >= 1 && maxDf >= 1 && minHits >= 1,
       "k >= 1, w >= 1, maxDf >= 1, minHits >= 1")
     // `fps` is already the distinct per-doc fingerprint set (WinnowKernel
@@ -805,10 +815,15 @@ object Corpus {
     // contract, not just its doc). stop/bfAll/bf are all small
     // (boilerplate- resp. benchmark-bounded), so the extra stage
     // storage is negligible.
-    val stop = stageMaterialize(
-      tf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf)
-        .select(col("fp")))
+    // materializeStop = false is the single-view massSuspects caller's
+    // declaration that `stop` has exactly ONE consumer in the plan it will
+    // run — the aggregate then executes once inside that consumer's job
+    // and the checkpoint boundary is dropped (r21; the contract's "ONE
+    // train-df aggregate" is per-run either way)
+    val stopAgg = tf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("fp"))
+    val stop = if (materializeStop) stageMaterialize(stopAgg) else stopAgg
     // bfAll/bf stay LAZY (r20 optimization): the benchmark side is small
     // by contract and both relations derive from the MATERIALIZED tf/stop
     // stages, so re-deriving them inside a consumer's job is one cheap

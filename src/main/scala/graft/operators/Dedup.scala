@@ -83,19 +83,24 @@ object Dedup {
     * Jaccard verification instead of running the pipeline twice. */
   private def minhashCandidatesFromHashed(hashed: DataFrame, bands: Int,
                                           rowsPerBand: Int): DataFrame = {
-    // localCheckpoint: the banded signature relation feeds both sides of
-    // the self-equijoin — without materialization Spark recomputes the full
-    // signature pipeline per side (no CSE across self-joins). Checkpoint
-    // beats .persist() here: lineage is truncated, and the backing blocks
-    // are reference-tracked by the ContextCleaner instead of pinned in the
-    // cache manager until an unpersist that a lazily-returned DataFrame can
-    // never safely issue. At cluster scale this is a signature-table
-    // checkpoint.
-    val banded = bandedSignature(hashed, bands, rowsPerBand).localCheckpoint(true)
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
+    // Fused self-join (r21 — guide §2.3/§2.4, the d28/d43 treatment): the
+    // banded relation's only consumer is now ONE groupBy((band, bh))
+    // collecting each bucket's doc ids, with positional i<j pairs exploded
+    // from the sorted list — exactly the rows the old fp-keyed
+    // self-equijoin emitted. That join needed the banded relation
+    // MATERIALIZED (it fed both sides, and Spark does no CSE across
+    // self-joins), so this removes a localCheckpoint job and one of the
+    // two join-side exchanges along with the join itself. No df cap here
+    // (every bucket pair IS a declared candidate): per-group state is
+    // O(bucket), strictly smaller than the C(bucket, 2) pair relation both
+    // shapes must emit, so the collect is never the binding constraint —
+    // a bucket too big to collect is a bucket whose pair output was
+    // already infeasible.
+    val grouped = bandedSignature(hashed, bands, rowsPerBand)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+    explodedIdPairs(grouped)
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -139,29 +144,57 @@ object Dedup {
         GraftColumnBridge.expression(col("text")), k, w)).as("fps"))
   }
 
+  /** The capped per-key doc-id list aggregate (see
+    * [[graft.functions.CappedCollectList]]) — the fused form of "df cap +
+    * pair generation" shared by [[winnowNearDups]] and
+    * [[Corpus.exactShingleEdges]]. */
+  private[operators] def cappedCollect(c: org.apache.spark.sql.Column,
+                                       cap: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.CappedCollectList(
+      GraftColumnBridge.expression(c), cap).toAggregateExpression())
+  }
+
+  /** All ordered (id_a < id_b) pairs from a `__ids` array column: the
+    * array is sorted first, so positional i<j pairs are value-ordered AND
+    * independent of the partition order the capped collect saw. Fan-out
+    * per row is C(size, 2), bounded by the caller's df cap. */
+  private[operators] def explodedIdPairs(grouped: DataFrame): DataFrame =
+    grouped.select(sort_array(col("__ids")).as("__ids"))
+      .select(explode(expr(
+        "flatten(transform(__ids, (a, i) -> transform(" +
+          "slice(__ids, i + 2, size(__ids)), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+
   /** Substring-level near-dup candidates: documents sharing ≥ `minShared`
     * winnowed fingerprints. The winnowing guarantee makes any shared
     * substring of ≥ w+k−1 bytes produce ≥ 1 shared fingerprint, so this
     * catches copied passages exact dedup and whole-doc MinHash both miss.
     *
-    * Scale shape: explode to (fp, doc) — O(rows · fps/doc) — drop
-    * stop-fingerprints (df > maxDf: boilerplate shared by many docs would
-    * explode the self-join quadratically per fp, and carries no dedup
-    * signal), then a fp-keyed self-equijoin and a pair-count aggregate.
-    * Never O(rows²). */
+    * Scale shape (fused, r21 — guide §2.3 "aggregate before you shuffle" /
+    * §2.4 "remove shuffles outright"): explode to (fp, doc) — O(rows ·
+    * fps/doc), distinct per (doc, fp) by construction (WinnowKernel dedups
+    * per doc; `doc_id` is the caller's primary key) — then ONE capped
+    * per-fp doc-list aggregate ([[graft.functions.CappedCollectList]],
+    * cap = maxDf + 1, so per-group state is O(maxDf) even for a
+    * boilerplate fp carried by half the corpus: the skew bound the old
+    * df-count + survivor-join + self-equijoin chain existed for), a size
+    * filter keeping the dup-signal band df ∈ [2, maxDf] (df = 1 paired
+    * with nothing before; > maxDf was dropped by the cap), an exploded
+    * pair generation bounded at C(maxDf, 2) per fp — exactly the rows the
+    * self-join used to emit — and the same pair-count aggregate. Replaces
+    * a localCheckpoint job + a df-count shuffle + a survivor join + a
+    * two-exchange self-join with ONE aggregate exchange; never O(rows²),
+    * and nothing buffers an uncapped group. */
   def winnowNearDups(docs: DataFrame, minShared: Int, k: Int = 8, w: Int = 4,
                      maxDf: Int = 50): DataFrame = {
-    val fp = winnowFingerprints(docs, k, w)
+    val grouped = winnowFingerprints(docs, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .localCheckpoint(true) // feeds df-filter AND both self-join sides
-    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("fp"))
-    val filtered = fp.join(rare, "fp")
-    val a = filtered.select(col("fp"), col("doc_id").as("id_a"))
-    val b = filtered.select(col("fp"), col("doc_id").as("id_b"))
-    a.join(b, Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("fp"))
+      .agg(cappedCollect(col("doc_id"), maxDf + 1).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDf))
+    explodedIdPairs(grouped)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -299,11 +332,23 @@ object Dedup {
         .unionByName(labels.select(col("id").as("src"), col("comp").as("dst")))
       val nbrMin = sym.unionByName(ptr).join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
+      // the changed-count rides the materialization job as an Observation
+      // (r21 — guide §1.2 "don't compute things you throw away" applied to
+      // whole jobs): the QueryExecutionListener completing an Observation
+      // fires on the eager checkpoint/persist-count action of every
+      // stageMaterialize strategy (probed in tools.ObsProbe), so the
+      // loop-control count no longer needs its own follow-up job over the
+      // checkpointed blocks — one job per round instead of two. obs.get
+      // blocks until the listener-bus event lands; sum(int) over an empty
+      // relation is null → no change.
+      val obs = org.apache.spark.sql.Observation()
       val next = mat(labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
-          (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("__ch")))
-      changed = next.filter(col("__ch")).count()
+          (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("__ch"))
+        .observe(obs, sum(col("__ch").cast("long")).as("n")))
+      changed = obs.get.get("n").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       // disk strategy: drop the superseded round's blocks now instead of
       // waiting for releaseStages (the handle stays registered there, and
       // double-unpersist is a no-op) — bounds the loop's disk footprint
@@ -338,25 +383,32 @@ object Dedup {
     val sigs = simhash(docs)
     val chunks = (0 until 4).map(c =>
       s"named_struct('chunk', $c, 'v', shiftright(simhash, ${c * 16}) & 65535)")
-    // materialized for the same self-join reason as minhashCandidates: the
-    // banded relation feeds both sides, and Spark does no CSE across
-    // self-joins — unmaterialized, the whole signature pipeline runs twice
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-        explode(expr(chunks.mkString("array(", ", ", ")"))).as("cc"))
-      .select(col("doc_id"), col("simhash"),
-        col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-      .localCheckpoint(true)
-    val a = banded.select(col("chunk"), col("v"),
-      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("chunk"), col("v"),
-      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    // Fused self-join (r21 — same rationale as minhashCandidates, which
+    // see): ONE groupBy((chunk, v)) collecting each bucket's (doc_id,
+    // simhash) structs replaces the localCheckpoint (the join fed both
+    // sides; the group has one consumer) + the two-exchange self-equijoin.
+    // sort_array orders the structs by doc_id (each doc contributes a
+    // chunk once, so doc_id is unique within a bucket and the order is
+    // total), making positional i<j pairs exactly the id_a < id_b rows
+    // the join emitted, signatures carried alongside. Per-group state is
+    // O(bucket) against the C(bucket, 2) pair output both shapes emit.
+    val grouped = sigs.select(
+        explode(expr(chunks.mkString("array(", ", ", ")"))).as("cc"),
+        struct(col("doc_id"), col("simhash")).as("ds"))
+      .groupBy(col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+      .agg(collect_list(col("ds")).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
     // distinct BEFORE the hamming projection: a pair colliding in several
     // chunks appears once per collision, and bit_count must not be
     // re-evaluated per duplicate. (sig_a, sig_b) are functionally dependent
     // on (id_a, id_b), so the distinct key set is unchanged.
-    a.join(b, Seq("chunk", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    grouped.select(sort_array(col("__ids")).as("__ids"))
+      .select(explode(expr(
+        "flatten(transform(__ids, (a, i) -> transform(" +
+          "slice(__ids, i + 2, size(__ids)), " +
+          "b -> named_struct('a', a, 'b', b))))")).as("__p"))
+      .select(col("__p.a.doc_id").as("id_a"), col("__p.b.doc_id").as("id_b"),
+        col("__p.a.simhash").as("sig_a"), col("__p.b.simhash").as("sig_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sig_a ^ sig_b)").as("hamming"))

@@ -74,7 +74,7 @@ class CorpusSpec extends AnyFunSuite {
     assert(edges(2) == Set((3L, 4L)))
   }
 
-  test("hot-shingle skew: boilerplate in 50% of docs yields zero edges; df agg is a pre-exchange partial_count") {
+  test("hot-shingle skew: boilerplate in 50% of docs yields zero edges; df cap is a pre-exchange partial capped collect") {
     import spark.implicits._
     // every even doc opens with the SAME 12-token boilerplate (df = 30 >
     // maxDf = 20 — the exact scenario the cap exists for); all other text
@@ -91,18 +91,18 @@ class CorpusSpec extends AnyFunSuite {
     // winnowed path (the 100 TB pipeline's evidence): same cap, same result
     assert(operators.Dedup.winnowNearDups(docs, minShared = 2, maxDf = 20)
       .collect().isEmpty)
-    // the df aggregate combines the hot key map-side: partial_count BELOW
-    // the exchange (a count-over-window would buffer the hot shingle's
-    // whole row set in one unsplittable task)
-    val sh0 = docs.select(col("doc_id"),
-      explode(expr("shingle_md5s(text, 12)")).as("sh")).distinct()
-    val plan = Corpus.shingleDfSurvivors(sh0, 20)
+    // the fused df-cap aggregate combines the hot key map-side: a partial
+    // capped_collect_list BELOW the sh exchange (per-group state O(maxDf)
+    // even for the boilerplate shingle — where a count-over-window would
+    // buffer the hot shingle's whole row set in one unsplittable task,
+    // and an uncapped collect_list would buffer its whole doc-id set)
+    val plan = Corpus.exactShingleEdges(docs, 12, 20, 1)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("partial_capped_collect_list"), plan)
     assert(!plan.contains("windowspecdefinition"), plan)
     val ex = plan.indexOf("Exchange hashpartitioning(sh")
-    assert(ex >= 0 && plan.indexOf("partial_count", ex) > ex,
-      s"partial_count not upstream of the sh exchange:\n$plan")
+    assert(ex >= 0 && plan.indexOf("partial_capped_collect_list", ex) > ex,
+      s"partial_capped_collect_list not upstream of the sh exchange:\n$plan")
   }
 
   test("decontaminate: planted benchmark overlap flagged with exact hit count, clean docs absent") {
