@@ -286,7 +286,19 @@ object Corpus {
     * achieves the same blanket clear; the disk-strategy test asserts
     * release empties the block store). The default local strategy needs
     * no release beyond what the block manager reclaims. */
-  private[graft] def stageMaterialize(df: DataFrame): DataFrame =
+  private[graft] def stageMaterialize(df: DataFrame): DataFrame = {
+    // label the materialization job by its output columns (guide §1.5 —
+    // a multi-job pipeline is unreadable in listeners/UI without it;
+    // thread-local, restored after the eager action)
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(
+      df.columns.take(6).mkString("mat[", ",", if (df.columns.length > 6) ",…]" else "]"))
+    try stageMaterializeImpl(df)
+    finally sc.setJobDescription(prev)
+  }
+
+  private def stageMaterializeImpl(df: DataFrame): DataFrame =
     stageStrategyOverride.value
       .orElse(df.sparkSession.conf.getOption("spark.graft.stageStorage"))
       .getOrElse("local") match {

@@ -83,24 +83,30 @@ object Dedup {
     * Jaccard verification instead of running the pipeline twice. */
   private def minhashCandidatesFromHashed(hashed: DataFrame, bands: Int,
                                           rowsPerBand: Int): DataFrame = {
-    // Fused self-join (r21 — guide §2.3/§2.4, the d28/d43 treatment): the
-    // banded relation's only consumer is now ONE groupBy((band, bh))
-    // collecting each bucket's doc ids, with positional i<j pairs exploded
-    // from the sorted list — exactly the rows the old fp-keyed
-    // self-equijoin emitted. That join needed the banded relation
-    // MATERIALIZED (it fed both sides, and Spark does no CSE across
-    // self-joins), so this removes a localCheckpoint job and one of the
-    // two join-side exchanges along with the join itself. No df cap here
-    // (every bucket pair IS a declared candidate): per-group state is
-    // O(bucket), strictly smaller than the C(bucket, 2) pair relation both
-    // shapes must emit, so the collect is never the binding constraint —
-    // a bucket too big to collect is a bucket whose pair output was
-    // already infeasible.
-    val grouped = bandedSignature(hashed, bands, rowsPerBand)
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
-    explodedIdPairs(grouped)
+    // localCheckpoint: the banded signature relation feeds both sides of
+    // the self-equijoin — without materialization Spark recomputes the full
+    // signature pipeline per side (no CSE across self-joins). Checkpoint
+    // beats .persist() here: lineage is truncated, and the backing blocks
+    // are reference-tracked by the ContextCleaner instead of pinned in the
+    // cache manager until an unpersist that a lazily-returned DataFrame can
+    // never safely issue. At cluster scale this is a signature-table
+    // checkpoint.
+    //
+    // r21 measured-and-REJECTED: fusing this into one groupBy((band, bh))
+    // + collect_list + positional-pair explode (the d28/d43 capped-collect
+    // treatment) removed the checkpoint job but ran ~1.15× SLOWER on a
+    // same-host 5-rep A/B (min build+exec 1.45 s join vs 1.68 s fused;
+    // d17's struct variant 1.46 vs 2.15 s, ~1.5× slower) — WITHOUT a df
+    // cap the per-bucket array-of-pairs explode allocates C(bucket, 2)
+    // structs per group row, losing to the codegen'd streaming hash join
+    // that emits the same rows. The fusion only wins where it ALSO
+    // replaces the df-cap count shuffle + survivor join (d28/d43: lists
+    // capped at maxDf+1, two stage materializations eliminated).
+    val banded = bandedSignature(hashed, bands, rowsPerBand).localCheckpoint(true)
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -383,32 +389,23 @@ object Dedup {
     val sigs = simhash(docs)
     val chunks = (0 until 4).map(c =>
       s"named_struct('chunk', $c, 'v', shiftright(simhash, ${c * 16}) & 65535)")
-    // Fused self-join (r21 — same rationale as minhashCandidates, which
-    // see): ONE groupBy((chunk, v)) collecting each bucket's (doc_id,
-    // simhash) structs replaces the localCheckpoint (the join fed both
-    // sides; the group has one consumer) + the two-exchange self-equijoin.
-    // sort_array orders the structs by doc_id (each doc contributes a
-    // chunk once, so doc_id is unique within a bucket and the order is
-    // total), making positional i<j pairs exactly the id_a < id_b rows
-    // the join emitted, signatures carried alongside. Per-group state is
-    // O(bucket) against the C(bucket, 2) pair output both shapes emit.
-    val grouped = sigs.select(
-        explode(expr(chunks.mkString("array(", ", ", ")"))).as("cc"),
-        struct(col("doc_id"), col("simhash")).as("ds"))
-      .groupBy(col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-      .agg(collect_list(col("ds")).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
-    // distinct BEFORE the hamming projection: a pair colliding in several
-    // chunks appears once per collision, and bit_count must not be
-    // re-evaluated per duplicate. (sig_a, sig_b) are functionally dependent
-    // on (id_a, id_b), so the distinct key set is unchanged.
-    grouped.select(sort_array(col("__ids")).as("__ids"))
-      .select(explode(expr(
-        "flatten(transform(__ids, (a, i) -> transform(" +
-          "slice(__ids, i + 2, size(__ids)), " +
-          "b -> named_struct('a', a, 'b', b))))")).as("__p"))
-      .select(col("__p.a.doc_id").as("id_a"), col("__p.b.doc_id").as("id_b"),
-        col("__p.a.simhash").as("sig_a"), col("__p.b.simhash").as("sig_b"))
+    // materialized for the same self-join reason as minhashCandidates: the
+    // banded relation feeds both sides, and Spark does no CSE across
+    // self-joins — unmaterialized, the whole signature pipeline runs twice.
+    // The grouped-collect pair fusion was measured and REJECTED here (r21,
+    // ~1.5× slower at 777k pairs — see minhashCandidatesFromHashed).
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(expr(chunks.mkString("array(", ", ", ")"))).as("cc"))
+      .select(col("doc_id"), col("simhash"),
+        col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+      .localCheckpoint(true)
+    val a = banded.select(col("chunk"), col("v"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("chunk"), col("v"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sig_a ^ sig_b)").as("hamming"))

@@ -371,23 +371,36 @@ object TextOps {
     * at micro quantization a flip needs the pre-round value within
     * ~1e-10 of a .5 boundary — negligible over vocab-sized inputs).
     *
-    * Scale shape: one explode scan materialized once (feeds the vocab
-    * count AND the re-join), a term-keyed aggregate (vocab-sized), a 1-row
-    * broadcast total, and a doc-keyed aggregate — shuffles O(tokens),
-    * never more. */
+    * Scale shape (r21 — guide §2.3 "aggregate before you shuffle" applied
+    * to the MATERIALIZATION too): the per-(doc, term) tf aggregate is
+    * map-side-combined and materialized ONCE (it feeds the vocab counts
+    * AND the re-join) — the r20 shape checkpointed the raw exploded token
+    * relation, writing O(tokens) rows to the block store where O(doc-term
+    * pairs) suffice; every downstream quantity is an exact integer
+    * function of tf (ct = Σ tf per term, total = Σ ct, per-doc n_tokens =
+    * Σ tf, sum_micro = Σ tf·micro(term)) so the results are bit-identical
+    * (oracle-pinned). Then a term-keyed aggregate (vocab-sized), a 1-row
+    * broadcast total derived FROM the vocab relation (one consumer fewer
+    * on the checkpoint, no extra scan), and a doc-keyed integer-sum
+    * aggregate — shuffles O(doc-term pairs), never O(tokens). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("ct"))
-    val total = tok.agg(count(lit(1)).as("total"))
-    tok.join(counts, "term")
+    // counts stays LAZY (the d49 rule): it feeds the broadcast total and
+    // the re-join, but both re-derivations are one vocab-sized aggregate
+    // over the materialized tf relation — cheaper than a checkpoint job
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+    val total = counts.agg(sum(col("ct")).as("total"))
+    tf.join(counts, "term")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        floor(-log(col("ct").cast("double") / col("total").cast("double")) * 1e6 + 0.5)
-          .cast("long").as("micro"))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * floor(-log(col("ct").cast("double") / col("total").cast("double")) * 1e6 + 0.5)
+          .cast("long")).as("micro"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("micro")).as("sum_micro"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("micro")).as("sum_micro"))
       .select(col("doc_id"), col("n_tokens"),
         Features.pround(
           col("sum_micro").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
