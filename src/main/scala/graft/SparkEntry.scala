@@ -308,7 +308,10 @@ object SparkEntry {
     "d64_temperature_mix" -> ((s, d) =>
       TextOps.temperatureMix(Tables.documents(s, d))),
     "d41_packed_sequences" -> ((s, d) =>
-      TextOps.packChunks(TextOps.chunkDocs(Tables.documents(s, d)))),
+      // unsorted chunk feed: the packer sorts within groups itself and
+      // carries its own seq_id output order — the d33 entry keeps the
+      // sorted chunkDocs contract
+      TextOps.packChunks(TextOps.chunkDocsUnsorted(Tables.documents(s, d)))),
     "d42_pii_scrub" -> ((s, d) => TextOps.piiScrub(Tables.documents(s, d))),
     "d43_training_sequences" -> ((s, d) => Corpus.trainingSequences(
       Tables.documents(s, d), Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),

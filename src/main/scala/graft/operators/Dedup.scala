@@ -338,23 +338,36 @@ object Dedup {
         .unionByName(labels.select(col("id").as("src"), col("comp").as("dst")))
       val nbrMin = sym.unionByName(ptr).join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
-      // the changed-count rides the materialization job as an Observation
-      // (r21 — guide §1.2 "don't compute things you throw away" applied to
-      // whole jobs): the QueryExecutionListener completing an Observation
-      // fires on the eager checkpoint/persist-count action of every
-      // stageMaterialize strategy (probed in tools.ObsProbe), so the
-      // loop-control count no longer needs its own follow-up job over the
-      // checkpointed blocks — one job per round instead of two. obs.get
-      // blocks until the listener-bus event lands; sum(int) over an empty
-      // relation is null → no change.
-      val obs = org.apache.spark.sql.Observation()
-      val next = mat(labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      // the changed-count rides the materialization job as an observed
+      // metric (r21 — guide §1.2 "don't compute things you throw away"
+      // applied to whole jobs): the eager materialization of every
+      // stageMaterialize strategy executes this dataset's OWN
+      // QueryExecution, so the CollectMetrics accumulator is readable
+      // synchronously afterwards (probed in tools.ObsProbe) and the
+      // loop-control count no longer needs its own follow-up job — one
+      // job per round instead of two. Deliberately the observe(name)
+      // form, NOT an Observation object: Observation registers with the
+      // session's ObservationManager, non-serializable session state
+      // that breaks any later closure capturing the session (Spark ML
+      // training summaries do), and its get() waits on the async
+      // listener bus. sum over an empty relation is null → no change;
+      // a missing metric (a future strategy whose action runs a
+      // different execution) falls back to the count job — correctness
+      // never depends on the metric being present.
+      // per-round metric name: the disk strategy persists WITH lineage
+      // kept, so round n+1's plan still contains round n's CollectMetrics
+      // node and a repeated name is a DUPLICATED_METRICS_NAME analysis
+      // error (local/reliable truncate lineage and never see it)
+      val metricName = s"graft_cc_changed_$it"
+      val observed = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
           (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("__ch"))
-        .observe(obs, sum(col("__ch").cast("long")).as("n")))
-      changed = obs.get.get("n").flatMap(Option(_))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+        .observe(metricName, sum(col("__ch").cast("long")).as("n"))
+      val next = mat(observed)
+      changed = observed.queryExecution.observedMetrics.get(metricName)
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+        .getOrElse(next.filter(col("__ch")).count())
       // disk strategy: drop the superseded round's blocks now instead of
       // waiting for releaseStages (the handle stays registered there, and
       // double-unpersist is a no-op) — bounds the loop's disk footprint

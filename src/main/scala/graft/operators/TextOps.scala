@@ -469,7 +469,19 @@ object TextOps {
     * Scale: one scan, explode fan-out = ceil(tokens/stride) per doc —
     * output rows O(corpus tokens / stride), no shuffle until a downstream
     * aggregate. */
-  def chunkDocs(docs: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame =
+    // the global (doc_id, chunk_id) sort is the DECLARED-OUTPUT contract
+    // (d33); every pipeline consumer (pack, audit, epoch join) is
+    // order-insensitive — the packer sorts within groups itself — so the
+    // sort lives here at the entry and the stage variant below omits it
+    // (r21, guide §2.4: an orderBy used only to make output deterministic
+    // is a range exchange + sort the intermediate must not pay; it was
+    // being materialized into the d45 audit's chunk checkpoint)
+    chunkDocsUnsorted(docs, chunkTokens, stride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private[graft] def chunkDocsUnsorted(docs: DataFrame, chunkTokens: Int = 50,
+                                       stride: Int = 40): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
     // stride > chunkTokens would leave inter-window gaps — silent token
     // loss in the materialized training set (caught by the coverage
@@ -491,7 +503,6 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         size(col("c")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** D5 — sequence packing: assemble [[chunkDocs]] chunks into
@@ -887,7 +898,7 @@ object TextOps {
                            seqStride: Long = 1000000L): DataFrame = {
     val ranks = epochShuffle(docs, seed)
       .select(col("doc_id"), (col("shuffle_rank") - 1L).as("ord"))
-    val chunks = chunkDocs(docs)
+    val chunks = chunkDocsUnsorted(docs)
       .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
     packChunksBy(chunks.join(ranks, "doc_id"), budget, docsPerGroup, seqStride)
   }

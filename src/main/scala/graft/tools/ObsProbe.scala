@@ -35,6 +35,27 @@ object ObsProbe {
     val got2 = scala.util.Try(Await.result(Future(obs2.get), 5.seconds))
     println(s"[obsprobe] after persist+count: get = $got2")
     p.unpersist()
+    // listener-free route (what the engine actually uses — see
+    // connectedComponents): observe(name, ...) creates only a
+    // CollectMetrics plan node (NO ObservationManager registration, which
+    // matters: the manager is session-state that breaks closures
+    // capturing the session once initialized — e.g. Spark ML training
+    // summaries — and the listener route also waits on the async bus).
+    // localCheckpoint(eager) executes the dataset's OWN QueryExecution,
+    // so the metrics are readable synchronously from its accumulators.
+    val od = df.observe("probe3", sum(when(col("flag"), 1L).otherwise(0L)).as("n"))
+    od.localCheckpoint(true)
+    println(s"[obsprobe] qe.observedMetrics after localCheckpoint(true): " +
+      s"${od.queryExecution.observedMetrics}")
+    // contrast: persist+count runs the COUNT's execution, not the
+    // dataset's own — the original qe stays empty (why the disk-strategy
+    // loop keeps its count job)
+    val od2 = df.observe("probe4", sum(when(col("flag"), 1L).otherwise(0L)).as("n"))
+    val p2 = od2.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    p2.count()
+    println(s"[obsprobe] qe.observedMetrics after persist+count: " +
+      s"${od2.queryExecution.observedMetrics}")
+    p2.unpersist()
     spark.stop()
   }
 }
