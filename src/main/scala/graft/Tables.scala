@@ -15,8 +15,52 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped parquet schema reuse (r21, guide §1.2 driver floor):
+    * `spark.read.parquet(path)` re-runs schema inference — DataSource
+    * resolution + a footer read — on EVERY call, measured at 70–98 ms
+    * per call (tools.FloorProbe), which IS the build cost of the
+    * catalog's sub-0.5 s tail (1–3 loads per query). A catalog table in
+    * any production deployment carries its schema in the metastore and
+    * never pays this; this cache is the bare-path equivalent: the first
+    * load of a (path, dir-mtime) in a session infers and remembers the
+    * SCHEMA — metadata only, never rows — and later loads pass it
+    * explicitly, skipping inference. Keyed per SESSION (a WeakHashMap,
+    * like Spark's own FileStatusCache scoping) so cross-session conf
+    * differences (e.g. nanosAsLong) cannot leak a schema, and by the
+    * file's mtime so an overwritten fixture re-infers. Results are
+    * unchanged by construction — the explicit schema IS the inferred
+    * one. `spark.graft.schemaCache=off` disables (the A/B lever). */
+  private val schemaCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Long),
+        org.apache.spark.sql.types.StructType]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cachedRead(spark, s"$dir/$name.parquet")
+
+  /** The schema-reusing parquet read behind [[load]] — also serves the
+    * streaming source's per-drain schema inference
+    * ([[graft.streaming.StreamMonitor.readEventsStream]]). */
+  private[graft] def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    if (spark.conf.getOption("spark.graft.schemaCache").contains("off"))
+      return spark.read.parquet(path)
+    val perSession = schemaCache.synchronized {
+      var m = schemaCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, Long),
+          org.apache.spark.sql.types.StructType]()
+        schemaCache.put(spark, m)
+      }
+      m
+    }
+    val key = (path, new java.io.File(path).lastModified())
+    val cached = perSession.get(key)
+    if (cached == null) {
+      val df = spark.read.parquet(path)
+      perSession.put(key, df.schema)
+      df
+    } else spark.read.schema(cached).parquet(path)
+  }
 
   /** Raw scan that tolerates a TIMESTAMP(NANOS) fixture regeneration: a
     * plain scan of a NANOS column THROWS (ILLEGAL_PARQUET_TYPE) during

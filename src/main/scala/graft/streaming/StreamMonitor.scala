@@ -207,7 +207,11 @@ object StreamMonitor {
     // rebuilds the stream (the schema is now inferable from the landed
     // file, through this same canonicalization), and drains exactly-once.
     val schema =
-      try spark.read.parquet(dir).schema
+      // schema-cached read (Tables.cachedRead, r21): this inference runs
+      // per drain invocation and cost ~80 ms of pure footer/DataSource
+      // re-resolution each time; the cache is (session, path, mtime)-keyed
+      // so a landed file that CHANGES the directory re-infers
+      try graft.Tables.cachedRead(spark, dir).schema
       catch {
         case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
           StructField("event_id", LongType), StructField("ts", TimestampNTZType),

@@ -40,6 +40,12 @@ object FloorProbe {
           (System.nanoTime() - t0) / 1e6
         }
         println(f"[floor] read.parquet($t%-10s) min=${times.min}%7.1f ms  med=${times.sorted.apply(reps / 2)}%7.1f ms")
+        val cachedTimes = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          Tables.load(spark, sfDir, t)
+          (System.nanoTime() - t0) / 1e6
+        }
+        println(f"[floor] Tables.load ($t%-10s) min=${cachedTimes.min}%7.1f ms  med=${cachedTimes.sorted.apply(reps / 2)}%7.1f ms")
       }
     }
     (1 to reps).foreach { i =>
