@@ -556,7 +556,7 @@ object TextOps {
     // here, not silently bleed seq_ids into the next group's id space. The
     // guard lives INSIDE the seq_id expression so the optimizer can never
     // prune it as an unused column.
-    def checkedSeq = when(col("c.seq") < seqStride, col("c.seq"))
+    def checkedSeq = when(col("sq.seq") < seqStride, col("sq.seq"))
       .otherwise(raise_error(concat(
         lit(s"packChunks: per-group sequence index reached seqStride ($seqStride) in grp "),
         col("grp").cast("string"),
@@ -570,7 +570,7 @@ object TextOps {
       // next-fit fold: fill starts AT budget so the first chunk always
       // "overflows" into seq 0 — keeps the numbering dense without a
       // special first-element case
-      .select(col("grp"), explode(expr(
+      .select(col("grp"), expr(
         s"""aggregate(cs,
              named_struct(
                'out', cast(array() as array<struct<ord:bigint,doc_id:bigint,chunk_id:bigint,n:bigint,seq:bigint>>),
@@ -582,16 +582,30 @@ object TextOps {
                  'seq', if(acc.fill + x.n > $budget, acc.seq + 1, acc.seq))),
                'fill', if(acc.fill + x.n > $budget, x.n, acc.fill + x.n),
                'seq', if(acc.fill + x.n > $budget, acc.seq + 1, acc.seq))
-           ).out""")).as("c"))
+           ).out""").as("out"))
+      // per-sequence aggregation WITHIN the folded array (r21 — guide
+      // §2.4 "remove shuffles outright"): seq_id = grp·seqStride + seq is
+      // injective per (grp, seq), so every seq_id's rows live in exactly
+      // one grp group and the old explode → groupBy(seq_id) re-shuffled
+      // rows that never change groups. `seq` is non-decreasing along the
+      // fold output (the fold only ever increments it), so the runs are
+      // contiguous and `filter(out, x.seq = s)` preserves the fold's
+      // (ord, doc_id, chunk_id) order — exactly the order the old
+      // sort_array(collect_list(...)) reconstructed after the shuffle
+      // (the sort key set is unique, so the orders coincide). Per-group
+      // cost is O(chunks · seqs), bounded by ordsPerGroup exactly like
+      // the fold itself. One exchange (the grp groupBy) end to end
+      // instead of two, identical rows (d41/d43/d63 oracles pin it).
+      .select(col("grp"), explode(expr(
+        """transform(sequence(0, out[size(out) - 1].seq), s -> named_struct(
+             'seq', s, 'chunks', filter(out, x -> x.seq = s)))""")).as("sq"))
       .select((col("grp") * seqStride + checkedSeq).as("seq_id"),
-        col("c.ord").as("ord"), col("c.doc_id").as("doc_id"),
-        col("c.chunk_id").as("chunk_id"), col("c.n").as("n"))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        array_join(expr("transform(sort_array(collect_list(struct(ord, doc_id, chunk_id))), " +
-          "s -> concat(cast(s.doc_id as string), ':', cast(s.chunk_id as string)))"), ",")
+        size(col("sq.chunks")).cast("long").as("n_chunks"),
+        expr("array_join(transform(sq.chunks, " +
+          "c -> concat(cast(c.doc_id as string), ':', cast(c.chunk_id as string))), ',')")
           .as("chunk_ids"),
-        sum(col("n")).as("total_tokens"))
+        expr("aggregate(sq.chunks, cast(0 as bigint), (a, c) -> a + c.n)")
+          .as("total_tokens"))
       .select(col("seq_id"), col("n_chunks"), col("chunk_ids"), col("total_tokens"),
         Features.pround(col("total_tokens").cast("double") / budget, 6).as("fill_ratio"))
       .orderBy(col("seq_id"))
