@@ -868,7 +868,10 @@ object Similarity {
   /** Load a persisted IVF quantizer (inverse of [[saveIvfIndex]]). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): Array[Array[Double]] =
-    spark.read.parquet(path)
+    // schema-cached read (Tables.cachedRead, r21): artifact loads paid
+    // ~80 ms of per-call schema inference; (session, path, mtime)-keyed,
+    // so a rewritten artifact re-infers
+    graft.Tables.cachedRead(spark, path)
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
 
@@ -1751,12 +1754,12 @@ object Similarity {
   /** Load a persisted PQ codes relation (inverse of [[savePqCodes]]). */
   def loadPqCodes(spark: org.apache.spark.sql.SparkSession,
                   path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.Tables.cachedRead(spark, path) // schema-cached, mtime-keyed (r21)
 
   /** Load persisted PQ codebooks (inverse of [[savePqCodebooks]]). */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
                       path: String): Array[Array[Array[Double]]] =
-    spark.read.parquet(path)
+    graft.Tables.cachedRead(spark, path) // schema-cached, mtime-keyed (r21)
       .orderBy(col("sub"), col("code")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
